@@ -1,13 +1,415 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions shared by every (queries, oracleSql) pair:
+  *   - column aliases identical on both sides (driver hash-compares by
+  *     sorted column name);
+  *   - aggregates over doubles are `round(_, 2..4)` on BOTH sides so float
+  *     summation order cannot flip the hash;
+  *   - sums/window fns over integers cast so Spark and DuckDB agree on the
+  *     result type (DuckDB sum(int)→int128, row_number→int64);
+  *   - deterministic ORDER BY with tie-breakers wherever LIMIT appears.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (q5-shaped 6-way join) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_local_volume")(spark, "/root/testdata/sf0.001")
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  private val revenue: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- B1: wide aggregation over the fact table (TPC-H Q1 shape).
+    // One shuffle on (returnflag, linestatus); partial aggregation map-side.
+    "q1_pricing_summary" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(revenue), 2).as("sum_disc_price"),
+          round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- B2: dim-filter join + agg + top-k. customer is broadcast; the only
+    // shuffle is orders⋈lineitem on the order key, reused by the aggregation.
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cust = T(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- B3: 6-way join; every dim side broadcast, single fact shuffle.
+    "q5_local_volume" -> { (s, dir) =>
+      val dims = broadcast(
+        T(s, dir, "supplier")
+          .join(
+            T(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey")
+          )
+          .join(
+            T(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select("s_suppkey", "s_nationkey", "n_name")
+      )
+      val cust = broadcast(T(s, dir, "customer").select("c_custkey", "c_nationkey"))
+      val ord = T(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+        )
+        .select("o_orderkey", "o_custkey")
+      T(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(dims, col("l_suppkey") === col("s_suppkey"))
+        .join(
+          cust,
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey")
+        )
+        .groupBy(col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- B4: selective scan + filter-only agg (pushdown showcase).
+    "q6_forecast_revenue" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.02, 0.04) &&
+            col("l_quantity") < 24
+        )
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // ---- B5: join + group + top-k by revenue (TPC-H Q10 shape).
+    "q10_returned_items" -> { (s, dir) =>
+      val ord = T(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp")
+        )
+        .select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val custN = broadcast(
+        T(s, dir, "customer")
+          .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_name", "n_name")
+      )
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- B6: global top-k (TakeOrderedAndProject, no full sort at scale).
+    "q_topk_orders" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // ---- B7: distinct aggregation.
+    "q_distinct_count" -> { (s, dir) =>
+      T(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders")
+      )
+    },
+
+    // ---- B8: window functions (partitioned rank).
+    "q_window_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_orderpriority"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          row_number().over(w).cast("long").as("rnk")
+        )
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    },
+
+    // ---- B9: rollup (grouping sets).
+    "q_rollup" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"),
+          col("total")
+        )
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // ---- B10: post-aggregation filter (HAVING).
+    "q_having" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("spend")
+        )
+        .filter(col("n_orders") >= 14)
+        .orderBy(col("o_custkey"))
+    },
+
+    // ---- B11: EXISTS → left-semi join (broadcast of the filtered side).
+    "q_semi_join" -> { (s, dir) =>
+      val urgent = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      T(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- B12: NOT EXISTS → left-anti join.
+    "q_anti_join" -> { (s, dir) =>
+      val big = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_custkey")
+      T(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- B13: union + dedup.
+    "q_union" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+        .union(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    },
+
+    // ---- B14: conditional aggregation (CASE inside SUM).
+    "q_case_agg" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("big_qty"),
+          round(
+            sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0)),
+            2
+          ).as("discounted_rev")
+        )
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- B15: string functions.
+    "q_string_funcs" -> { (s, dir) =>
+      T(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          concat(col("p_type"), lit("-"), col("p_brand")).as("label"),
+          length(col("p_name")).as("name_len")
+        )
+        .orderBy(col("p_partkey"))
+        .limit(100)
+    },
+
+    // ---- B16: timestamp truncation + agg over the events table.
+    "q_date_agg" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // ---- B17: information_schema parity (rows-only check; the DuckDB side
+    // has no Glue catalog to mirror).
+    "q_info_tables" -> { (s, dir) =>
+      Tables.provider(s, dir).informationSchemaTables()
+    },
+    "q_info_columns" -> { (s, dir) =>
+      Tables.provider(s, dir).informationSchemaColumns()
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount BETWEEN 0.02 AND 0.04
+        | AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        | AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        | count(*) AS n_orders
+        |FROM orders""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 14
+        |ORDER BY o_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_case_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty,
+        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END),2)
+        |   AS discounted_rev
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name,1,10) AS name10,
+        | concat(p_type, '-', p_brand) AS label,
+        | CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%a%'
+        |ORDER BY p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_date_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+  )
 }

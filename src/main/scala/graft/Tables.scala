@@ -1,0 +1,39 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.{GlueCatalogProvider, LocalDirectoryGlueClient}
+
+/** Table access for queries: every table is resolved through the Glue catalog
+  * machinery (LocalDirectoryGlueClient → GlueCatalogProvider registration), so
+  * the correctness gate exercises the same path a Glue-backed deployment
+  * would: Glue type strings → [[graft.catalog.GlueTypeParser]] → explicit read
+  * schema → native parquet scan. Registration is metadata-only and cached per
+  * (session, directory).
+  */
+object Tables {
+
+  private val cache = TrieMap.empty[(SparkSession, String), GlueCatalogProvider]
+
+  def provider(spark: SparkSession, dir: String): GlueCatalogProvider =
+    cache.getOrElseUpdate(
+      (spark, dir), {
+        val p =
+          new GlueCatalogProvider(new LocalDirectoryGlueClient(spark, dir), spark)
+        val failures = p.registerAll().collect { case Left(e) => e.getMessage }
+        if (failures.nonEmpty)
+          throw new IllegalStateException(
+            s"glue registration failures for $dir: ${failures.mkString("; ")}"
+          )
+        p
+      }
+    )
+
+  /** The named table as a DataFrame (registers the directory on first use). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    provider(spark, dir)
+    spark.table(name)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** How to obtain a table's schema at registration time, mirroring the
+  * reference's TableRegistrationOptions (reference:
+  * src/catalog_provider/glue.rs:28-33).
+  */
+sealed trait TableRegistrationOptions
+object TableRegistrationOptions {
+  /** Trust the Glue column metadata (type strings parsed by [[GlueTypeParser]]). */
+  case object DeriveSchemaFromGlueTable extends TableRegistrationOptions
+  /** Let the Spark data source infer the schema from the files. */
+  case object InferSchemaFromData extends TableRegistrationOptions
+}
+
+/** Registers Glue-cataloged tables onto a SparkSession so they are queryable
+  * by name with `spark.table`/`spark.sql`, the Spark equivalent of the
+  * reference's CatalogProvider registration flow (reference:
+  * src/catalog_provider/glue.rs:54-274).
+  *
+  * Each registered table becomes a temp view `<table>` plus a qualified alias
+  * `<database>_<table>` (temp views are a flat namespace; the true
+  * `glue.<db>.<table>` namespace is served by [[GlueTableCatalog]], the DSv2
+  * `TableCatalog` plugin). The view is a lazy scan — Catalyst still performs
+  * filter pushdown / column pruning / partition pruning through it, so
+  * registration cost does not depend on data size (metadata-only, exactly the
+  * property the reference's ListingTable registration has).
+  */
+final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
+
+  import TableRegistrationOptions._
+
+  /** db → tables registered under that db, in registration order. */
+  @volatile private var registered: Map[(String, String), GlueTable] = Map.empty
+
+  def registeredTables: Seq[GlueTable] = registered.values.toSeq
+
+  def registerTable(
+      database: String,
+      table: String,
+      options: TableRegistrationOptions = DeriveSchemaFromGlueTable
+  ): DataFrame =
+    registerGlueTable(client.getTable(database, table), options)
+
+  /** Register every table in `database`; per-table failures are returned, not
+    * thrown (the reference collects a Vec<Result<()>> the same way). */
+  def registerTables(
+      database: String,
+      options: TableRegistrationOptions = DeriveSchemaFromGlueTable
+  ): Seq[Either[Throwable, DataFrame]] =
+    client.getTables(database).map { t =>
+      try Right(registerGlueTable(t, options))
+      catch { case e: Throwable => Left(e) }
+    }
+
+  def registerAll(
+      options: TableRegistrationOptions = DeriveSchemaFromGlueTable
+  ): Seq[Either[Throwable, DataFrame]] =
+    client.getDatabases().flatMap(db => registerTables(db.name, options))
+
+  /** Build the lazy DataFrame for a Glue table without registering views. */
+  def load(
+      table: GlueTable,
+      options: TableRegistrationOptions = DeriveSchemaFromGlueTable
+  ): DataFrame = {
+    val fmt = GlueFormats.resolve(table)
+    // Parquet TIMESTAMP(NANOS) columns (named in table parameters by the
+    // client) cannot be read as Spark timestamps; read them as raw nanos
+    // longs and truncate to microseconds below — the same ns→µs truncation
+    // other engines (DuckDB, Arrow) apply.
+    val nanosCols: Set[String] = table.parameters
+      .get(GlueCatalogProvider.NanosColumnsParam)
+      .map(_.split(",").toSet)
+      .getOrElse(Set.empty)
+    val reader = spark.read.format(fmt.source).options(fmt.options)
+    val withSchema = options match {
+      case DeriveSchemaFromGlueTable =>
+        val declared = GlueTypeParser.toSchema(table.storageDescriptor.columns)
+        val readSchema = StructType(declared.map { f =>
+          if (nanosCols.contains(f.name)) f.copy(dataType = LongType) else f
+        })
+        reader.schema(readSchema)
+      case InferSchemaFromData => reader
+    }
+    // basePath keeps Hive-style partition directories (key=value) visible as
+    // typed partition columns of the table root, matching the reference's
+    // table_partition_cols handling (glue.rs:433-442). Only valid for
+    // directory locations (single-file tables have no partition dirs).
+    val withBase =
+      if (table.partitionKeys.nonEmpty ||
+          new java.io.File(table.storageDescriptor.location).isDirectory)
+        withSchema.option("basePath", table.storageDescriptor.location)
+      else withSchema
+    val df0 = withBase.load(table.storageDescriptor.location)
+    val df = nanosCols.foldLeft(df0) { (acc, c) =>
+      if (acc.columns.contains(c))
+        acc.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
+      else acc
+    }
+    // Partition columns are discovered from directory names; cast them to the
+    // Glue-declared partition-key types so the schema matches the catalog.
+    table.partitionKeys.foldLeft(df) { (acc, pk) =>
+      if (acc.columns.contains(pk.name))
+        acc.withColumn(pk.name, col(pk.name).cast(GlueTypeParser.parse(pk.dataType)))
+      else acc
+    }
+  }
+
+  def schemaOf(table: GlueTable): StructType =
+    GlueTypeParser.toSchema(
+      table.storageDescriptor.columns ++ table.partitionKeys
+    )
+
+  private def registerGlueTable(
+      table: GlueTable,
+      options: TableRegistrationOptions
+  ): DataFrame = {
+    val df =
+      try load(table, options)
+      catch {
+        case e: GlueNotImplementedException => throw e
+        case e: GlueException               => throw e
+        case e: Throwable =>
+          throw new GlueCatalogException(
+            s"${table.databaseName}.${table.name}: ${e.getMessage}"
+          )
+      }
+    df.createOrReplaceTempView(table.name)
+    df.createOrReplaceTempView(s"${table.databaseName}_${table.name}")
+    registered += ((table.databaseName, table.name) -> table)
+    df
+  }
+
+  // ---- information_schema (reference demo.rs queries these views) ----
+
+  /** `information_schema.tables` over everything registered here. */
+  def informationSchemaTables(catalogName: String = "glue"): DataFrame = {
+    import spark.implicits._
+    registered.keys.toSeq
+      .sortBy(identity)
+      .map { case (db, t) => (catalogName, db, t, "BASE TABLE") }
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+  }
+
+  /** `information_schema.columns`: one row per column, ordinal_position and
+    * Glue-declared type string included (demo.rs's second query). */
+  def informationSchemaColumns(catalogName: String = "glue"): DataFrame = {
+    import spark.implicits._
+    registered.toSeq
+      .sortBy(_._1)
+      .flatMap { case ((db, t), table) =>
+        val cols =
+          table.storageDescriptor.columns ++ table.partitionKeys
+        cols.zipWithIndex.map { case (c, i) =>
+          (
+            catalogName,
+            db,
+            t,
+            c.name,
+            i,
+            "YES",
+            GlueTypeParser.parse(c.dataType).simpleString
+          )
+        }
+      }
+      .toDF(
+        "table_catalog",
+        "table_schema",
+        "table_name",
+        "column_name",
+        "ordinal_position",
+        "is_nullable",
+        "data_type"
+      )
+  }
+}
+
+object GlueCatalogProvider {
+  /** Table-parameter key listing parquet TIMESTAMP(NANOS) columns (comma
+    * separated); see [[GlueCatalogProvider.load]]. */
+  val NanosColumnsParam = "graft.nanos_columns"
+}

@@ -1,0 +1,83 @@
+package graft.catalog
+
+/** Resolved source format for a Glue table: a Spark DataSource name plus
+  * reader options.
+  */
+final case class ResolvedFormat(source: String, options: Map[String, String])
+
+/** Dispatch from the Hive (input_format, output_format, serialization_library)
+  * triple stored in a Glue StorageDescriptor to a Spark data source, mirroring
+  * the reference's match table (reference: src/catalog_provider/glue.rs:348-430)
+  * plus its `table_type=delta` branch (glue.rs:191-197).
+  *
+  * Spark-side differences from the DataFusion version:
+  *   - CSV honours `field.delim` and `skip.header.line.count` via reader
+  *     options (same semantics as CsvFormat::with_delimiter/with_has_header).
+  *   - Avro and Delta require connector jars that are not on this classpath;
+  *     they are *detected* and reported as a structured
+  *     [[GlueNotImplementedException]] rather than silently misread — same
+  *     contract as the reference's GlueError::NotImplemented fallback.
+  */
+object GlueFormats {
+
+  private val ParquetTriple = (
+    "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+    "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+    "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+  )
+  private val TextTriple = (
+    "org.apache.hadoop.mapred.TextInputFormat",
+    "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat"
+  )
+  private val AvroTriple = (
+    "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+    "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+    "org.apache.hadoop.hive.serde2.avro.AvroSerDe"
+  )
+  private val LazySimpleSerde = "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe"
+  private val JsonSerdes = Set(
+    "org.apache.hive.hcatalog.data.JsonSerDe",
+    "org.openx.data.jsonserde.JsonSerDe",
+    "com.amazon.ionhiveserde.IonHiveSerDe"
+  )
+
+  def resolve(table: GlueTable): ResolvedFormat = {
+    val sd = table.storageDescriptor
+    val serde = sd.serdeInfo
+
+    if (table.parameters.get("table_type").exists(_.equalsIgnoreCase("delta")))
+      throw notImplemented(table, "delta tables need the delta-spark connector jar")
+
+    (sd.inputFormat, sd.outputFormat, serde.serializationLibrary) match {
+      case ParquetTriple =>
+        ResolvedFormat("parquet", Map.empty)
+      case (TextTriple._1, TextTriple._2, LazySimpleSerde) =>
+        val delim = serde.parameters.getOrElse(
+          "field.delim",
+          throw new GlueCatalogException(
+            "Failed to find field.delim in serde_info parameters"
+          )
+        )
+        val hasHeader =
+          sd.parameters.get("skip.header.line.count").contains("1")
+        ResolvedFormat(
+          "csv",
+          Map("sep" -> delim.take(1), "header" -> hasHeader.toString)
+        )
+      case AvroTriple =>
+        // spark-avro is a separate connector module not present on this
+        // classpath; surface the same NotImplemented contract the reference
+        // uses for unknown formats rather than failing deep inside a scan.
+        throw notImplemented(table, "avro needs the spark-avro connector jar")
+      case (TextTriple._1, TextTriple._2, s) if JsonSerdes.contains(s) =>
+        ResolvedFormat("json", Map.empty)
+      case (in, out, s) =>
+        throw notImplemented(table, s"No support for: $in, $out, $s yet.")
+    }
+  }
+
+  private def notImplemented(table: GlueTable, msg: String) =
+    new GlueNotImplementedException(
+      s"${table.databaseName}.${table.name}: $msg"
+    )
+}

@@ -1,0 +1,62 @@
+package graft.catalog
+
+/** Local model of the AWS Glue Data Catalog entities the engine consumes.
+  *
+  * Mirrors the shape of the Glue `Table`/`StorageDescriptor`/`Column` API
+  * objects used by the reference (reference: src/catalog_provider/glue.rs:5,
+  * aws_sdk_glue::types) without depending on any AWS SDK: a [[GlueClient]]
+  * implementation supplies these from whatever backing store it has.
+  */
+final case class GlueColumn(name: String, dataType: String)
+
+final case class GlueSerDeInfo(
+    serializationLibrary: String,
+    parameters: Map[String, String] = Map.empty
+)
+
+final case class GlueStorageDescriptor(
+    location: String,
+    inputFormat: String,
+    outputFormat: String,
+    serdeInfo: GlueSerDeInfo,
+    columns: Seq[GlueColumn],
+    parameters: Map[String, String] = Map.empty
+)
+
+final case class GlueTable(
+    databaseName: String,
+    name: String,
+    storageDescriptor: GlueStorageDescriptor,
+    partitionKeys: Seq[GlueColumn] = Seq.empty,
+    parameters: Map[String, String] = Map.empty
+)
+
+final case class GlueDatabase(name: String)
+
+/** Errors mirroring the reference's GlueError variants
+  * (reference: src/error.rs). */
+sealed abstract class GlueException(msg: String) extends RuntimeException(msg)
+final class GlueTypeParseException(msg: String) extends GlueException(msg)
+final class GlueNotImplementedException(msg: String) extends GlueException(msg)
+final class GlueCatalogException(msg: String) extends GlueException(msg)
+
+/** Minimal Glue API surface the provider needs — get_table / get_tables /
+  * get_databases (reference: src/catalog_provider/glue.rs:78-161). */
+trait GlueClient {
+  def getDatabases(): Seq[GlueDatabase]
+  def getTables(database: String): Seq[GlueTable]
+  def getTable(database: String, table: String): GlueTable =
+    getTables(database)
+      .find(_.name == table)
+      .getOrElse(
+        throw new GlueCatalogException(s"Did not find table $database.$table")
+      )
+}
+
+/** In-memory Glue catalog, for tests and programmatic setup. */
+final class InMemoryGlueClient(tables: Seq[GlueTable]) extends GlueClient {
+  override def getDatabases(): Seq[GlueDatabase] =
+    tables.map(_.databaseName).distinct.map(GlueDatabase)
+  override def getTables(database: String): Seq[GlueTable] =
+    tables.filter(_.databaseName == database)
+}

@@ -1,0 +1,165 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.v2.csv.CSVTable
+import org.apache.spark.sql.execution.datasources.v2.json.JsonTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 `TableCatalog` serving Glue tables under a true three-part
+  * namespace: `SELECT * FROM glue.<database>.<table>` — the Spark-native
+  * equivalent of the reference registering its CatalogProvider under the
+  * "glue" catalog name (reference: examples/demo.rs `ctx.register_catalog`).
+  *
+  * Wire up with:
+  * {{{
+  *   spark.sql.catalog.glue      = graft.catalog.GlueTableCatalog
+  *   spark.sql.catalog.glue.root = /path/to/tables   (LocalDirectoryGlueClient)
+  * }}}
+  * or inject any [[GlueClient]] programmatically via
+  * [[GlueTableCatalog.injectClient]] before first use (tests, alternate
+  * backends).
+  *
+  * `loadTable` delegates to Spark's own V2 file tables (ParquetTable /
+  * CSVTable / JsonTable), so scans through this catalog get the native
+  * vectorized readers, filter pushdown, column pruning and partition pruning —
+  * the same property the reference gets from DataFusion's ListingTable. The
+  * catalog is read-only, like the reference (its `register_schema` is
+  * `unimplemented!()`, glue.rs:564-570).
+  */
+final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "glue"
+  private var options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+
+  override def initialize(
+      name: String,
+      opts: CaseInsensitiveStringMap
+  ): Unit = {
+    catalogName = name
+    options = opts
+  }
+
+  override def name(): String = catalogName
+
+  // Client creation is deferred to first use: at initialize() time the
+  // SparkSession may not be fully constructed yet.
+  private lazy val client: GlueClient =
+    GlueTableCatalog.injected.getOrElse {
+      val root = Option(options.get("root")).getOrElse(
+        throw new GlueCatalogException(
+          s"catalog '$catalogName' needs spark.sql.catalog.$catalogName.root " +
+            "(directory of tables) or an injected GlueClient"
+        )
+      )
+      new LocalDirectoryGlueClient(
+        SparkSession.active,
+        root,
+        Option(options.get("database")).getOrElse("graft")
+      )
+    }
+
+  override def listNamespaces(): Array[Array[String]] =
+    client.getDatabases().map(db => Array(db.name)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      client.getDatabases().exists(_.name == namespace(0))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]
+  ): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new GlueCatalogException(s"No database ${namespace.mkString(".")}")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    client
+      .getTables(namespace.mkString("."))
+      .map(t => Identifier.of(namespace, t.name))
+      .toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true }
+    catch { case _: Exception => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    val glueTable = client.getTable(ident.namespace().mkString("."), ident.name())
+    val fmt = GlueFormats.resolve(glueTable)
+    val schema = GlueTypeParser.toSchema(glueTable.storageDescriptor.columns)
+    val paths = Seq(glueTable.storageDescriptor.location)
+    val opts = new CaseInsensitiveStringMap(
+      (fmt.options + ("basePath" -> glueTable.storageDescriptor.location)).asJava
+    )
+    val fullName = s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
+    fmt.source match {
+      case "parquet" =>
+        ParquetTable(fullName, spark, opts, paths, Some(schema), classOf[ParquetFileFormat])
+      case "csv" =>
+        CSVTable(fullName, spark, opts, paths, Some(schema), classOf[CSVFileFormat])
+      case "json" =>
+        JsonTable(fullName, spark, opts, paths, Some(schema), classOf[JsonFileFormat])
+      case other =>
+        throw new GlueNotImplementedException(s"$fullName: no v2 table for $other")
+    }
+  }
+
+  // ---- read-only: mutation is unsupported, as in the reference ----
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table =
+    throw new GlueNotImplementedException("GlueTableCatalog is read-only")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new GlueNotImplementedException("GlueTableCatalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new GlueNotImplementedException("GlueTableCatalog is read-only")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new GlueNotImplementedException("GlueTableCatalog is read-only")
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]
+  ): Unit =
+    throw new GlueNotImplementedException("GlueTableCatalog is read-only")
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: NamespaceChange*
+  ): Unit =
+    throw new GlueNotImplementedException("GlueTableCatalog is read-only")
+
+  override def dropNamespace(
+      namespace: Array[String],
+      cascade: Boolean
+  ): Boolean =
+    throw new GlueNotImplementedException("GlueTableCatalog is read-only")
+}
+
+object GlueTableCatalog {
+  @volatile private[catalog] var injected: Option[GlueClient] = None
+
+  /** Inject a [[GlueClient]] for catalogs created after this call (tests /
+    * programmatic backends). */
+  def injectClient(client: GlueClient): Unit = injected = Some(client)
+  def clearInjectedClient(): Unit = injected = None
+}

@@ -1,0 +1,107 @@
+package graft.catalog
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.spark.sql.SparkSession
+
+/** A [[GlueClient]] that synthesizes a Glue catalog from a local directory of
+  * data files — the stand-in for the AWS Glue API in this environment (the
+  * reference talks to the real service via aws_sdk_glue; the service and SDK
+  * are unavailable here, and everything downstream of the client is identical).
+  *
+  * Layout convention: `<root>/<table>.parquet` (file or directory) becomes
+  * table `<table>` in database `database`. Column metadata is synthesized by
+  * reading the parquet footer schema and rendering each Spark type back to a
+  * Glue type string with [[GlueTypeParser.toGlueType]] — so registration still
+  * exercises the full Glue-string → parser → Spark-schema path, exactly like a
+  * real Glue-backed table would.
+  */
+final class LocalDirectoryGlueClient(
+    spark: SparkSession,
+    root: String,
+    database: String = "graft"
+) extends GlueClient {
+
+  private val ParquetSerde = GlueSerDeInfo(
+    "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+  )
+
+  // Parquet TIMESTAMP(NANOS) columns have no direct Spark representation
+  // (SPARK-40819: they surface as LongType under the nanosAsLong legacy
+  // conf). The provider converts them back to microsecond timestamps at load;
+  // here we make sure schema reads see longs instead of failing.
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // Glue's `timestamp` carries no timezone flag; normalize everything to
+  // TimestampType under the UTC session instead of surfacing TimestampNTZ.
+  spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+  override def getDatabases(): Seq[GlueDatabase] = Seq(GlueDatabase(database))
+
+  override def getTables(db: String): Seq[GlueTable] = {
+    if (db != database) return Seq.empty
+    val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    entries.toSeq
+      .filter(f => f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map { f =>
+        val tableName = f.getName.stripSuffix(".parquet")
+        val schema = spark.read.parquet(f.getAbsolutePath).schema
+        val nanos = nanosTimestampColumns(f)
+        val columns = schema.fields.toSeq.map { fld =>
+          // A nanos column reads as LongType; in the Glue model it is still a
+          // timestamp — the provider converts on load.
+          if (nanos.contains(fld.name)) GlueColumn(fld.name, "timestamp")
+          else GlueColumn(fld.name, GlueTypeParser.toGlueType(fld.dataType))
+        }
+        GlueTable(
+          databaseName = database,
+          name = tableName,
+          storageDescriptor = GlueStorageDescriptor(
+            location = f.getAbsolutePath,
+            inputFormat =
+              "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+            outputFormat =
+              "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+            serdeInfo = ParquetSerde,
+            columns = columns
+          ),
+          parameters =
+            if (nanos.isEmpty) Map.empty
+            else Map(GlueCatalogProvider.NanosColumnsParam -> nanos.mkString(","))
+        )
+      }
+  }
+
+  /** Top-level column names whose parquet logical type is TIMESTAMP(NANOS),
+    * read straight from the footer of one data file. */
+  private def nanosTimestampColumns(f: File): Set[String] = {
+    val dataFile =
+      if (f.isDirectory)
+        f.listFiles().find(_.getName.endsWith(".parquet")).getOrElse(return Set.empty)
+      else f
+    val in = HadoopInputFile.fromPath(
+      new Path(dataFile.getAbsolutePath),
+      spark.sessionState.newHadoopConf()
+    )
+    val reader = ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+        case field
+            if field.isPrimitive &&
+              (field.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit == TimeUnit.NANOS
+                case _ => false
+              }) =>
+          field.getName
+      }.toSet
+    } finally reader.close()
+  }
+}
