@@ -100,10 +100,12 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
     val glueTable = client.getTable(ident.namespace().mkString("."), ident.name())
     val fmt = GlueFormats.resolve(glueTable)
     val schema = GlueTypeParser.toSchema(glueTable.storageDescriptor.columns)
-    val paths = Seq(glueTable.storageDescriptor.location)
-    val opts = new CaseInsensitiveStringMap(
-      (fmt.options + ("basePath" -> glueTable.storageDescriptor.location)).asJava
-    )
+    val location = glueTable.storageDescriptor.location
+    val paths = Seq(location)
+    val baseOpt =
+      if (new java.io.File(location).isDirectory) Map("basePath" -> location)
+      else Map.empty[String, String]
+    val opts = new CaseInsensitiveStringMap((fmt.options ++ baseOpt).asJava)
     val fullName = s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
     fmt.source match {
       case "parquet" =>
