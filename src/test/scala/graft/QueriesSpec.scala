@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + plan-shape checks for the oracle-backed query suite. Value-level
+  * correctness is enforced by the driver's DuckDB gate (and its local replica
+  * tools/check_oracle.py); here we assert each query runs, returns rows, and
+  * the hot plans have the shape we want at scale (broadcast dims, pushdown).
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sfDir
+
+  test("every declared query has an oracle or is explicitly rows-only") {
+    val rowsOnly = Set("q_info_tables", "q_info_columns")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("all queries execute and return rows at sf0.001") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q5 plan broadcasts every dimension side") {
+    val plan = SparkEntry
+      .queries("q5_local_volume")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the only shuffle-heavy join key is the fact-fact orders<->lineitem join
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q6 pushes filters into the parquet scan and prunes columns") {
+    val qe = SparkEntry
+      .queries("q6_forecast_revenue")(spark, dir)
+      .queryExecution
+    val scanText = qe.executedPlan.toString
+    assert(scanText.contains("PushedFilters"))
+    assert(scanText.contains("l_shipdate"))
+    // projection pruning: the scan must not read l_orderkey etc.
+    val readSchema = scanText.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"))
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q_topk uses TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry
+      .queries("q_topk_orders")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

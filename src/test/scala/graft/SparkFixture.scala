@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for every suite (Spark sessions are expensive;
+  * suites must not stop it). */
+object SparkFixture {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.glue", "graft.catalog.GlueTableCatalog")
+      .config("spark.sql.catalog.glue.root", "/root/testdata/sf0.001")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val sfDir = "/root/testdata/sf0.001"
+  val sfDirMid = "/root/testdata/sf0.01"
+}

@@ -1,0 +1,201 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class GlueCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def newProvider(dir: String = SparkFixture.sfDir) =
+    new GlueCatalogProvider(new LocalDirectoryGlueClient(spark, dir), spark)
+
+  test("registerAll registers every table in the directory") {
+    val p = newProvider()
+    val results = p.registerAll()
+    assert(results.size == 10)
+    assert(results.forall(_.isRight))
+    assert(spark.table("lineitem").count() == 6000)
+    assert(spark.table("graft_lineitem").count() == 6000)
+  }
+
+  test("derived schema matches glue metadata and reads correctly") {
+    val p = newProvider()
+    val df = p.registerTable("graft", "orders")
+    assert(df.schema.fieldNames.toSeq == Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"
+    ))
+    assert(df.schema("o_orderdate").dataType.typeName == "timestamp")
+    assert(df.count() == 1500)
+  }
+
+  test("InferSchemaFromData also works") {
+    val p = newProvider()
+    val df = p.registerTable(
+      "graft",
+      "region",
+      TableRegistrationOptions.InferSchemaFromData
+    )
+    assert(df.count() == 5)
+  }
+
+  test("nanos timestamp column (events.ts) loads as microsecond timestamp") {
+    val p = newProvider()
+    val df = p.registerTable("graft", "events")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    val minTs = df.agg(org.apache.spark.sql.functions.min("ts")).head.getTimestamp(0)
+    assert(minTs.toString.startsWith("2024-01-01"))
+  }
+
+  test("unknown table error carries db.table context") {
+    val e = intercept[GlueCatalogException](newProvider().registerTable("graft", "nope"))
+    assert(e.getMessage.contains("graft.nope"))
+  }
+
+  test("csv table registers and reads through the text serde triple") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "people.csv")
+    Files.writeString(
+      f.toPath,
+      "id|name|score\n1|alice|3.5\n2|bob|4.25\n"
+    )
+    val t = GlueTable(
+      "db1",
+      "people",
+      GlueStorageDescriptor(
+        location = f.getAbsolutePath,
+        inputFormat = "org.apache.hadoop.mapred.TextInputFormat",
+        outputFormat =
+          "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+        serdeInfo = GlueSerDeInfo(
+          "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+          Map("field.delim" -> "|")
+        ),
+        columns = Seq(
+          GlueColumn("id", "bigint"),
+          GlueColumn("name", "string"),
+          GlueColumn("score", "double")
+        ),
+        parameters = Map("skip.header.line.count" -> "1")
+      )
+    )
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(t)), spark)
+    val df = p.registerTable("db1", "people")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alice")
+    assert(rows(1).getDouble(2) == 4.25)
+  }
+
+  test("json table registers and reads") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "items.json")
+    Files.writeString(
+      f.toPath,
+      """{"id":1,"tags":["a","b"]}
+        |{"id":2,"tags":["c"]}
+        |""".stripMargin
+    )
+    val t = GlueTable(
+      "db1",
+      "items",
+      GlueStorageDescriptor(
+        location = f.getAbsolutePath,
+        inputFormat = "org.apache.hadoop.mapred.TextInputFormat",
+        outputFormat =
+          "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+        serdeInfo =
+          GlueSerDeInfo("org.apache.hive.hcatalog.data.JsonSerDe"),
+        columns =
+          Seq(GlueColumn("id", "bigint"), GlueColumn("tags", "array<string>"))
+      )
+    )
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(t)), spark)
+    val df = p.registerTable("db1", "items")
+    assert(df.count() == 2)
+    assert(df.schema("tags").dataType.typeName == "array")
+  }
+
+  test("hive-style partitioned table exposes typed partition columns") {
+    val root = Files.createTempDirectory("graft_part").toFile
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"))
+      .toDF("id", "v")
+      .withColumn("ds", org.apache.spark.sql.functions.lit("2024-01-01"))
+      .write
+      .partitionBy("ds")
+      .parquet(root.getAbsolutePath + "/t")
+    val t = GlueTable(
+      "db1",
+      "parted",
+      GlueStorageDescriptor(
+        location = root.getAbsolutePath + "/t",
+        inputFormat =
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+        outputFormat =
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+        serdeInfo = GlueSerDeInfo(
+          "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+        ),
+        columns = Seq(GlueColumn("id", "bigint"), GlueColumn("v", "string"))
+      ),
+      partitionKeys = Seq(GlueColumn("ds", "date"))
+    )
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(t)), spark)
+    val df = p.registerTable("db1", "parted")
+    assert(df.schema("ds").dataType.typeName == "date")
+    assert(df.filter(df("ds") === "2024-01-01").count() == 2)
+  }
+
+  test("information_schema.tables matches demo shape") {
+    val p = newProvider()
+    p.registerAll()
+    val rows = p.informationSchemaTables().collect()
+    assert(rows.length == 10)
+    assert(
+      rows.forall(r =>
+        r.getString(0) == "glue" && r.getString(1) == "graft" &&
+          r.getString(3) == "BASE TABLE"
+      )
+    )
+  }
+
+  test("information_schema.columns carries ordinal positions and types") {
+    val p = newProvider()
+    p.registerAll()
+    val cols = p.informationSchemaColumns()
+    val li = cols
+      .filter(cols("table_name") === "lineitem")
+      .orderBy("ordinal_position")
+      .collect()
+    assert(li.length == 11)
+    assert(li.head.getString(3) == "l_orderkey")
+    assert(li.head.getString(6) == "bigint")
+  }
+
+  test("DSv2 catalog: three-part name SQL with pushdown") {
+    val n = spark
+      .sql("SELECT count(*) AS n FROM glue.graft.orders WHERE o_orderstatus = 'F'")
+      .head
+      .getLong(0)
+    assert(n > 0)
+    val plan = spark
+      .sql("SELECT o_orderkey FROM glue.graft.orders WHERE o_orderkey = 42")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"))
+  }
+
+  test("DSv2 catalog: SHOW TABLES and read-only enforcement") {
+    val tables =
+      spark.sql("SHOW TABLES IN glue.graft").collect().map(_.getString(1)).toSet
+    assert(tables.contains("lineitem") && tables.contains("documents"))
+    assertThrows[Exception](
+      spark.sql("DROP TABLE glue.graft.lineitem")
+    )
+  }
+}

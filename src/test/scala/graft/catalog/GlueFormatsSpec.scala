@@ -1,0 +1,105 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GlueFormatsSpec extends AnyFunSuite {
+
+  private def table(
+      in: String,
+      out: String,
+      serde: String,
+      serdeParams: Map[String, String] = Map.empty,
+      sdParams: Map[String, String] = Map.empty,
+      tableParams: Map[String, String] = Map.empty
+  ): GlueTable =
+    GlueTable(
+      "db",
+      "t",
+      GlueStorageDescriptor(
+        location = "/tmp/x",
+        inputFormat = in,
+        outputFormat = out,
+        serdeInfo = GlueSerDeInfo(serde, serdeParams),
+        columns = Seq(GlueColumn("a", "int")),
+        parameters = sdParams
+      ),
+      parameters = tableParams
+    )
+
+  private val TextIn = "org.apache.hadoop.mapred.TextInputFormat"
+  private val TextOut = "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat"
+
+  test("parquet triple") {
+    val f = GlueFormats.resolve(
+      table(
+        "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+        "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+        "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+      )
+    )
+    assert(f == ResolvedFormat("parquet", Map.empty))
+  }
+
+  test("csv triple honours delimiter and header") {
+    val f = GlueFormats.resolve(
+      table(
+        TextIn,
+        TextOut,
+        "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+        serdeParams = Map("field.delim" -> "|"),
+        sdParams = Map("skip.header.line.count" -> "1")
+      )
+    )
+    assert(f == ResolvedFormat("csv", Map("sep" -> "|", "header" -> "true")))
+  }
+
+  test("csv without field.delim fails like the reference") {
+    assertThrows[GlueCatalogException](
+      GlueFormats.resolve(
+        table(TextIn, TextOut, "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+      )
+    )
+  }
+
+  test("json serdes (hcatalog, openx, ion)") {
+    for (serde <- Seq(
+        "org.apache.hive.hcatalog.data.JsonSerDe",
+        "org.openx.data.jsonserde.JsonSerDe",
+        "com.amazon.ionhiveserde.IonHiveSerDe"
+      )) {
+      assert(GlueFormats.resolve(table(TextIn, TextOut, serde)).source == "json")
+    }
+  }
+
+  test("avro is detected but not implemented (no connector jar)") {
+    val e = intercept[GlueNotImplementedException](
+      GlueFormats.resolve(
+        table(
+          "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+          "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+          "org.apache.hadoop.hive.serde2.avro.AvroSerDe"
+        )
+      )
+    )
+    assert(e.getMessage.startsWith("db.t:"))
+  }
+
+  test("delta table_type detected but not implemented") {
+    val e = intercept[GlueNotImplementedException](
+      GlueFormats.resolve(
+        table(
+          "", "", "",
+          tableParams = Map("table_type" -> "DELTA")
+        )
+      )
+    )
+    assert(e.getMessage.contains("delta"))
+  }
+
+  test("unknown triple fails with db.table context, like the reference") {
+    val e = intercept[GlueNotImplementedException](
+      GlueFormats.resolve(table("in.x", "out.y", "serde.z"))
+    )
+    assert(e.getMessage.startsWith("db.t: No support for: in.x, out.y"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's type-mapping test matrix
+  * (reference: src/catalog_provider/glue.rs:579-1105) against Spark types. */
+class GlueTypeParserSpec extends AnyFunSuite {
+
+  private def p(s: String): DataType = GlueTypeParser.parse(s)
+
+  test("primitive types") {
+    assert(p("tinyint") == ByteType)
+    assert(p("smallint") == ShortType)
+    assert(p("int") == IntegerType)
+    assert(p("integer") == IntegerType)
+    assert(p("bigint") == LongType)
+    assert(p("boolean") == BooleanType)
+    assert(p("float") == FloatType)
+    assert(p("double") == DoubleType)
+    assert(p("binary") == BinaryType)
+    assert(p("date") == DateType)
+    assert(p("timestamp") == TimestampType)
+    assert(p("string") == StringType)
+    assert(p("char") == StringType)
+    assert(p("varchar") == StringType)
+  }
+
+  test("char/varchar with athena lengths") {
+    assert(p("varchar(255)") == StringType)
+    assert(p("char(10)") == StringType)
+  }
+
+  test("decimal") {
+    assert(p("decimal(12,9)") == DecimalType(12, 9))
+    assert(p("decimal(38,0)") == DecimalType(38, 0))
+  }
+
+  test("array types") {
+    assert(p("array<bigint>") == ArrayType(LongType, containsNull = true))
+    assert(p("array<int>") == ArrayType(IntegerType, containsNull = true))
+    assert(
+      p("array<array<string>>") ==
+        ArrayType(ArrayType(StringType, true), containsNull = true)
+    )
+  }
+
+  test("map types") {
+    assert(
+      p("map<string,boolean>") == MapType(StringType, BooleanType, true)
+    )
+    assert(
+      p("map<string,map<string,boolean>>") ==
+        MapType(StringType, MapType(StringType, BooleanType, true), true)
+    )
+    assert(
+      p("map<map<string,boolean>,array<string>>") ==
+        MapType(
+          MapType(StringType, BooleanType, true),
+          ArrayType(StringType, true),
+          true
+        )
+    )
+  }
+
+  test("struct types") {
+    assert(
+      p("struct<reply_id:int,next_id:int>") ==
+        StructType(
+          Seq(
+            StructField("reply_id", IntegerType, true),
+            StructField("next_id", IntegerType, true)
+          )
+        )
+    )
+    assert(
+      p("struct<reply:struct<reply_id:int>>") ==
+        StructType(
+          Seq(
+            StructField(
+              "reply",
+              StructType(Seq(StructField("reply_id", IntegerType, true))),
+              true
+            )
+          )
+        )
+    )
+  }
+
+  test("deep nesting: array<struct<reply:struct<...>,blog_id:bigint>>") {
+    val t = p("array<struct<reply:struct<reply_id:int,next_id:int>,blog_id:bigint>>")
+    val expected = ArrayType(
+      StructType(
+        Seq(
+          StructField(
+            "reply",
+            StructType(
+              Seq(
+                StructField("reply_id", IntegerType, true),
+                StructField("next_id", IntegerType, true)
+              )
+            ),
+            true
+          ),
+          StructField("blog_id", LongType, true)
+        )
+      ),
+      true
+    )
+    assert(t == expected)
+  }
+
+  test("invalid types are rejected with context") {
+    for (bad <- Seq("", "blah", "array<", "array<int", "map<string>",
+                    "struct<a>", "decimal(,2)", "int2", "struct<a:int>x"))
+      assertThrows[GlueTypeParseException](p(bad))
+  }
+
+  test("spark->glue->spark round trip") {
+    val types = Seq(
+      ByteType, ShortType, IntegerType, LongType, BooleanType, FloatType,
+      DoubleType, BinaryType, DateType, TimestampType, StringType,
+      DecimalType(12, 9),
+      ArrayType(FloatType, true),
+      MapType(StringType, ArrayType(LongType, true), true),
+      StructType(
+        Seq(
+          StructField("a", IntegerType, true),
+          StructField("b", ArrayType(StringType, true), true)
+        )
+      )
+    )
+    for (t <- types) assert(p(GlueTypeParser.toGlueType(t)) == t)
+  }
+
+  test("schema mapping makes every column nullable") {
+    val schema = GlueTypeParser.toSchema(
+      Seq(GlueColumn("id", "bigint"), GlueColumn("name", "string"))
+    )
+    assert(schema.fields.forall(_.nullable))
+    assert(schema == StructType(Seq(
+      StructField("id", LongType, true),
+      StructField("name", StringType, true)
+    )))
+  }
+}
