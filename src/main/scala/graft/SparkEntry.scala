@@ -278,6 +278,129 @@ object SparkEntry {
     },
     "q_info_columns" -> { (s, dir) =>
       Tables.provider(s, dir).informationSchemaColumns()
+    },
+
+    // ---- C1: exact dedup groups by md5 content fingerprint.
+    "dedup_exact" -> { (s, dir) =>
+      operators.Dedup
+        .exactGroups(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fingerprint")
+    },
+
+    // ---- C2: MinHash-LSH candidate pairs (rows-only: minhash internals are
+    // not expressible in portable SQL; exact verification is C4).
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      operators.Dedup
+        .minhashCandidatePairs(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- C3: SimHash near-dup candidates with hamming distance (rows-only).
+    "dedup_simhash" -> { (s, dir) =>
+      operators.Dedup
+        .simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 7)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- C4: LSH candidates + exact 3-gram Jaccard >= 0.8 (oracle: full
+    // O(n^2) Jaccard in DuckDB — the LSH path must find the same pairs).
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      operators.Dedup
+        .nearDupPairs(T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- C5: embedding near-dups via hyperplane LSH buckets (rows-only:
+    // bucket recall is probabilistic by design; exactness spec'd in tests).
+    "dedup_embedding" -> { (s, dir) =>
+      operators.Dedup
+        .embeddingNearDups(
+          T(s, dir, "embeddings"),
+          "embedding",
+          "vec_id",
+          threshold = 0.4,
+          numPlanes = 2
+        )
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- C6: exact brute-force top-k cosine for 5 query vectors (oracle).
+    "ann_bruteforce" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      operators.SimilaritySearch
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- C7: LSH-bucketed ANN, same shape (rows-only; recall spec'd).
+    "ann_lsh" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      operators.SimilaritySearch
+        .lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, numPlanes = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- C8: language-id heuristic, aggregated confusion counts (oracle).
+    "text_langid" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), functions.TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // ---- C9: quality scoring (oracle).
+    "text_quality" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(tf.normText(col("text"))).as("n_chars_norm"),
+          size(tf.wsTokens(col("text"))).as("n_tokens"),
+          tf.qualityScore(col("text")).as("quality")
+        )
+        .orderBy("doc_id")
+    },
+
+    // ---- C10: token counting, whitespace + BPE-ish (oracle).
+    "text_tokencount" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tf.wsTokens(col("text"))).as("ws_tokens"),
+          size(tf.bpeTokens(col("text"))).as("bpe_tokens")
+        )
+        .orderBy("doc_id")
+    },
+
+    // ---- C11: content fingerprinting (oracle).
+    "text_fingerprint" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tf.fingerprint(col("text")).as("fingerprint"),
+          length(tf.normText(col("text"))).as("n_chars_norm")
+        )
+        .orderBy("doc_id")
+    },
+
+    // ---- C12: multimodal plumbing — binary payload + per-partition decode
+    // (rows-only; the codec is a deterministic stub, the plumbing is real).
+    "multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      operators.Multimodal
+        .extractFeatures(
+          operators.Multimodal.withFakeMedia(T(s, dir, "documents"))
+        )
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("checksum"),
+          size(col("features")).as("n_dims")
+        )
+        .orderBy("doc_id")
     }
   )
 
@@ -410,6 +533,108 @@ object SparkEntry {
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        | count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM t
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |      ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |           / len(list_distinct(list_concat(a.s, b.s))) END, 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, jaccard FROM pairs
+        |WHERE jaccard >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cos, "rank" FROM ranked
+        |WHERE "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> list_contains(['the','and','of','to','is','that','it','for'], x))) AS s_en,
+        |    len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','une','est'], x))) AS s_fr,
+        |    len(list_filter(w, x -> list_contains(['der','die','und','das','ein','ist','nicht','mit'], x))) AS s_de,
+        |    len(list_filter(w, x -> list_contains(['el','los','las','y','en','que','por','con'], x))) AS s_es,
+        |    len(list_filter(w, x -> list_contains(['的','了','是','我','不','在','有','人'], x))) AS s_zh
+        |  FROM t
+        |), p AS (
+        |  SELECT lang, CASE
+        |    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |    WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |    WHEN s_es >= s_zh THEN 'es'
+        |    ELSE 'zh' END AS predicted
+        |  FROM s
+        |)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, norm, string_split(norm, ' ') AS w FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(length(norm) AS INTEGER) AS n_chars_norm,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  round(0.5 * (CASE WHEN len(w) = 0 THEN 0.0
+        |               ELSE len(list_distinct(w))::DOUBLE / len(w) END)
+        |      + 0.5 * least(length(norm)::DOUBLE / 200.0, 1.0), 4) AS quality
+        |FROM u
+        |ORDER BY doc_id""".stripMargin,
+    "text_tokencount" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(string_split(norm, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(norm) AS fingerprint,
+        |  CAST(length(norm) AS INTEGER) AS n_chars_norm
+        |FROM t
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression,
+  Expression,
+  UnaryExpression
+}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot vector/text paths. Each generates a
+  * static call into [[VectorOps]]/[[TextOps]] from `doGenCode`, so the
+  * operator stays inside whole-stage codegen (no iterator break, no
+  * row↔object conversion — the reason these beat Scala UDFs at scale).
+  *
+  * Registered as SQL functions by [[GraftFunctions.register]]; use the column
+  * helpers in [[GraftFunctions]].
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"graft.functions.VectorOps.cosine($a, $b)"
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** LSH bucket id from `numPlanes` random hyperplanes (equi-join key for ANN). */
+case class HyperplaneBucket(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 30, "numPlanes must be in [1,30]")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.hyperplaneBucket(a.asInstanceOf[ArrayData], numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      a => s"graft.functions.VectorOps.hyperplaneBucket($a, $numPlanes)"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature (array of `numHashes` longs) over pre-hashed shingles. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= 512, "numHashes must be in [1,512]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.minhash(a.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      a => s"graft.functions.TextOps.minhash($a, $numHashes)"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over pre-hashed tokens. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.simhash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextOps.simhash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registration + typed column helpers for the graft expressions. */
+object GraftFunctions {
+
+  private def lit(e: Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other =>
+        throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+
+  /** Idempotently register graft_* SQL functions on the session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_cosine",
+      es => CosineSimilarity(es(0), es(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_hyperplane_bucket",
+      es => HyperplaneBucket(es(0), lit(es(1))),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      es => MinHashSignature(es(0), lit(es(1))),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_simhash",
+      es => SimHash64(es(0)),
+      "built-in"
+    )
+  }
+
+  def cosineSim(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_cosine", a, b)
+  }
+
+  def hyperplaneBucket(v: Column, numPlanes: Int)(implicit
+      spark: SparkSession
+  ): Column = {
+    register(spark)
+    call_function(
+      "graft_hyperplane_bucket",
+      v,
+      org.apache.spark.sql.functions.lit(numPlanes)
+    )
+  }
+
+  def minhashSignature(hashes: Column, numHashes: Int)(implicit
+      spark: SparkSession
+  ): Column = {
+    register(spark)
+    call_function(
+      "graft_minhash",
+      hashes,
+      org.apache.spark.sql.functions.lit(numHashes)
+    )
+  }
+
+  def simhash64(hashes: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_simhash", hashes)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators.
+  *
+  * Everything here is composed from codegen'd built-ins
+  * (`org.apache.spark.sql.functions`), and — where an operator is
+  * oracle-checked — designed so the identical computation is expressible in
+  * portable SQL (see SparkEntry.oracleSql): same normalization, same regexes,
+  * same tie-breaking.
+  */
+object TextFunctions {
+
+  /** Canonical text form: lowercase, trimmed, whitespace collapsed to single
+    * spaces. Every downstream op (fingerprint, tokens, shingles) starts here. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Content fingerprint: md5 of the normalized text (portable across
+    * engines, unlike xxhash64 — used for the exact-dedup oracle). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Whitespace tokens of the normalized text. */
+  def wsTokens(c: Column): Column = split(normText(c), " ")
+
+  /** BPE-ish sub-tokens: letter runs, single digits, single punctuation. */
+  val BpeRegex = "[a-z]+|[0-9]|[^a-z0-9 ]"
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(normText(c), lit(BpeRegex), lit(0))
+
+  /** Word k-shingles (k-grams of whitespace tokens, space-joined). */
+  def wordShingles(c: Column, k: Int): Column = {
+    val w = wsTokens(c)
+    when(size(w) < k, array()).otherwise(
+      transform(
+        sequence(lit(1), size(w) - lit(k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))
+      )
+    )
+  }
+
+  /** xxhash64 of each element — the long-hash input for minhash/simhash. */
+  def tokenHashes(tokens: Column): Column = transform(tokens, t => xxhash64(t))
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns
+    * (distinct shingles; 0 when union is empty). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = size(array_union(da, db)).cast("double")
+    when(uni === 0.0, 0.0).otherwise(inter / uni)
+  }
+
+  // ---- language id (stopword-count heuristic) ----
+
+  /** Tiny per-language stopword lists. A heuristic, not a model: scores are
+    * occurrence counts of language-characteristic tokens. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "los", "las", "y", "en", "que", "por", "con"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人")
+  )
+
+  /** Occurrence count of `words` among the whitespace tokens. */
+  def stopwordCount(c: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(wsTokens(c), t => array_contains(wordArr, t)))
+  }
+
+  /** Predicted language: argmax of the stopword scores, ties broken by list
+    * order (en > fr > de > es > zh) — mirrored exactly in the SQL oracle. */
+  def langId(c: Column): Column = {
+    val scores = Stopwords.map { case (lang, words) => lang -> stopwordCount(c, words) }
+    scores.init.zipWithIndex
+      .foldRight(lit(scores.last._1)) { case (((lang, s), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        val isMax = laterScores.foldLeft(lit(true))((acc, o) => acc && s >= o)
+        when(isMax, lang).otherwise(elseCol)
+      }
+  }
+
+  // ---- quality scoring ----
+
+  /** Heuristic document quality in [0,1]: rewards mid-length docs and lexical
+    * diversity, penalizes repetition. Deterministic and SQL-portable. */
+  def qualityScore(c: Column): Column = {
+    val n = normText(c)
+    val toks = wsTokens(c)
+    val nTok = size(toks).cast("double")
+    val distinctRatio =
+      when(nTok === 0.0, 0.0).otherwise(size(array_distinct(toks)) / nTok)
+    val lenScore = least(length(n).cast("double") / lit(200.0), lit(1.0))
+    round(lit(0.5) * distinctRatio + lit(0.5) * lenScore, 4)
+  }
+}

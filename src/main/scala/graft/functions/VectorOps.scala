@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Branch-free numeric kernels invoked from generated code (see
+  * [[GraftExpressions]]). Top-level object ⇒ static forwarders callable from
+  * Janino-generated Java inside whole-stage codegen.
+  */
+object VectorOps {
+
+  /** Cosine similarity of two float vectors, computed in double. 0.0 when a
+    * norm is zero or lengths differ (defensive; schema guarantees equal dims). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return 0.0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def norm(a: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bit of the dot product against
+    * `numPlanes` pseudo-random hyperplanes (deterministic splitmix64 weights,
+    * one stream per (plane, dim)). Collapses near-parallel vectors into the
+    * same int bucket — turns ANN probing into an equi-join key. */
+  def hyperplaneBucket(a: ArrayData, numPlanes: Int): Int = {
+    val n = a.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * planeWeight(p, i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Deterministic pseudo-random weight in [-1, 1) for hyperplane `p`, dim `i`. */
+  private def planeWeight(p: Int, i: Int): Double = {
+    val h = splitmix64(p.toLong * 0x9E3779B97F4A7C15L + i.toLong + 1L)
+    // top 53 bits → uniform double in [0,1) → shift to [-1,1)
+    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Long-hash kernels for text sketching, same static-forwarder pattern. */
+object TextOps {
+
+  private val MaxHashes = 512
+  // Deterministic universal-hash parameters: h_i(x) = a_i*x + b_i (mod 2^64,
+  // natural overflow), a_i odd. Fixed seed ⇒ signatures comparable across
+  // runs and across the cluster.
+  private val A: Array[Long] =
+    Array.tabulate(MaxHashes)(i => VectorOps.splitmix64(2L * i) | 1L)
+  private val B: Array[Long] =
+    Array.tabulate(MaxHashes)(i => VectorOps.splitmix64(2L * i + 1))
+
+  /** MinHash signature over pre-hashed shingles (xxhash64 longs). */
+  def minhash(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = A(j) * hashes.getLong(i) + B(j)
+        if (h < min) min = h
+        i += 1
+      }
+      sig(j) = min
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens (xxhash64 longs). */
+  def simhash(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}

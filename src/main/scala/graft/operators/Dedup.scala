@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions => TF}
+
+/** Deduplication operators for large text/embedding corpora.
+  *
+  * Scale design (100 TB): no operator here ever materializes the O(n²) pair
+  * space. Candidates come from equi-joins on sketch keys — MinHash band
+  * hashes, SimHash sub-bands, hyperplane buckets — so the shuffle is keyed,
+  * partitionable and AQE-skew-splittable; exact verification (Jaccard /
+  * cosine) runs only inside candidate buckets. Oversized buckets (degenerate
+  * content, e.g. boilerplate) are dropped with `maxBucketSize`, standard LSH
+  * practice: such buckets are near-duplicates of *everything* and are better
+  * handled by an exact pass on the bucket key.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by md5 fingerprint of normalized text:
+    * (fingerprint, n_docs, keeper_id) — keeper is the smallest id. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(TF.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
+  /** Documents minus exact duplicates (keep smallest id per fingerprint).
+    * One shuffle on the fingerprint; map-side partial aggregation. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keepers = exactGroups(docs, textCol, idCol).select(
+      col("keeper_id").as(idCol)
+    )
+    docs.join(keepers, idCol)
+  }
+
+  /** MinHash signatures: (id, sig array<bigint>). */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 128
+  ): DataFrame = {
+    implicit val spark: SparkSession = docs.sparkSession
+    docs.select(
+      col(idCol),
+      GraftFunctions
+        .minhashSignature(
+          TF.tokenHashes(TF.wordShingles(col(textCol), shingleK)),
+          numHashes
+        )
+        .as("sig")
+    )
+  }
+
+  /** LSH banding: (id, band_key) — one row per band; equal band_key ⇒
+    * candidate pair. band_key packs (band index, xxhash64 of the band's
+    * signature slice). */
+  def minhashBands(
+      sigs: DataFrame,
+      idCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigs
+      .select(
+        col(idCol),
+        explode(
+          expr(
+            s"transform(sequence(0, ${bands - 1}), " +
+              s"b -> struct(b AS band, xxhash64(slice(sig, b*$r + 1, $r)) AS bh))"
+          )
+        ).as("bk")
+      )
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Candidate near-duplicate pairs (a_id < b_id) from MinHash-LSH banding. */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleK, numHashes)
+    val bandRows =
+      minhashBands(sigs, idCol, numHashes, bands)
+    // Drop degenerate buckets before the self-join (bounds worst-case skew).
+    val sized = bandRows
+      .withColumn(
+        "bucket_n",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+        )
+      )
+      .filter(col("bucket_n").between(2, maxBucketSize))
+      .drop("bucket_n")
+    val l = sized.select(col("band"), col("bh"), col(idCol).as("a_id"))
+    val rr = sized.select(col("band"), col("bh"), col(idCol).as("b_id"))
+    l.join(rr, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** Near-duplicate pairs with exact n-gram Jaccard verification:
+    * (a_id, b_id, jaccard) for jaccard >= threshold. Candidates from
+    * MinHash-LSH; verification joins the shingle sets back in (broadcast-able
+    * when the candidate set is small, keyed shuffle otherwise). */
+  def nearDupPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32
+  ): DataFrame = {
+    val shingles = docs.select(
+      col(idCol),
+      array_distinct(TF.wordShingles(col(textCol), shingleK)).as("sh")
+    )
+    val cands =
+      minhashCandidatePairs(docs, textCol, idCol, shingleK, numHashes, bands)
+    cands
+      .join(shingles.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(shingles.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(TF.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash sketch per document: (id, simhash). */
+  def simhashes(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    implicit val spark: SparkSession = docs.sparkSession
+    docs.select(
+      col(idCol),
+      GraftFunctions.simhash64(TF.tokenHashes(TF.wsTokens(col(textCol)))).as("simhash")
+    )
+  }
+
+  /** Candidate pairs within `maxHamming` bits of each other, via sub-band
+    * blocking: split the 64-bit sketch into `bands` pieces; by pigeonhole any
+    * pair within maxHamming <= bands-1 bits shares at least one piece —
+    * an equi-join, never a cross join. Returns (a_id, b_id, hamming). */
+  def simhashPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 7,
+      bands: Int = 8
+  ): DataFrame = {
+    require(maxHamming < bands, "need maxHamming < bands for pigeonhole recall")
+    val width = 64 / bands
+    val sh = simhashes(docs, textCol, idCol)
+    val pieces = sh.select(
+      col(idCol),
+      col("simhash"),
+      explode(
+        expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> struct(b AS band, " +
+            s"shiftright(simhash, cast(b*$width AS int)) & ${(1L << width) - 1} AS piece))"
+        )
+      ).as("p")
+    )
+    val l = pieces.select(
+      col("p.band").as("band"),
+      col("p.piece").as("piece"),
+      col(idCol).as("a_id"),
+      col("simhash").as("sh_a")
+    )
+    val rr = pieces.select(
+      col("p.band").as("band"),
+      col("p.piece").as("piece"),
+      col(idCol).as("b_id"),
+      col("simhash").as("sh_b")
+    )
+    l.join(rr, Seq("band", "piece"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed by
+    * random hyperplanes so the pair space is an equi-join per bucket. With
+    * few planes recall is high and buckets stay large; more planes trades
+    * recall for smaller buckets — at 100 TB use more planes + multi-probe. */
+  def embeddingNearDups(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      numPlanes: Int = 4
+  ): DataFrame = {
+    implicit val spark: SparkSession = emb.sparkSession
+    val b = emb.select(
+      col(idCol),
+      col(vecCol),
+      GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
+    )
+    val l = b.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("va"))
+    val rr = b.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("vb"))
+    l.join(rr, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(GraftFunctions.cosineSim(col("va"), col("vb")), 4).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * processed with a per-partition decode pipeline.
+  *
+  * The Spark-side mechanics are real and tested — schema (binary + metadata
+  * struct), partition-wise batch iteration, per-partition codec
+  * initialization (the pattern a real image/audio codec or model checkpoint
+  * needs: init once per partition, not per row), typed `Dataset` encoders.
+  * The codec itself is a clearly-marked deterministic STUB
+  * ([[FakeCodec.decode]]): real image/audio libraries are not available in
+  * this environment. Swapping in a real decoder changes only that object.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int)
+  case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      checksum: Long,
+      features: Array[Float]
+  )
+
+  /** STUB codec — deterministic stand-in for image/audio decoding.
+    * Produces a 16-bin byte histogram (L1-normalized) as the "embedding". */
+  object FakeCodec {
+    /** Simulates expensive codec/model initialization (per partition). */
+    def open(): FakeCodec.type = this
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) >> 4) += 1f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      var j = 0
+      while (j < 16) { hist(j) /= n; j += 1 }
+      hist
+    }
+
+    def checksum(payload: Array[Byte]): Long = {
+      var acc = 1469598103934665603L // FNV-1a
+      var i = 0
+      while (i < payload.length) {
+        acc = (acc ^ (payload(i) & 0xffL)) * 1099511628211L
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Attach a synthetic binary payload + metadata struct to a text corpus
+    * (stands in for reading real media files alongside the table). */
+  def withFakeMedia(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"),
+        struct(
+          lit("fake/raw").as("format"),
+          (length(col(textCol)) % 640).cast("int").as("width"),
+          lit(480).as("height")
+        ).as("meta")
+      )
+      .as[MediaRow]
+  }
+
+  /** Decode + feature-extract, one codec per partition, streaming batches.
+    * This is the distributed shape that matters at 100 TB: no driver-side
+    * collection, codec init amortized over a whole partition, output columnar
+    * downstream. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val codec = FakeCodec.open() // once per partition
+      rows.map { r =>
+        MediaFeatures(
+          r.doc_id,
+          r.payload.length.toLong,
+          codec.checksum(r.payload),
+          codec.decode(r.payload)
+        )
+      }
+    }
+  }
+
+  /** Frame-sampling shape for video-like payloads: split the payload into
+    * fixed-size "frames", keep every `stride`-th, decode each. Demonstrates
+    * the explode-then-process plumbing without a real container format. */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      frameBytes: Int = 64,
+      stride: Int = 4
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .flatMap { r =>
+        val nFrames = math.max(r.payload.length / frameBytes, 1)
+        (0 until nFrames by stride).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          (r.doc_id, f, FakeCodec.decode(java.util.Arrays.copyOfRange(r.payload, from, until)))
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame_features")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query set is small and broadcast; the corpus streams
+  * through once, cosine evaluated inside whole-stage codegen (native
+  * [[graft.functions.CosineSimilarity]]), and per-query top-k is a
+  * partitioned window — a map-side-combinable pattern (at extreme scale swap
+  * the window for an `aggregate` with a bounded heap; the plan shape is the
+  * same). The LSH variant prunes the corpus to matching hyperplane buckets
+  * first, turning the scan into an equi-join.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine for each query vector (self-matches excluded):
+    * (query_id, vec_id, cos, rank). Scores rounded to 4 decimals, rank tied
+    * on rounded score broken by vec_id — keeps results engine-portable. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    implicit val spark: SparkSession = corpus.sparkSession
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    )
+    val scored = corpus
+      .join(q, col("query_id") =!= col(idCol))
+      .select(
+        col("query_id"),
+        col(idCol).as("vec_id"),
+        round(GraftFunctions.cosineSim(col("qv"), col(vecCol)), 4).as("cos")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** ANN via random-hyperplane LSH: only corpus vectors in the query's bucket
+    * are scored. Fewer planes ⇒ bigger buckets ⇒ higher recall; at scale use
+    * more planes plus multi-probe (flip one bit) — here single-probe.
+    * Output shape matches [[bruteForceTopK]]. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      numPlanes: Int = 4
+  ): DataFrame = {
+    implicit val spark: SparkSession = corpus.sparkSession
+    val q = broadcast(
+      queries.select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("qv"),
+        GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
+      )
+    )
+    val c = corpus.select(
+      col(idCol).as("vec_id"),
+      col(vecCol),
+      GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
+    )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(GraftFunctions.cosineSim(col("qv"), col(vecCol)), 4).as("cos")
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}
