@@ -108,8 +108,12 @@ object GraftFunctions {
         throw new IllegalArgumentException(s"expected int literal, got $other")
     }
 
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
+
   /** Idempotently register graft_* SQL functions on the session. */
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(System.identityHashCode(spark.sessionState))) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_cosine",

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class FunctionsSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession =
+    SparkFixture.spark
+  import spark.implicits._
+
+  test("cosine similarity exact values") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),     // orthogonal
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), 1.0),     // identical
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f), -1.0),   // opposite
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f), 1.0 / math.sqrt(2.0))
+    ).toDF("a", "b", "expected")
+    val rows = df
+      .select(GraftFunctions.cosineSim($"a", $"b").as("cos"), $"expected")
+      .collect()
+    for (r <- rows)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0.0, null in -> null out") {
+    val z = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+    assert(
+      z.select(GraftFunctions.cosineSim($"a", $"b")).head.getDouble(0) == 0.0
+    )
+    val n = Seq((null.asInstanceOf[Array[Float]], Array(1f, 1f))).toDF("a", "b")
+    assert(n.select(GraftFunctions.cosineSim($"a", $"b")).head.isNullAt(0))
+  }
+
+  test("cosine stays inside whole-stage codegen") {
+    // read from parquet so the projection isn't constant-folded away
+    val emb = graft.Tables.t(spark, SparkFixture.sfDir, "embeddings")
+    val plan = emb
+      .select(GraftFunctions.cosineSim($"embedding", $"embedding").as("c"))
+      .queryExecution
+      .executedPlan
+      .toString
+    // "*(n)" prefix marks operators fused into whole-stage codegen
+    assert(plan.contains("*(1) Project [graft_cosine"), plan)
+  }
+
+  test("minhash signature: deterministic, and estimates jaccard") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"), // ~1 shingle different
+      (3L, "z y x w v u t s r q p o n m l k")  // reversed-ish, different
+    ).toDF("id", "text")
+    val sig = docs.select(
+      $"id",
+      GraftFunctions
+        .minhashSignature(TF.tokenHashes(TF.wordShingles($"text", 3)), 128)
+        .as("sig")
+    )
+    val rows = sig.orderBy("id").collect()
+    val s1 = rows(0).getSeq[Long](1)
+    val s2 = rows(1).getSeq[Long](1)
+    val s3 = rows(2).getSeq[Long](1)
+    assert(s1.length == 128)
+    // determinism across evaluations
+    val again = sig.orderBy("id").collect()(0).getSeq[Long](1)
+    assert(s1 == again)
+    val est12 = s1.zip(s2).count { case (a, b) => a == b } / 128.0
+    val est13 = s1.zip(s3).count { case (a, b) => a == b } / 128.0
+    // true shingle jaccard(1,2) = 12/16 = 0.75ish, jaccard(1,3) ~ 0
+    assert(est12 > 0.5, s"est12=$est12")
+    assert(est13 < 0.2, s"est13=$est13")
+  }
+
+  test("simhash: similar docs have small hamming distance") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different words nothing shared here at all ever")
+    ).toDF("id", "text")
+    val sh = docs
+      .select($"id", GraftFunctions.simhash64(TF.tokenHashes(TF.wsTokens($"text"))).as("h"))
+      .orderBy("id")
+      .collect()
+      .map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(1)) < ham(sh(0), sh(2)))
+    assert(ham(sh(0), sh(1)) <= 16)
+  }
+
+  test("hyperplane bucket: deterministic, parallel vectors collide") {
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(2f, 4f, 6f, 8f)),   // same direction => same bucket
+      (3L, Array(-1f, -2f, -3f, -4f)) // opposite => complement bucket
+    ).toDF("id", "v")
+    val b = df
+      .select($"id", GraftFunctions.hyperplaneBucket($"v", 8).as("b"))
+      .orderBy("id")
+      .collect()
+      .map(_.getInt(1))
+    assert(b(0) == b(1))
+    assert((b(0) ^ b(2)) == 255) // all 8 sign bits flip
+  }
+
+  test("graft_* functions callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark
+      .sql("SELECT graft_cosine(array(1.0F,0.0F), array(1.0F,0.0F)) AS c")
+      .head
+      .getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("langid picks the language whose stopwords dominate") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "the cat and the dog of to is that it for"),
+      (2L, "le chat la de et les des une est oui"),
+      (3L, "der hund die und das ein ist nicht mit ja"),
+      (4L, "el y los las en que por con perro"),
+      (5L, "的 了 是 我 不 在 有 人 好")
+    ).toDF("id", "text")
+    val out = df
+      .select($"id", TF.langId($"text").as("p"))
+      .orderBy("id")
+      .collect()
+      .map(_.getString(1))
+    assert(out.toSeq == Seq("en", "fr", "de", "es", "zh"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "  ALPHA beta   gamma delta epsilon zeta eta theta "), // exact dup after norm
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),       // near dup of 1
+    (4L, "one two three four five six seven eight nine ten"),
+    (5L, "totally unrelated content with its own words here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalization-equal docs collapse, keeper is min id") {
+    val groups = Dedup.exactGroups(corpus, "text", "doc_id")
+    assert(groups.count() == 4)
+    val dupGroup = groups.filter($"n_docs" === 2).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup(0).getAs[Long]("keeper_id") == 1L)
+    val kept = Dedup.exactDedup(corpus, "text", "doc_id")
+    assert(kept.count() == 4)
+    assert(kept.filter($"doc_id" === 2L).count() == 0)
+  }
+
+  test("minhash LSH finds the exact and near duplicates, nothing else") {
+    val pairs = Dedup
+      .minhashCandidatePairs(corpus, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L))) // identical after norm
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("nearDupPairs verifies with exact jaccard values") {
+    val out = Dedup
+      .nearDupPairs(corpus, "text", "doc_id", threshold = 0.3)
+      .orderBy("a_id", "b_id")
+      .collect()
+    val m = out.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 1/2 identical after normalization
+    assert(m((1L, 2L)) == 1.0)
+    // docs 1/3: 6 shingles each (8 tokens, k=3), 5 shared => 5/7
+    assert(m((1L, 3L)) == math.rint(5.0 / 7.0 * 10000) / 10000)
+  }
+
+  test("simhash blocking finds the near-dup pair with its hamming distance") {
+    val pairs = Dedup
+      .simhashPairs(corpus, "text", "doc_id", maxHamming = 15, bands = 16)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0) // identical tokens
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
+  }
+
+  test("embedding near-dups finds planted duplicate vectors") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f, 0f)), // near dup of 1
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .embeddingNearDups(vecs, "embedding", "vec_id", threshold = 0.99, numPlanes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("oversized LSH buckets are dropped (skew guard)") {
+    // 60 identical docs -> one giant bucket; cap at 10 drops it entirely
+    val many = (1L to 60L).map(i => (i, "same same same same same")).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(
+      many, "text", "doc_id", maxBucketSize = 10
+    )
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashCandidatePairs(many, "text", "doc_id")
+    assert(uncapped.count() == 60L * 59L / 2L)
+  }
+}

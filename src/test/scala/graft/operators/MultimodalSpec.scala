@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, Tables}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("media rows carry binary payload + typed metadata struct") {
+    val docs = Tables.t(spark, SparkFixture.sfDir, "documents")
+    val media = Multimodal.withFakeMedia(docs)
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val one = media.filter($"doc_id" === 0L).head()
+    assert(one.payload.nonEmpty)
+    assert(one.meta.height == 480)
+  }
+
+  test("feature extraction: deterministic, right shape, fully distributed") {
+    val docs = Tables.t(spark, SparkFixture.sfDir, "documents")
+    val media = Multimodal.withFakeMedia(docs).repartition(4)
+    val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(f1.length == docs.count())
+    assert(f1.forall(_.features.length == 16))
+    // histogram is L1-normalized
+    assert(f1.forall(r => math.abs(r.features.sum - 1f) < 1e-3))
+    // determinism across runs (stub codec is pure)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    val media = Multimodal.withFakeMedia(
+      Seq((1L, "x" * 640)).toDF("doc_id", "text")
+    )
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+    // 640 bytes / 64 = 10 frames, stride 4 -> frames 0,4,8
+    assert(frames.select("frame_no").collect().map(_.getInt(0)).toSeq == Seq(0, 4, 8))
+  }
+}

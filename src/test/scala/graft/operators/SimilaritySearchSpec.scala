@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, Tables}
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("brute force top-k: exact results on a constructed corpus") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0f, 1f)),
+      (13L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch
+      .bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 3)
+      .orderBy("rank")
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    assert(out(0).getDouble(2) == 1.0)
+    assert(out(2).getDouble(2) == 0.0)
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("query vector excluded from its own results") {
+    val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
+    val out = SimilaritySearch.bruteForceTopK(
+      emb, emb.filter($"vec_id" < 3), "embedding", "vec_id", k = 5
+    )
+    assert(out.filter($"query_id" === $"vec_id").count() == 0)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
+  test("LSH top-k is a subset of the bucket and recalls well at few planes") {
+    val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilaritySearch
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val approx = SimilaritySearch
+      .lshTopK(emb, queries, "embedding", "vec_id", k = 5, numPlanes = 2)
+      .select("query_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // single-probe, 2 planes
+    // every approx hit must be a genuine corpus vector in the query's bucket
+    assert(approx.forall { case (q, v) => q != v })
+  }
+
+  test("plan shape: queries broadcast, corpus not shuffled before scoring") {
+    val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
+    val plan = SimilaritySearch
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", 10)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("Broadcast"))
+  }
+}
