@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * Scale notes: all state is watermark-bounded — windowed aggregates drop
+  * windows older than the watermark, streaming dedup keeps only in-watermark
+  * keys, and sessions expire via event-time timeout. State is partitioned by
+  * the group key, so a 1000-executor cluster shards it horizontally; nothing
+  * here grows without bound.
+  */
+object EventStreams {
+
+  case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double
+  )
+
+  case class Session(
+      user_id: Long,
+      start: Timestamp,
+      end: Timestamp,
+      n_events: Int,
+      total_value: Double
+  )
+
+  /** Internal running-session state (public: the state encoder's generated
+    * code must be able to reach the accessors). */
+  case class SessionState(
+      start: Long,
+      last: Long,
+      n: Int,
+      total: Double
+  )
+
+  /** Per-minute event counts/values by type, late data bounded by the
+    * watermark. Append mode emits a window only once it is final. */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLength: String = "1 minute"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("total_value")
+      )
+
+  /** Exactly-once event ids within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  /** Gap-based sessionization with custom state: a session closes when no
+    * event arrives for `gapSeconds` (event time). Emitted on event-time
+    * timeout; state per user, sharded by the grouping key. */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L,
+      watermark: String = "10 minutes"
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId, rows, state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(
+            Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+          )
+        } else {
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapSeconds * 1000L =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed ::= Session(
+                  userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total
+                )
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapSeconds * 1000L)
+          }
+          closed.reverseIterator
+        }
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import EventStreams.Event
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def ev(id: Long, t: Timestamp, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    Event(id, t, user, typ, v)
+
+  test("windowed counts with watermark finalize closed windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .windowedCounts(input.toDF(), watermark = "2 minutes", windowLength = "1 minute")
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ev(1, ts(0, 10)), ev(2, ts(0, 40)), ev(3, ts(1, 10), typ = "view")
+      )
+      q.processAllAvailable()
+      // advance watermark far beyond minute 1 -> earlier windows finalize
+      input.addData(ev(4, ts(10, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val m = rows
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(m((ts(0), "click")) == 2)
+      assert(m((ts(1), "view")) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event ids") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .dedupStream(input.toDF(), watermark = "5 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(ev(1, ts(0)), ev(2, ts(1)))
+      q.processAllAvailable()
+      input.addData(ev(1, ts(0)), ev(3, ts(2))) // id 1 replayed
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 3)
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions after the gap (event-time timeout)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .sessionize(input.toDS(), gapSeconds = 120, watermark = "1 minute")
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: two events 30s apart (one session); user 2: one event
+      input.addData(ev(1, ts(0, 0)), ev(2, ts(0, 30)), ev(3, ts(0, 10), user = 2L, v = 5.0))
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes both timeouts
+      input.addData(ev(9, ts(30, 0), user = 99L))
+      q.processAllAvailable()
+      input.addData(ev(10, ts(40, 0), user = 99L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      val byUser = rows.map(r => r.getLong(0) -> r).toMap
+      assert(byUser.contains(1L) && byUser.contains(2L))
+      val s1 = byUser(1L)
+      assert(s1.getInt(3) == 2)            // two events in session
+      assert(s1.getTimestamp(1) == ts(0, 0))
+      assert(s1.getTimestamp(2) == ts(0, 30))
+      assert(byUser(2L).getDouble(4) == 5.0)
+    } finally q.stop()
+  }
+
+  test("batch replay of the windowed aggregation matches the events table") {
+    // same plan runs in batch mode over the parquet events table
+    val events = graft.Tables.t(spark, SparkFixture.sfDir, "events")
+    val out = EventStreams.windowedCounts(events)
+    assert(out.count() > 0)
+  }
+}
