@@ -82,6 +82,25 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** One-pass tokenize + k-gram shingle hashing (see TextOps.shingleHashes):
+  * replaces the split→slice→concat_ws→xxhash64 higher-order-function chain
+  * with a single kernel — no intermediate shingle strings. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 16, "k must be in [1,16]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.shingleHashes(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextOps.shingleHashes($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over pre-hashed tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -134,6 +153,20 @@ object GraftFunctions {
       "graft_simhash",
       es => SimHash64(es(0)),
       "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      es => ShingleHashes(es(0), lit(es(1))),
+      "built-in"
+    )
+  }
+
+  def shingleHashes(text: Column, k: Int)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function(
+      "graft_shingle_hashes",
+      text,
+      org.apache.spark.sql.functions.lit(k)
     )
   }
 

@@ -119,6 +119,53 @@ object TextOps {
     new GenericArrayData(sig)
   }
 
+  /** Tokenize on single spaces and hash every k-gram shingle in one pass —
+    * no shingle strings are ever materialized. Input is assumed normalized
+    * (lowercase, single spaces); token hash is FNV-1a finalized with
+    * splitmix64, shingle hash chains the k token hashes order-sensitively.
+    * With 64-bit hashes, Jaccard over these equals Jaccard over the string
+    * shingles (collision probability ~n²/2⁶⁴). */
+  def shingleHashes(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    // hash tokens (single-space separated; empty tokens skipped defensively)
+    var tokenHashes = new Array[Long](8)
+    var nTok = 0
+    var acc = 1469598103934665603L
+    var tokLen = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (tokLen > 0) {
+          if (nTok == tokenHashes.length) {
+            tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
+          }
+          tokenHashes(nTok) = VectorOps.splitmix64(acc)
+          nTok += 1
+          acc = 1469598103934665603L
+          tokLen = 0
+        }
+      } else {
+        acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L
+        tokLen += 1
+      }
+      i += 1
+    }
+    val nSh = math.max(nTok - k + 1, 0)
+    val out = new Array[Long](nSh)
+    var j = 0
+    while (j < nSh) {
+      var h = -7046029254386353131L
+      var w = 0
+      while (w < k) {
+        h = VectorOps.splitmix64(h ^ tokenHashes(j + w))
+        w += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over pre-hashed tokens (xxhash64 longs). */
   def simhash(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)

@@ -47,7 +47,7 @@ object Dedup {
       col(idCol),
       GraftFunctions
         .minhashSignature(
-          TF.tokenHashes(TF.wordShingles(col(textCol), shingleK)),
+          GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK),
           numHashes
         )
         .as("sig")
@@ -78,7 +78,26 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
 
-  /** Candidate near-duplicate pairs (a_id < b_id) from MinHash-LSH banding. */
+  /** All unordered pairs from a sorted id-array column: explodes
+    * `[(ids[i], ids[j]) | i < j]` without a self-join, so the upstream
+    * sketch pipeline is computed once and shuffled once. */
+  private def explodePairs(grouped: DataFrame, idsCol: String): DataFrame =
+    grouped
+      .select(
+        explode(
+          expr(
+            s"flatten(transform($idsCol, (x, i) -> " +
+              s"transform(slice($idsCol, i + 2, size($idsCol)), " +
+              s"y -> struct(x AS a_id, y AS b_id))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+
+  /** Candidate near-duplicate pairs (a_id < b_id) from MinHash-LSH banding.
+    * One pass: sketch → band rows → groupBy bucket (single shuffle, map-side
+    * partial collect) → in-bucket pair explosion → distinct. Bucket-size cap
+    * bounds skew before any pair is materialized. */
   def minhashCandidatePairs(
       docs: DataFrame,
       textCol: String,
@@ -89,24 +108,11 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, shingleK, numHashes)
-    val bandRows =
-      minhashBands(sigs, idCol, numHashes, bands)
-    // Drop degenerate buckets before the self-join (bounds worst-case skew).
-    val sized = bandRows
-      .withColumn(
-        "bucket_n",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-        )
-      )
-      .filter(col("bucket_n").between(2, maxBucketSize))
-      .drop("bucket_n")
-    val l = sized.select(col("band"), col("bh"), col(idCol).as("a_id"))
-    val rr = sized.select(col("band"), col("bh"), col(idCol).as("b_id"))
-    l.join(rr, Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
+    val buckets = minhashBands(sigs, idCol, numHashes, bands)
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    explodePairs(buckets, "ids").distinct()
   }
 
   /** Near-duplicate pairs with exact n-gram Jaccard verification:
@@ -122,12 +128,20 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32
   ): DataFrame = {
+    implicit val spark: SparkSession = docs.sparkSession
+    // Jaccard over 64-bit shingle hashes == Jaccard over the shingle strings
+    // (collisions ~n²/2⁶⁴) — and set ops on longs are far cheaper.
     val shingles = docs.select(
       col(idCol),
-      array_distinct(TF.wordShingles(col(textCol), shingleK)).as("sh")
+      array_distinct(
+        GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
+      ).as("sh")
     )
-    val cands =
+    // Candidate set is tiny relative to the corpus: broadcast it so the
+    // shingle table streams through both joins without a shuffle.
+    val cands = broadcast(
       minhashCandidatePairs(docs, textCol, idCol, shingleK, numHashes, bands)
+    )
     cands
       .join(shingles.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(shingles.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
@@ -144,7 +158,9 @@ object Dedup {
     implicit val spark: SparkSession = docs.sparkSession
     docs.select(
       col(idCol),
-      GraftFunctions.simhash64(TF.tokenHashes(TF.wsTokens(col(textCol)))).as("simhash")
+      GraftFunctions
+        .simhash64(GraftFunctions.shingleHashes(TF.normText(col(textCol)), 1))
+        .as("simhash")
     )
   }
 
@@ -157,43 +173,50 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 7,
-      bands: Int = 8
+      bands: Int = 8,
+      maxBucketSize: Int = 4096
   ): DataFrame = {
     require(maxHamming < bands, "need maxHamming < bands for pigeonhole recall")
     val width = 64 / bands
     val sh = simhashes(docs, textCol, idCol)
-    val pieces = sh.select(
-      col(idCol),
-      col("simhash"),
-      explode(
-        expr(
-          s"transform(sequence(0, ${bands - 1}), " +
-            s"b -> struct(b AS band, " +
-            s"shiftright(simhash, cast(b*$width AS int)) & ${(1L << width) - 1} AS piece))"
-        )
-      ).as("p")
-    )
-    val l = pieces.select(
-      col("p.band").as("band"),
-      col("p.piece").as("piece"),
-      col(idCol).as("a_id"),
-      col("simhash").as("sh_a")
-    )
-    val rr = pieces.select(
-      col("p.band").as("band"),
-      col("p.piece").as("piece"),
-      col(idCol).as("b_id"),
-      col("simhash").as("sh_b")
-    )
-    l.join(rr, Seq("band", "piece"))
-      .filter(col("a_id") < col("b_id"))
+    // Same single-shuffle shape as minhash: bucket by (band, piece), collect
+    // (id, sketch) structs, explode in-bucket pairs, then exact hamming.
+    val buckets = sh
       .select(
-        col("a_id"),
-        col("b_id"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming")
+        col(idCol),
+        col("simhash"),
+        explode(
+          expr(
+            s"transform(sequence(0, ${bands - 1}), " +
+              s"b -> struct(b AS band, " +
+              s"shiftright(simhash, cast(b*$width AS int)) & ${(1L << width) - 1} AS piece))"
+          )
+        ).as("p")
       )
+      .groupBy(col("p.band"), col("p.piece"))
+      .agg(
+        sort_array(collect_list(struct(col(idCol).as("id"), col("simhash"))))
+          .as("xs")
+      )
+      .filter(size(col("xs")).between(2, maxBucketSize))
+    // The hamming predicate runs INSIDE the pair lambda: in homogeneous
+    // corpora in-bucket pair counts are quadratic, and materializing only
+    // qualifying pairs keeps memory/shuffle proportional to the output, not
+    // to the candidate space.
+    buckets
+      .select(
+        explode(
+          expr(
+            "flatten(transform(xs, (x, i) -> " +
+              "filter(transform(slice(xs, i + 2, size(xs)), " +
+              "y -> struct(x.id AS a_id, y.id AS b_id, " +
+              "cast(bit_count(x.simhash ^ y.simhash) AS int) AS hamming)), " +
+              s"p -> p.hamming <= $maxHamming)))"
+          )
+        ).as("p")
+      )
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.hamming").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed by
