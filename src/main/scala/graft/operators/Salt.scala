@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter group keys: two-phase salted
+  * aggregation. Phase 1 groups by (key, salt) — spreading a hot key over
+  * `salts` reducers — phase 2 merges the partials by key. Results are
+  * identical to a direct groupBy for decomposable aggregates.
+  *
+  * The salt is deterministic (hash of the whole row mod `salts`), so runs
+  * are reproducible; AQE's skew handling complements this for joins.
+  */
+object Salt {
+
+  /** Deterministic salt in [0, salts). */
+  def saltColumn(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int")
+
+  /** groupBy(keys).count() with two-phase salting. */
+  def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame =
+    df.withColumn("_salt", saltColumn(df, salts))
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("_partial").as("n"))
+
+  /** groupBy(keys).sum(valueCol) with two-phase salting. */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      salts: Int = 16
+  ): DataFrame =
+    df.withColumn("_salt", saltColumn(df, salts))
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("_partial").as(s"sum_$valueCol"))
+}
