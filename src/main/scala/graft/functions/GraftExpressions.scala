@@ -159,6 +159,19 @@ object GraftFunctions {
       es => ShingleHashes(es(0), lit(es(1))),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "graft_topk",
+      es => TopKAggregate(es(0), es(1), lit(es(2))),
+      "built-in"
+    )
+  }
+
+  /** Bounded-heap per-group top-k: array<struct<id,score>> best-first. */
+  def topK(id: Column, score: Column, k: Int)(implicit
+      spark: SparkSession
+  ): Column = {
+    register(spark)
+    call_function("graft_topk", id, score, org.apache.spark.sql.functions.lit(k))
   }
 
   def shingleHashes(text: Column, k: Int)(implicit spark: SparkSession): Column = {

@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded-heap top-k aggregate: `graft_topk(id, score, k)` returns the k
+  * (id, score) pairs with the highest score — ties broken by smaller id —
+  * sorted descending, as `array<struct<id:bigint, score:double>>`.
+  *
+  * The Spark-native alternative (window `row_number` + filter) sorts every
+  * partition of every group; this aggregate keeps an O(k) heap per group and
+  * combines partials map-side, so per-group top-k costs O(n log k) with no
+  * sort and a k-bounded shuffle — the shape that matters when one query key
+  * scans a 100 TB corpus. Implemented as a [[TypedImperativeAggregate]], the
+  * same Catalyst citizenship as the built-in `percentile`/`collect_list`.
+  */
+case class TopKAggregate(
+    idExpr: Expression,
+    scoreExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[TopKAggregate.Heap] {
+
+  require(k >= 1 && k <= (1 << 20), "k must be in [1, 2^20]")
+
+  import TopKAggregate.Heap
+
+  override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(
+      Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false)
+      )
+    ),
+    containsNull = false
+  )
+  override def prettyName: String = "graft_topk"
+
+  override def createAggregationBuffer(): Heap = new Heap(k)
+
+  override def update(heap: Heap, input: InternalRow): Heap = {
+    val idVal = idExpr.eval(input)
+    val scoreVal = scoreExpr.eval(input)
+    if (idVal != null && scoreVal != null) {
+      heap.offer(idVal.asInstanceOf[Long], scoreVal.asInstanceOf[Double])
+    }
+    heap
+  }
+
+  override def merge(a: Heap, b: Heap): Heap = { a.absorb(b); a }
+
+  override def eval(heap: Heap): Any = {
+    val (ids, scores) = heap.sortedDesc()
+    val rows = new Array[Any](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      rows(i) = InternalRow(ids(i), scores(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(heap: Heap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val (ids, scores) = heap.raw()
+    out.writeInt(ids.length)
+    var i = 0
+    while (i < ids.length) {
+      out.writeLong(ids(i)); out.writeDouble(scores(i)); i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Heap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val h = new Heap(k)
+    var i = 0
+    while (i < n) { h.offer(in.readLong(), in.readDouble()); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]
+  ): Expression = copy(idExpr = newChildren(0), scoreExpr = newChildren(1))
+}
+
+object TopKAggregate {
+
+  /** Fixed-capacity binary min-heap on (score, id): root = current worst kept
+    * entry; an incoming entry better than the root replaces it. "Better" =
+    * higher score, or equal score with smaller id (so results are
+    * deterministic under ties). Parallel primitive arrays, no boxing. */
+  final class Heap(k: Int) {
+    private val ids = new Array[Long](k)
+    private val scores = new Array[Double](k)
+    private var n = 0
+
+    // entry (s1,i1) is worse than (s2,i2) if lower score, or same score and larger id
+    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && i1 > i2)
+
+    def offer(id: Long, score: Double): Unit = {
+      if (n < k) {
+        ids(n) = id; scores(n) = score; n += 1
+        siftUp(n - 1)
+      } else if (worse(scores(0), ids(0), score, id)) {
+        ids(0) = id; scores(0) = score
+        siftDown(0)
+      }
+    }
+
+    private def siftUp(start: Int): Unit = {
+      var i = start
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) {
+          swap(i, p); i = p
+        } else return
+      }
+    }
+
+    private def siftDown(start: Int): Unit = {
+      var i = start
+      while (true) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var worst = i
+        if (l < n && worse(scores(l), ids(l), scores(worst), ids(worst))) worst = l
+        if (r < n && worse(scores(r), ids(r), scores(worst), ids(worst))) worst = r
+        if (worst == i) return
+        swap(i, worst); i = worst
+      }
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    }
+
+    def absorb(other: Heap): Unit = {
+      var i = 0
+      while (i < other.n) { offer(other.ids(i), other.scores(i)); i += 1 }
+    }
+
+    def raw(): (Array[Long], Array[Double]) =
+      (java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(scores, n))
+
+    /** Kept entries, best first. */
+    def sortedDesc(): (Array[Long], Array[Double]) = {
+      val idx = (0 until n).sortBy(i => (-scores(i), ids(i)))
+      (idx.map(ids).toArray, idx.map(scores).toArray)
+    }
+  }
+}

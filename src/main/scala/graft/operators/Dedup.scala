@@ -153,13 +153,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash sketch per document: (id, simhash). */
+  /** SimHash sketch per document: (id, simhash). Sketched over 2-gram
+    * shingles rather than single tokens: on homogeneous corpora (shared
+    * vocabulary) token-level sketches collapse into a few values, which makes
+    * the blocking buckets degenerate; word-order-sensitive shingles keep the
+    * sketch space spread while preserving near-dup locality. */
   def simhashes(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     implicit val spark: SparkSession = docs.sparkSession
     docs.select(
       col(idCol),
       GraftFunctions
-        .simhash64(GraftFunctions.shingleHashes(TF.normText(col(textCol)), 1))
+        .simhash64(GraftFunctions.shingleHashes(TF.normText(col(textCol)), 2))
         .as("simhash")
     )
   }

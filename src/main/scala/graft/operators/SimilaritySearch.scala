@@ -39,10 +39,25 @@ object SimilaritySearch {
         col(idCol).as("vec_id"),
         round(GraftFunctions.cosineSim(col("qv"), col(vecCol)), 4).as("cos")
       )
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    topKPerGroup(scored, k)
+  }
+
+  /** Per-group top-k via the native bounded-heap aggregate
+    * ([[graft.functions.TopKAggregate]]): O(n log k) with map-side partials
+    * and a k-bounded shuffle, instead of window row_number's per-partition
+    * sort. Expects (query_id, vec_id, cos); emits + rank (1-based). */
+  private def topKPerGroup(scored: DataFrame, k: Int): DataFrame = {
+    implicit val spark: SparkSession = scored.sparkSession
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(GraftFunctions.topK(col("vec_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(
+        col("query_id"),
+        col("e.id").as("vec_id"),
+        col("e.score").as("cos"),
+        (col("pos") + 1).cast("long").as("rank")
+      )
   }
 
   /** ANN via random-hyperplane LSH: only corpus vectors in the query's bucket
@@ -70,15 +85,14 @@ object SimilaritySearch {
       col(vecCol),
       GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
     )
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    c.join(q, Seq("bucket"))
+    val scored = c
+      .join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(
         col("query_id"),
         col("vec_id"),
         round(GraftFunctions.cosineSim(col("qv"), col(vecCol)), 4).as("cos")
       )
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerGroup(scored, k)
   }
 }
