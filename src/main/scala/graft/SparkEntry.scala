@@ -26,6 +26,23 @@ object SparkEntry {
   private val revenue: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Exact decimal summation with a rounded double result: per-row cast to
+    * DECIMAL(30,10) (deterministic), decimal sum (order-independent, unlike
+    * float sums), round, back to double. DuckDB mirror:
+    * `CAST(round(sum(CAST(x AS DECIMAL(30,10))),2) AS DOUBLE)`. This removes
+    * the half-cent boundary flips that order-dependent double summation can
+    * produce between engines. */
+  private def rsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(30,10)")), scale).cast("double")
+
+  /** avg with the same exact-sum discipline: decimal sum → double ÷ count. */
+  private def ravg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(30,10)")).cast("double") / count(c), scale)
+
+  /** Exact decimal sum cast to double (for engine-portable ratios). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(30,10)")).cast("double")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B1: wide aggregation over the fact table (TPC-H Q1 shape).
     // One shuffle on (returnflag, linestatus); partial aggregation map-side.
@@ -34,13 +51,13 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(revenue), 2).as("sum_disc_price"),
-          round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          rsum(col("l_quantity")).as("sum_qty"),
+          rsum(col("l_extendedprice")).as("sum_base_price"),
+          rsum(revenue).as("sum_disc_price"),
+          rsum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          ravg(col("l_quantity")).as("avg_qty"),
+          ravg(col("l_extendedprice")).as("avg_price"),
+          ravg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order")
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -61,7 +78,7 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(revenue), 2).as("revenue"))
+        .agg(rsum(revenue).as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
@@ -98,7 +115,7 @@ object SparkEntry {
             col("c_nationkey") === col("s_nationkey")
         )
         .groupBy(col("n_name"))
-        .agg(round(sum(revenue), 2).as("revenue"))
+        .agg(rsum(revenue).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -112,7 +129,7 @@ object SparkEntry {
             col("l_quantity") < 24
         )
         .agg(
-          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          rsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n")
         )
     },
@@ -136,7 +153,7 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(custN, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(revenue), 2).as("revenue"))
+        .agg(rsum(revenue).as("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -180,7 +197,7 @@ object SparkEntry {
     "q_rollup" -> { (s, dir) =>
       T(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), rsum(col("o_totalprice")).as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -196,7 +213,7 @@ object SparkEntry {
         .groupBy(col("o_custkey"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("spend")
+          rsum(col("o_totalprice")).as("spend")
         )
         .filter(col("n_orders") >= 14)
         .orderBy(col("o_custkey"))
@@ -240,10 +257,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("big_qty"),
-          round(
-            sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0)),
-            2
-          ).as("discounted_rev")
+          rsum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0)).as("discounted_rev")
         )
         .orderBy(col("l_returnflag"))
     },
@@ -267,8 +281,250 @@ object SparkEntry {
     "q_date_agg" -> { (s, dir) =>
       T(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), rsum(col("value")).as("total_value"))
         .orderBy(col("day"), col("event_type"))
+    },
+
+    // ---- B18: EXISTS-per-order + priority histogram (TPC-H Q4 shape).
+    "q4_order_priority" -> { (s, dir) =>
+      val late = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"))
+      T(s, dir, "orders")
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- B19: nation-pair volume by year (TPC-H Q7 shape).
+    "q7_nation_volume" -> { (s, dir) =>
+      val suppNation = broadcast(
+        T(s, dir, "supplier")
+          .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(
+            col("s_suppkey"),
+            col("n_name").as("supp_nation"),
+            col("n_regionkey").as("supp_region")
+          )
+      )
+      val custNation = broadcast(
+        T(s, dir, "customer")
+          .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(
+            col("c_custkey"),
+            col("n_name").as("cust_nation"),
+            col("n_regionkey").as("cust_region")
+          )
+      )
+      T(s, dir, "lineitem")
+        .join(
+          T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .filter(
+          // inter-region trade, both directions (ASIA=2, EUROPE=3)
+          (col("supp_region") === 2 && col("cust_region") === 3) ||
+            (col("supp_region") === 3 && col("cust_region") === 2)
+        )
+        .groupBy(
+          col("supp_nation"),
+          col("cust_nation"),
+          year(col("l_shipdate")).as("l_year")
+        )
+        .agg(rsum(revenue).as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // ---- B20: market-share ratio with conditional aggregation (Q8 shape).
+    "q8_market_share" -> { (s, dir) =>
+      val asiaCust = broadcast(
+        T(s, dir, "customer")
+          .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(
+            T(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select(col("c_custkey"))
+      )
+      val suppNation = broadcast(
+        T(s, dir, "supplier")
+          .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      )
+      T(s, dir, "lineitem")
+        .join(
+          T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(
+            dsum(when(col("supp_nation") === "NATION_3", revenue).otherwise(0.0)) /
+              dsum(revenue),
+            6
+          ).as("mkt_share")
+        )
+        .orderBy(col("o_year"))
+    },
+
+    // ---- B21: profit by nation and year (Q9 shape; part join + expression).
+    "q9_profit" -> { (s, dir) =>
+      val parts = broadcast(
+        T(s, dir, "part")
+          .filter(col("p_name").like("%a%"))
+          .select("p_partkey", "p_retailprice")
+      )
+      val suppNation = broadcast(
+        T(s, dir, "supplier")
+          .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+      )
+      T(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(
+          rsum(revenue - col("l_quantity") * col("p_retailprice") * 0.1).as("profit")
+        )
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // ---- B22: two-bucket conditional counts (Q12 shape).
+    "q12_priority_class" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .join(
+          T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(
+            when(
+              col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L
+            ).otherwise(0L)
+          ).as("high_line_count"),
+          sum(
+            when(
+              !col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L
+            ).otherwise(0L)
+          ).as("low_line_count")
+        )
+        .orderBy(col("l_linestatus"))
+    },
+
+    // ---- B23: promo revenue ratio (Q14 shape).
+    "q14_promo_revenue" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .join(
+          broadcast(T(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey")
+        )
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .agg(
+          round(
+            dsum(when(col("p_type") === "ECONOMY", revenue).otherwise(0.0)) * 100.0 /
+              dsum(revenue),
+            6
+          ).as("promo_revenue")
+        )
+    },
+
+    // ---- B24: correlated aggregate subquery (Q17 shape): lineitems far
+    // below their part's average quantity.
+    "q17_small_quantity" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val partAvg = li
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(partAvg), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(
+          round(dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n")
+        )
+    },
+
+    // ---- B25: HAVING-sum join-back (Q18 shape): large-quantity orders.
+    "q18_large_orders" -> { (s, dir) =>
+      val big = T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 180.0)
+      T(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(
+          broadcast(T(s, dir, "customer").select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey")
+        )
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice"),
+          round(col("total_qty"), 2).as("total_qty")
+        )
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ---- B26: OR-of-ANDs multi-range predicate (Q19 shape).
+    "q19_discounted" -> { (s, dir) =>
+      T(s, dir, "lineitem")
+        .join(
+          broadcast(T(s, dir, "part").select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey")
+        )
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 40)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(20, 50))
+        )
+        .agg(rsum(revenue).as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // ---- B27: batch sessionization via LAG + cumulative window (same
+    // semantics as the streaming sessionizer, 30-minute gap).
+    "q_sessionize_batch" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = T(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          // microsecond integer arithmetic: engine-portable, no seconds
+          // truncation asymmetry
+          when(
+            col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+            1L
+          ).otherwise(0L)
+        )
+        .withColumn("session_no", sum(col("new_session")).over(byUser))
+      sessions
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          rsum(col("value")).as("session_value")
+        )
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          rsum(col("session_value")).as("total_value")
+        )
+        .orderBy(col("user_id"))
     },
 
     // ---- B17: information_schema parity (rows-only check; the DuckDB side
@@ -407,20 +663,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)/count(l_quantity),4) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)/count(l_extendedprice),4) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE)/count(l_discount),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      """SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue,
         | o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -432,7 +688,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
     "q5_local_volume" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -445,7 +701,7 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n
+      """SELECT CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -453,7 +709,7 @@ object SparkEntry {
         | AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, n_name
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -485,12 +741,12 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
-        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        | count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q_having" ->
-      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
+      """SELECT o_custkey, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS spend
         |FROM orders
         |GROUP BY o_custkey
         |HAVING count(*) >= 14
@@ -515,8 +771,7 @@ object SparkEntry {
     "q_case_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty,
-        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END),2)
-        |   AS discounted_rev
+        | CAST(round(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(30,10))),2) AS DOUBLE) AS discounted_rev
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -530,10 +785,135 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
     "q_date_agg" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
-        | count(*) AS n, round(sum(value),2) AS total_value
+        | count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(30,10))),2) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(round(sum(CAST(volume AS DECIMAL(30,10))),2) AS DOUBLE) AS volume
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    l_extendedprice*(1-l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_regionkey = 2 AND n2.n_regionkey = 3)
+        |     OR (n1.n_regionkey = 3 AND n2.n_regionkey = 2)
+        |) t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(CAST(sum(CAST(CASE WHEN n_name = 'NATION_3' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE)
+        |       / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT nation, o_year, CAST(round(sum(CAST(amount AS DECIMAL(30,10))),2) AS DOUBLE) AS profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |    l_extendedprice*(1-l_discount) - l_quantity*p_retailprice*0.1 AS amount
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%a%'
+        |) t
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(CAST(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE) * 100.0
+        |       / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)/7.0, 2) AS avg_yearly, count(*) AS n
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180.0
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  round(total_qty, 2) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q19_discounted" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), t AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM s
+        |), g AS (
+        |  SELECT user_id, session_no, count(*) AS n_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(30,10))),2) AS DOUBLE) AS session_value
+        |  FROM t GROUP BY user_id, session_no
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events,
+        |  CAST(round(sum(CAST(session_value AS DECIMAL(30,10))),2) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
         | count(*) AS n_docs, min(doc_id) AS keeper_id
