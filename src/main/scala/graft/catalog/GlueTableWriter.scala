@@ -1,0 +1,93 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink side of the catalog: write a DataFrame out as a Glue-described table
+  * (format chosen by the same Hive serde triple dispatch the read path uses)
+  * and return the [[GlueTable]] metadata describing what was written — the
+  * piece a Glue `create_table`/`update_table` call would persist.
+  *
+  * Writes are partitioned-parquet-first: pass `partitionBy` to lay the data
+  * out Hive-style so the read path's partition pruning applies. The writer is
+  * deliberately thin — it delegates the heavy lifting to Spark's native
+  * writers (distributed, task-committed, spec-compliant output commit).
+  */
+object GlueTableWriter {
+
+  /** Write `df` to `location` in the format the serde triple implies and
+    * build the Glue metadata for it. */
+  def write(
+      df: DataFrame,
+      database: String,
+      table: String,
+      location: String,
+      format: String = "parquet",
+      partitionBy: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite,
+      options: Map[String, String] = Map.empty
+  ): GlueTable = {
+    val writer = df.write.format(format).mode(mode).options(options)
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    partitioned.save(location)
+
+    val (in, out, serde) = format match {
+      case "parquet" =>
+        (
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+          GlueSerDeInfo(
+            "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+          )
+        )
+      case "csv" =>
+        (
+          "org.apache.hadoop.mapred.TextInputFormat",
+          "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+          GlueSerDeInfo(
+            "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+            Map("field.delim" -> options.getOrElse("sep", ","))
+          )
+        )
+      case "json" =>
+        (
+          "org.apache.hadoop.mapred.TextInputFormat",
+          "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+          GlueSerDeInfo("org.apache.hive.hcatalog.data.JsonSerDe")
+        )
+      case other =>
+        throw new GlueNotImplementedException(
+          s"$database.$table: no serde triple for write format $other"
+        )
+    }
+
+    val partSet = partitionBy.toSet
+    val dataCols = df.schema.fields.toSeq
+      .filterNot(f => partSet.contains(f.name))
+      .map(f => GlueColumn(f.name, GlueTypeParser.toGlueType(f.dataType)))
+    val partCols = partitionBy.map { name =>
+      GlueColumn(
+        name,
+        GlueTypeParser.toGlueType(df.schema(name).dataType)
+      )
+    }
+    val headerOpt =
+      if (format == "csv" && options.get("header").contains("true"))
+        Map("skip.header.line.count" -> "1")
+      else Map.empty[String, String]
+
+    GlueTable(
+      databaseName = database,
+      name = table,
+      storageDescriptor = GlueStorageDescriptor(
+        location = location,
+        inputFormat = in,
+        outputFormat = out,
+        serdeInfo = serde,
+        columns = dataCols,
+        parameters = headerOpt
+      ),
+      partitionKeys = partCols
+    )
+  }
+}
