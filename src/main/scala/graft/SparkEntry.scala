@@ -596,6 +596,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // ---- C7b: IVF ANN — centroid index + nProbe search (rows-only).
+    "ann_ivf" -> { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      operators.SimilaritySearch
+        .ivfTopK(
+          emb,
+          emb.filter(col("vec_id") < 5),
+          "embedding",
+          "vec_id",
+          k = 10,
+          numCentroids = 16,
+          nProbe = 4
+        )
+        .orderBy("query_id", "rank")
+    },
+
     // ---- C8: language-id heuristic, aggregated confusion counts (oracle).
     "text_langid" -> { (s, dir) =>
       T(s, dir, "documents")

@@ -42,6 +42,87 @@ object SimilaritySearch {
     topKPerGroup(scored, k)
   }
 
+  /** IVF (inverted-file) index: every corpus vector assigned to its nearest
+    * centroid. Centroids are the `numCentroids` lowest-id corpus vectors —
+    * a deterministic k-means seeding (at production scale: sample + a few
+    * Lloyd iterations; the index/search shape is identical). Assignment is a
+    * broadcast of the centroids over one corpus scan. */
+  def ivfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      numCentroids: Int = 16
+  ): DataFrame = {
+    implicit val spark: SparkSession = corpus.sparkSession
+    val cents = broadcast(
+      corpus
+        .orderBy(col(idCol))
+        .limit(numCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    )
+    corpus
+      .crossJoin(cents)
+      .select(
+        col(idCol),
+        col(vecCol),
+        col("centroid_id"),
+        GraftFunctions.cosineSim(col(vecCol), col("cv")).as("csim")
+      )
+      .groupBy(col(idCol))
+      .agg(max(struct(col("csim"), col("centroid_id"))).as("best"))
+      .select(col(idCol), col("best.centroid_id").as("centroid_id"))
+      .join(corpus, idCol)
+  }
+
+  /** ANN via IVF: queries probe their `nProbe` nearest centroids and score
+    * only vectors assigned to those centroids. The candidate join is an
+    * equi-join on centroid_id; the index is typically precomputed and
+    * reused across query batches. Output shape matches [[bruteForceTopK]]. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    implicit val spark: SparkSession = corpus.sparkSession
+    val index = ivfIndex(corpus, vecCol, idCol, numCentroids)
+    val cents = broadcast(
+      corpus
+        .orderBy(col(idCol))
+        .limit(numCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    )
+    // nProbe nearest centroids per query (tiny: |queries| x numCentroids)
+    val probes = broadcast(
+      topKPerGroup(
+        queries
+          .crossJoin(cents)
+          .select(
+            col(idCol).as("query_id"),
+            col("cid").as("vec_id"),
+            GraftFunctions.cosineSim(col(vecCol), col("cv")).as("cos")
+          ),
+        nProbe
+      ).select(col("query_id"), col("vec_id").as("centroid_id"))
+        .join(
+          queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+          "query_id"
+        )
+    )
+    val scored = index
+      .join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(
+        col("query_id"),
+        col(idCol).as("vec_id"),
+        round(GraftFunctions.cosineSim(col("qv"), col(vecCol)), 4).as("cos")
+      )
+    topKPerGroup(scored, k)
+  }
+
   /** Per-group top-k via the native bounded-heap aggregate
     * ([[graft.functions.TopKAggregate]]): O(n log k) with map-side partials
     * and a k-bounded shuffle, instead of window row_number's per-partition
@@ -60,10 +141,12 @@ object SimilaritySearch {
       )
   }
 
-  /** ANN via random-hyperplane LSH: only corpus vectors in the query's bucket
-    * are scored. Fewer planes ⇒ bigger buckets ⇒ higher recall; at scale use
-    * more planes plus multi-probe (flip one bit) — here single-probe.
-    * Output shape matches [[bruteForceTopK]]. */
+  /** ANN via random-hyperplane LSH with multi-probe: each query probes its
+    * own bucket plus every 1-bit-flip neighbor (numPlanes+1 probes) — the
+    * standard trick to recover recall lost to unlucky hyperplane splits
+    * without shrinking the plane count. The probe list lives on the
+    * (broadcast) query side, so the corpus is still bucketed exactly once
+    * and the probe is an equi-join. Output shape matches [[bruteForceTopK]]. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -74,11 +157,24 @@ object SimilaritySearch {
   ): DataFrame = {
     implicit val spark: SparkSession = corpus.sparkSession
     val q = broadcast(
-      queries.select(
-        col(idCol).as("query_id"),
-        col(vecCol).as("qv"),
-        GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
-      )
+      queries
+        .select(
+          col(idCol).as("query_id"),
+          col(vecCol).as("qv"),
+          GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket0")
+        )
+        // bucket0 plus each single-bit flip
+        .select(
+          col("query_id"),
+          col("qv"),
+          explode(
+            expr(
+              s"array_union(array(bucket0), " +
+                s"transform(sequence(0, ${numPlanes - 1}, 1), " +
+                s"b -> cast(bucket0 ^ shiftleft(1, b) AS int)))"
+            )
+          ).as("bucket")
+        )
     )
     val c = corpus.select(
       col(idCol).as("vec_id"),

@@ -16,7 +16,7 @@ class QueriesSpec extends AnyFunSuite {
       "q_info_tables", "q_info_columns",
       // sketch internals not expressible in portable SQL (see SURVEY §6)
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "ann_lsh",
-      "multimodal_features"
+      "ann_ivf", "multimodal_features"
     )
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

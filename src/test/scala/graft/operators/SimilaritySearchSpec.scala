@@ -52,9 +52,32 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"recall=$recall") // single-probe, 2 planes
+    assert(recall >= 0.6, s"recall=$recall") // multi-probe, 2 planes
     // every approx hit must be a genuine corpus vector in the query's bucket
     assert(approx.forall { case (q, v) => q != v })
+  }
+
+  test("IVF: index assigns every vector once; search recalls well") {
+    val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
+    val index = SimilaritySearch.ivfIndex(emb, "embedding", "vec_id", 16)
+    assert(index.count() == emb.count())
+    assert(index.select("centroid_id").distinct().count() <= 16)
+
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilaritySearch
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivf = SimilaritySearch
+      .ivfTopK(emb, queries, "embedding", "vec_id", k = 5, numCentroids = 16, nProbe = 6)
+      .select("query_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
   }
 
   test("plan shape: queries broadcast, corpus not shuffled before scoring") {
