@@ -527,6 +527,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B28: semi-structured JSON extraction from the events props column.
+    "q_json_extract" -> { (s, dir) =>
+      T(s, dir, "events")
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")
+        )
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k")
+        )
+        .orderBy(col("event_type"))
+    },
+
     // ---- B17: information_schema parity (rows-only check; the DuckDB side
     // has no Glue catalog to mirror).
     "q_info_tables" -> { (s, dir) =>
@@ -805,6 +822,19 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        | count(k) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k,
+        | max(k) AS max_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |) t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
