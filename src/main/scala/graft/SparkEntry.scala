@@ -527,6 +527,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B29: batch twin of the streaming windowed aggregation (D1): same
+    // tumbling-window plan, verified against an independent engine.
+    "q_stream_windowed_batch" -> { (s, dir) =>
+      streaming.EventStreams
+        .windowedCounts(T(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
     // ---- B28: semi-structured JSON extraction from the events props column.
     "q_json_extract" -> { (s, dir) =>
       T(s, dir, "events")
@@ -819,6 +827,13 @@ object SparkEntry {
     "q_date_agg" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         | count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(30,10))),2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_stream_windowed_batch" ->
+      """SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(30,10))),2) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,

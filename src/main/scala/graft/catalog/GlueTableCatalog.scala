@@ -99,7 +99,12 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
     val spark = SparkSession.active
     val glueTable = client.getTable(ident.namespace().mkString("."), ident.name())
     val fmt = GlueFormats.resolve(glueTable)
-    val schema = GlueTypeParser.toSchema(glueTable.storageDescriptor.columns)
+    // inferSchema=true — the DSv2 twin of InferSchemaFromData: pass no
+    // user schema and let the file table infer from the data files.
+    val schema: Option[StructType] =
+      if (java.lang.Boolean.parseBoolean(options.getOrDefault("inferSchema", "false")))
+        None
+      else Some(GlueTypeParser.toSchema(glueTable.storageDescriptor.columns))
     val location = glueTable.storageDescriptor.location
     val paths = Seq(location)
     val baseOpt =
@@ -109,11 +114,11 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
     val fullName = s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
     fmt.source match {
       case "parquet" =>
-        ParquetTable(fullName, spark, opts, paths, Some(schema), classOf[ParquetFileFormat])
+        ParquetTable(fullName, spark, opts, paths, schema, classOf[ParquetFileFormat])
       case "csv" =>
-        CSVTable(fullName, spark, opts, paths, Some(schema), classOf[CSVFileFormat])
+        CSVTable(fullName, spark, opts, paths, schema, classOf[CSVFileFormat])
       case "json" =>
-        JsonTable(fullName, spark, opts, paths, Some(schema), classOf[JsonFileFormat])
+        JsonTable(fullName, spark, opts, paths, schema, classOf[JsonFileFormat])
       case other =>
         throw new GlueNotImplementedException(s"$fullName: no v2 table for $other")
     }

@@ -54,7 +54,11 @@ object EventStreams {
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value")
+        // decimal summation: order-independent, engine-portable (see
+        // SparkEntry's rsum discipline)
+        round(sum(col("value").cast("decimal(30,10)")), 2)
+          .cast("double")
+          .as("total_value")
       )
       .select(
         col("window.start").as("window_start"),

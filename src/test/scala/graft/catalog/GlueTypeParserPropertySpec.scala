@@ -1,0 +1,69 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property: every Spark type the Glue model can express survives the
+  * Spark → Glue-string → Spark round trip, at arbitrary nesting.
+  * (Raw ScalaCheck generators sampled with a fixed seed — the
+  * scalatest/scalacheck bridge artifact is not on this classpath.) */
+class GlueTypeParserPropertySpec extends AnyFunSuite {
+
+  private val primitiveGen: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, BooleanType, FloatType,
+    DoubleType, BinaryType, DateType, TimestampType, StringType
+  )
+
+  private val decimalGen: Gen[DataType] = for {
+    p <- Gen.choose(1, 38)
+    s <- Gen.choose(0, p)
+  } yield DecimalType(p, s)
+
+  private val fieldNameGen: Gen[String] = for {
+    head <- Gen.alphaChar
+    tail <- Gen.listOfN(5, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+  } yield (head :: tail).mkString
+
+  private def typeGen(depth: Int): Gen[DataType] =
+    if (depth <= 0) Gen.oneOf(primitiveGen, decimalGen)
+    else
+      Gen.frequency(
+        3 -> primitiveGen,
+        1 -> decimalGen,
+        2 -> typeGen(depth - 1).map(t => ArrayType(t, containsNull = true)),
+        2 -> (for {
+          k <- typeGen(depth - 1)
+          v <- typeGen(depth - 1)
+        } yield MapType(k, v, valueContainsNull = true)),
+        2 -> (for {
+          n <- Gen.choose(1, 4)
+          names <- Gen.listOfN(n, fieldNameGen)
+          types <- Gen.listOfN(n, typeGen(depth - 1))
+        } yield StructType(
+          names.distinct.zip(types).map { case (fn, ft) =>
+            StructField(fn, ft, nullable = true)
+          }
+        )).suchThat(_.nonEmpty)
+      )
+
+  test("round trip: parse(toGlueType(t)) == t for arbitrary nested types") {
+    val gen = typeGen(3)
+    var seed = Seed(42L)
+    var tested = 0
+    var attempts = 0
+    while (tested < 200 && attempts < 2000) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(t) =>
+          val rendered = GlueTypeParser.toGlueType(t)
+          assert(GlueTypeParser.parse(rendered) == t, s"via '$rendered'")
+          tested += 1
+        case None => ()
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(tested >= 200, s"only generated $tested samples")
+  }
+}
