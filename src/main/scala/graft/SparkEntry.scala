@@ -591,6 +591,14 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- C4b: pairs → duplicate clusters via connected components (oracle:
+    // recursive-CTE transitive closure over the same verified pair set).
+    "dedup_clusters" -> { (s, dir) =>
+      operators.Dedup
+        .nearDupClusters(T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
+        .orderBy("id")
+    },
+
     // ---- C5: embedding near-dups via hyperplane LSH buckets (rows-only:
     // bucket recall is probabilistic by design; exactness spec'd in tests).
     "dedup_embedding" -> { (s, dir) =>
@@ -1001,6 +1009,33 @@ object SparkEntry {
         |SELECT a_id, b_id, jaccard FROM pairs
         |WHERE jaccard >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM t
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |    ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |         / len(list_distinct(list_concat(a.s, b.s))) END, 4) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.id, edges.dst AS r
+        |  FROM reach JOIN edges ON reach.r = edges.src
+        |)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -153,6 +153,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Full near-dup clustering: verified pairs → connected components →
+    * (id, component) where component is the canonical (smallest) doc id of
+    * the duplicate cluster. Docs outside any pair are singletons. */
+  def nearDupClusters(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleK: Int = 3
+  ): DataFrame = {
+    val pairs =
+      nearDupPairs(docs, textCol, idCol, threshold, shingleK).select("a_id", "b_id")
+    ConnectedComponents.run(pairs, docs.select(col(idCol).as("id")), "id")
+  }
+
   /** SimHash sketch per document: (id, simhash). Sketched over 2-gram
     * shingles rather than single tokens: on homogeneous corpora (shared
     * vocabulary) token-level sketches collapse into a few values, which makes

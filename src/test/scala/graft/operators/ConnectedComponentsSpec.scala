@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("components: chain, clique, and singletons all labeled with min id") {
+    // graph: 1-2-3 chain, 10-11 pair, 20 singleton, 4 connects to chain via 3
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val out = ConnectedComponents
+      .run(edges, nodes)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L
+    ))
+  }
+
+  test("long path converges (diameter > 1 round)") {
+    val n = 32
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val out = ConnectedComponents.run(edges, nodes).collect()
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("nearDupClusters groups the planted near-dups, keeps others singleton") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta thetaX completely diff"),
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .nearDupClusters(docs, "text", "doc_id", threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(4L) == 4L)
+  }
+}
