@@ -36,9 +36,13 @@ object ConnectedComponents {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
 
-    var labels = nodes
-      .select(col(idCol).as("id"))
+    // Iterate only over nodes that touch an edge — in dedup workloads that
+    // is a small fraction of the corpus; everything else is a singleton
+    // component by definition and is attached in one final join.
+    var labels = sym
+      .select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
@@ -80,6 +84,10 @@ object ConnectedComponents {
       labels = updated
       iter += 1
     }
-    labels
+    nodes
+      .select(col(idCol).as("id"))
+      .distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }
