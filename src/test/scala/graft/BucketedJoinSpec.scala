@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E-suite: bucketing for co-located joins. Writing both join sides bucketed
+  * by the join key lets the planner skip BOTH shuffle exchanges — on a 100 TB
+  * fact-fact join (orders ⋈ lineitem) that shuffle is the dominant cost, and
+  * bucketing amortizes it into the write. */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("join of two tables bucketed on the key runs shuffle-free") {
+    val wh = Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
+    val ord = Tables.t(spark, SparkFixture.sfDir, "orders")
+    val li = Tables.t(spark, SparkFixture.sfDir, "lineitem")
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    ord.write
+      .bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders")
+      .saveAsTable("b_orders")
+    li.write
+      .bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem")
+      .saveAsTable("b_lineitem")
+
+    // pin the join shape: no broadcast, no AQE re-plan — we are asserting
+    // the bucketing property itself
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined =
+      try {
+        val j = spark
+          .table("b_orders")
+          .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), plan)
+        assert(plan.contains("SortMergeJoin"), plan)
+        // no shuffle below the join: the only exchange allowed is the one
+        // feeding the final aggregation
+        val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+        assert(!joinPart.contains("Exchange hashpartitioning"), joinPart)
+        j
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+
+    // and the result matches the unbucketed join
+    val expected = ord
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val actual = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+  }
+}
