@@ -527,6 +527,53 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B30: INTERSECT — nations having both customers and suppliers.
+    "q_intersect" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // ---- B31: EXCEPT — customer nations without a high-balance supplier.
+    "q_except" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+        .except(
+          T(s, dir, "supplier")
+            .filter(col("s_acctbal") > 8000.0)
+            .select(col("s_nationkey").as("nationkey"))
+        )
+        .orderBy("nationkey")
+    },
+
+    // ---- B32: scalar subquery — orders above the global average price.
+    "q_scalar_subquery" -> { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val globalAvg = ord.agg(
+        sum(col("o_totalprice").cast("decimal(30,10)")).cast("double") /
+          count(col("o_totalprice"))
+      ).head.getDouble(0)
+      ord
+        .filter(col("o_totalprice") > globalAvg * 1.5)
+        .agg(
+          count(lit(1)).as("n"),
+          rsum(col("o_totalprice")).as("total")
+        )
+    },
+
+    // ---- B33: exact interpolated percentiles per group.
+    "q_percentiles" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99")
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ---- B29: batch twin of the streaming windowed aggregation (D1): same
     // tumbling-window plan, verified against an independent engine.
     "q_stream_windowed_batch" -> { (s, dir) =>
@@ -838,6 +885,31 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000.0
+        |ORDER BY nationkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+        |         / count(o_totalprice) FROM orders) * 1.5""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_stream_windowed_batch" ->
       """SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
         | event_type, count(*) AS n,
