@@ -48,18 +48,25 @@ final class LocalDirectoryGlueClient(
     if (db != database) return Seq.empty
     val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
     entries.toSeq
-      .filter(f => f.getName.endsWith(".parquet"))
+      .filter(f =>
+        f.getName.endsWith(".parquet") ||
+          (f.isDirectory && hasHivePartitionLayout(f))
+      )
       .sortBy(_.getName)
       .map { f =>
         val tableName = f.getName.stripSuffix(".parquet")
+        val partitionKeys = hivePartitionKeys(f)
         val schema = spark.read.parquet(f.getAbsolutePath).schema
         val nanos = nanosTimestampColumns(f)
-        val columns = schema.fields.toSeq.map { fld =>
-          // A nanos column reads as LongType; in the Glue model it is still a
-          // timestamp — the provider converts on load.
-          if (nanos.contains(fld.name)) GlueColumn(fld.name, "timestamp")
-          else GlueColumn(fld.name, GlueTypeParser.toGlueType(fld.dataType))
-        }
+        val partNames = partitionKeys.map(_.name).toSet
+        val columns = schema.fields.toSeq
+          .filterNot(fld => partNames.contains(fld.name))
+          .map { fld =>
+            // A nanos column reads as LongType; in the Glue model it is still
+            // a timestamp — the provider converts on load.
+            if (nanos.contains(fld.name)) GlueColumn(fld.name, "timestamp")
+            else GlueColumn(fld.name, GlueTypeParser.toGlueType(fld.dataType))
+          }
         GlueTable(
           databaseName = database,
           name = tableName,
@@ -72,11 +79,44 @@ final class LocalDirectoryGlueClient(
             serdeInfo = ParquetSerde,
             columns = columns
           ),
+          partitionKeys = partitionKeys,
           parameters =
             if (nanos.isEmpty) Map.empty
             else Map(GlueCatalogProvider.NanosColumnsParam -> nanos.mkString(","))
         )
       }
+  }
+
+  /** A directory is a Hive-partitioned table root when its subdirectories
+    * follow the `key=value` convention. */
+  private def hasHivePartitionLayout(dir: File): Boolean =
+    Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .exists(d => d.isDirectory && d.getName.contains("="))
+
+  /** Synthesize Glue partition keys from the key=value directory layout —
+    * the metadata a real Glue table would declare (reference:
+    * glue_table.partition_keys, glue.rs:433-442). Partition value types are
+    * discovered by Spark's partition inference; rendered back to Glue
+    * strings. */
+  private def hivePartitionKeys(dir: File): Seq[GlueColumn] = {
+    if (!dir.isDirectory || !hasHivePartitionLayout(dir)) return Seq.empty
+    val inferred = spark.read.parquet(dir.getAbsolutePath).schema
+    // partition columns come from dir names, in nesting order
+    def keyChain(d: File): Seq[String] =
+      Option(d.listFiles())
+        .getOrElse(Array.empty)
+        .find(x => x.isDirectory && x.getName.contains("=")) match {
+        case Some(sub) => sub.getName.takeWhile(_ != '=') +: keyChain(sub)
+        case None      => Seq.empty
+      }
+    keyChain(dir).map { name =>
+      val dt = inferred.fields
+        .find(_.name == name)
+        .map(f => GlueTypeParser.toGlueType(f.dataType))
+        .getOrElse("string")
+      GlueColumn(name, dt)
+    }
   }
 
   /** Top-level column names whose parquet logical type is TIMESTAMP(NANOS),

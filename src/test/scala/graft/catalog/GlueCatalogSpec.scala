@@ -150,6 +150,26 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(df.filter(df("ds") === "2024-01-01").count() == 2)
   }
 
+  test("LocalDirectoryGlueClient discovers hive-partitioned table dirs") {
+    val root = Files.createTempDirectory("graft_local_part").toFile
+    import spark.implicits._
+    Seq((1L, "x", 7), (2L, "y", 8))
+      .toDF("id", "v", "bucket_no")
+      .write
+      .partitionBy("bucket_no")
+      .parquet(root.getAbsolutePath + "/measurements")
+    val client = new LocalDirectoryGlueClient(spark, root.getAbsolutePath, "db2")
+    val tables = client.getTables("db2")
+    assert(tables.map(_.name) == Seq("measurements"))
+    assert(tables.head.partitionKeys.map(_.name) == Seq("bucket_no"))
+    assert(tables.head.partitionKeys.head.dataType == "int")
+    assert(tables.head.storageDescriptor.columns.map(_.name) == Seq("id", "v"))
+
+    val p = new GlueCatalogProvider(client, spark)
+    val df = p.registerTable("db2", "measurements")
+    assert(df.filter(df("bucket_no") === 7).count() == 1)
+  }
+
   test("information_schema.tables matches demo shape") {
     val p = newProvider()
     p.registerAll()
