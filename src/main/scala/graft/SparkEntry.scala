@@ -527,6 +527,21 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B34: the same engine surface through spark.sql text — the views
+    // registered by GlueCatalogProvider serve SQL directly.
+    "q_sql_surface" -> { (s, dir) =>
+      Tables.provider(s, dir) // ensure registration
+      s.sql(
+        """SELECT o_orderstatus,
+          | count(*) AS n,
+          | CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS total
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin
+      )
+    },
+
     // ---- B30: INTERSECT — nations having both customers and suppliers.
     "q_intersect" -> { (s, dir) =>
       T(s, dir, "customer")
@@ -885,6 +900,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT o_orderstatus,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT

@@ -59,6 +59,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(readSchema.contains("l_extendedprice"))
   }
 
+  test("approx_count_distinct lands within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val ord = Tables.t(spark, SparkFixture.sfDirMid, "orders")
+    val r = ord
+      .agg(
+        countDistinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx")
+      )
+      .head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("q_topk uses TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry
       .queries("q_topk_orders")(spark, dir)

@@ -150,6 +150,38 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(df.filter(df("ds") === "2024-01-01").count() == 2)
   }
 
+  test("partial registration: failures collected per-table, rest succeed") {
+    val good = GlueTable(
+      "mixed", "ok",
+      GlueStorageDescriptor(
+        location = SparkFixture.sfDir + "/region.parquet",
+        inputFormat =
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+        outputFormat =
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+        serdeInfo = GlueSerDeInfo(
+          "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+        ),
+        columns = Seq(GlueColumn("r_regionkey", "int"), GlueColumn("r_name", "string"))
+      )
+    )
+    val avro = good.copy(
+      name = "bad_avro",
+      storageDescriptor = good.storageDescriptor.copy(
+        inputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+        outputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+        serdeInfo = GlueSerDeInfo("org.apache.hadoop.hive.serde2.avro.AvroSerDe")
+      )
+    )
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(good, avro)), spark)
+    val results = p.registerTables("mixed")
+    assert(results.count(_.isRight) == 1)
+    val failure = results.collectFirst { case Left(e) => e }.get
+    assert(failure.isInstanceOf[GlueNotImplementedException])
+    assert(failure.getMessage.startsWith("mixed.bad_avro"))
+    assert(spark.table("ok").count() == 5)
+  }
+
   test("LocalDirectoryGlueClient discovers hive-partitioned table dirs") {
     val root = Files.createTempDirectory("graft_local_part").toFile
     import spark.implicits._
