@@ -20,6 +20,11 @@ object Tables {
   def provider(spark: SparkSession, dir: String): GlueCatalogProvider =
     cache.getOrElseUpdate(
       (spark, dir), {
+        // engine-level optimizations ride along with table access so every
+        // session that queries graft tables gets them
+        if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewriteRule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ graft.plans.TopKRewriteRule
         val p =
           new GlueCatalogProvider(new LocalDirectoryGlueClient(spark, dir), spark)
         val failures = p.registerAll().collect { case Left(e) => e.getMessage }

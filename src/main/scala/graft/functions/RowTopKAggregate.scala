@@ -1,0 +1,221 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Descending,
+  Expression,
+  NullsFirst,
+  NullsLast,
+  SortDirection,
+  SortOrder,
+  UnsafeProjection,
+  UnsafeRow
+}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Generalized bounded-heap top-k over whole rows: keeps the `k`
+  * lexicographically-first rows of its input struct according to
+  * `(direction, nullOrdering)` per leading sort field, returning them in rank
+  * order as `array<struct>`. The input struct layout is
+  * `(sortKey_1, ..., sortKey_n, payload...)` — only the first `numSortFields`
+  * fields participate in ordering.
+  *
+  * This is the execution target of [[graft.plans.TopKRewriteRule]], which
+  * rewrites `row_number() OVER (PARTITION BY p ORDER BY o) <= k` filters into
+  * an aggregation with this function: O(n log k) with map-side partials and a
+  * k-bounded shuffle instead of a per-partition sort.
+  */
+case class RowTopKAggregate(
+    child: Expression,
+    k: Int,
+    numSortFields: Int,
+    directions: Seq[SortDirection],
+    nullOrderings: Seq[Boolean], // true = nulls first
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[RowTopKAggregate.RowHeap] {
+
+  require(k >= 1 && k <= (1 << 20), "k must be in [1, 2^20]")
+  require(directions.length == numSortFields && nullOrderings.length == numSortFields)
+
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def prettyName: String = "graft_row_topk"
+
+  @transient private lazy val fieldOrderings =
+    structType.fields
+      .take(numSortFields)
+      .map(f => TypeUtils.getInterpretedOrdering(f.dataType))
+
+  @transient private lazy val comparator: java.util.Comparator[UnsafeRow] =
+    new java.util.Comparator[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = {
+        var i = 0
+        while (i < numSortFields) {
+          val dt = structType.fields(i).dataType
+          val an = a.isNullAt(i)
+          val bn = b.isNullAt(i)
+          if (an || bn) {
+            if (!an || !bn) {
+              val nullsFirst = nullOrderings(i)
+              return if (an) { if (nullsFirst) -1 else 1 }
+              else { if (nullsFirst) 1 else -1 }
+            }
+          } else {
+            val cmp = fieldOrderings(i)
+              .asInstanceOf[Ordering[Any]]
+              .compare(a.get(i, dt), b.get(i, dt))
+            if (cmp != 0)
+              return if (directions(i) == Ascending) cmp else -cmp
+          }
+          i += 1
+        }
+        0
+      }
+    }
+
+  @transient private lazy val projection = UnsafeProjection.create(structType)
+
+  override def createAggregationBuffer(): RowTopKAggregate.RowHeap =
+    new RowTopKAggregate.RowHeap(k)
+
+  override def update(
+      heap: RowTopKAggregate.RowHeap,
+      input: InternalRow
+  ): RowTopKAggregate.RowHeap = {
+    val v = child.eval(input)
+    if (v != null) {
+      heap.offer(projection(v.asInstanceOf[InternalRow]).copy(), comparator)
+    }
+    heap
+  }
+
+  override def merge(
+      a: RowTopKAggregate.RowHeap,
+      b: RowTopKAggregate.RowHeap
+  ): RowTopKAggregate.RowHeap = {
+    a.absorb(b, comparator)
+    a
+  }
+
+  override def eval(heap: RowTopKAggregate.RowHeap): Any =
+    new GenericArrayData(heap.sortedAsc(comparator).map(_.asInstanceOf[Any]))
+
+  override def serialize(heap: RowTopKAggregate.RowHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val rows = heap.raw()
+    out.writeInt(rows.length)
+    rows.foreach { r =>
+      val bytes = r.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): RowTopKAggregate.RowHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val heap = new RowTopKAggregate.RowHeap(k)
+    var i = 0
+    val numFields = structType.length
+    while (i < n) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val row = new UnsafeRow(numFields)
+      row.pointTo(buf, len)
+      heap.offer(row, comparator)
+      i += 1
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RowTopKAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RowTopKAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]
+  ): Expression = copy(child = newChildren(0))
+}
+
+object RowTopKAggregate {
+
+  /** Fixed-capacity heap of UnsafeRows; root is the currently-LAST-ranked
+    * kept row (max-heap in rank order), so a better incoming row evicts it. */
+  final class RowHeap(k: Int) {
+    private val rows = new Array[UnsafeRow](k)
+    private var n = 0
+
+    def raw(): Array[UnsafeRow] = java.util.Arrays.copyOf(rows, n)
+
+    def offer(row: UnsafeRow, cmp: java.util.Comparator[UnsafeRow]): Unit = {
+      if (n < k) {
+        rows(n) = row; n += 1
+        siftUp(n - 1, cmp)
+      } else if (cmp.compare(row, rows(0)) < 0) {
+        rows(0) = row
+        siftDown(0, cmp)
+      }
+    }
+
+    def absorb(other: RowHeap, cmp: java.util.Comparator[UnsafeRow]): Unit = {
+      var i = 0
+      while (i < other.n) { offer(other.rows(i), cmp); i += 1 }
+    }
+
+    def sortedAsc(cmp: java.util.Comparator[UnsafeRow]): Array[UnsafeRow] = {
+      val out = raw()
+      java.util.Arrays.sort(out, cmp)
+      out
+    }
+
+    // max-heap in rank order: parent ranks after (>=) children
+    private def siftUp(start: Int, cmp: java.util.Comparator[UnsafeRow]): Unit = {
+      var i = start
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (cmp.compare(rows(i), rows(p)) > 0) { swap(i, p); i = p }
+        else return
+      }
+    }
+
+    private def siftDown(start: Int, cmp: java.util.Comparator[UnsafeRow]): Unit = {
+      var i = start
+      while (true) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var largest = i
+        if (l < n && cmp.compare(rows(l), rows(largest)) > 0) largest = l
+        if (r < n && cmp.compare(rows(r), rows(largest)) > 0) largest = r
+        if (largest == i) return
+        swap(i, largest); i = largest
+      }
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val t = rows(a); rows(a) = rows(b); rows(b) = t
+    }
+  }
+
+  def nullsFirstOf(so: SortOrder): Boolean = so.nullOrdering match {
+    case NullsFirst => true
+    case NullsLast  => false
+  }
+
+  def directionOf(so: SortOrder): SortDirection = so.direction match {
+    case Ascending  => Ascending
+    case Descending => Descending
+  }
+}

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, Tables}
+
+class TopKRewriteRuleSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def install(): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
+  }
+
+  private def windowTopK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window
+      .partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    df.select(
+        $"o_orderpriority",
+        $"o_orderkey",
+        $"o_totalprice",
+        row_number().over(w).as("rnk")
+      )
+      .filter($"rnk" <= k)
+  }
+
+  test("rewritten plan drops the Window and matches the un-rewritten result") {
+    install()
+    val orders = Tables.t(spark, SparkFixture.sfDir, "orders")
+
+    val rewritten = windowTopK(orders, 3)
+    val optimized = rewritten.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_row_topk"), optimized)
+    // the Window node is gone; Spark's WindowGroupLimit may remain below the
+    // aggregate as a beneficial per-partition pre-filter
+    assert(!optimized.contains("Window ["), optimized)
+
+    // reference result computed with the rule disabled
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == TopKRewriteRule)
+    val expected =
+      try windowTopK(orders, 3).collect().map(_.toSeq).toSet
+      finally spark.experimental.extraOptimizations = saved
+
+    val actual = rewritten.collect().map(_.toSeq).toSet
+    assert(actual == expected)
+    assert(actual.nonEmpty)
+  }
+
+  test("rnk = 1 (argmax per group) also rewrites") {
+    install()
+    val orders = Tables.t(spark, SparkFixture.sfDir, "orders")
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val q = orders
+      .select($"o_orderstatus", $"o_orderkey", row_number().over(w).as("rnk"))
+      .filter($"rnk" === 1)
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_row_topk"))
+    val rows = q.collect()
+    assert(rows.length == 3) // one per status
+    assert(rows.forall(_.getInt(2) == 1))
+  }
+
+  test("null sort keys respect the null ordering") {
+    install()
+    val df = Seq(
+      (1L, Some(5.0)), (2L, None), (3L, Some(9.0)), (4L, Some(1.0)), (5L, None)
+    ).toDF("id", "v").withColumn("g", lit("x"))
+    val w = Window.partitionBy($"g").orderBy($"v".desc_nulls_last, $"id")
+    val q = df
+      .select($"id", $"v", row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 3)
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_row_topk"))
+    val got = q.orderBy("rnk").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 1L, 4L)) // nulls last, desc values
+  }
+
+  test("other window functions are left alone") {
+    install()
+    val orders = Tables.t(spark, SparkFixture.sfDir, "orders")
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_orderdate")
+    val q = orders
+      .select($"o_orderkey", lag($"o_totalprice", 1).over(w).as("prev"))
+      .filter($"prev" > 0)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_row_topk"))
+    assert(q.count() > 0)
+  }
+}
