@@ -527,6 +527,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B35: left-outer join + count-of-counts histogram (Q13 shape).
+    "q13_customer_distribution" -> { (s, dir) =>
+      val perCust = T(s, dir, "customer")
+        .join(
+          T(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "5-LOW")
+            .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"),
+          "left_outer"
+        )
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // ---- B34: the same engine surface through spark.sql text — the views
     // registered by GlueCatalogProvider serve SQL directly.
     "q_sql_surface" -> { (s, dir) =>
@@ -900,6 +918,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_sql_surface" ->
       """SELECT o_orderstatus,
         | count(*) AS n,
