@@ -41,36 +41,72 @@ object SimilaritySearch {
     topKPerGroup(scored, k)
   }
 
-  /** IVF (inverted-file) index: every corpus vector assigned to its nearest
-    * centroid. Centroids are the `numCentroids` lowest-id corpus vectors —
-    * a deterministic k-means seeding (at production scale: sample + a few
-    * Lloyd iterations; the index/search shape is identical). Assignment is a
-    * broadcast of the centroids over one corpus scan. */
-  def ivfIndex(
+  /** Nearest-centroid assignment: one broadcast of the centroids over one
+    * corpus scan; ties broken toward the higher centroid id (deterministic). */
+  private def assign(
       corpus: DataFrame,
+      cents: DataFrame,
       vecCol: String,
-      idCol: String,
-      numCentroids: Int = 16
+      idCol: String
   ): DataFrame = {
     implicit val spark: SparkSession = corpus.sparkSession
-    val cents = broadcast(
-      corpus
-        .orderBy(col(idCol))
-        .limit(numCentroids)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
-    )
     corpus
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents))
       .select(
         col(idCol),
-        col(vecCol),
         col("centroid_id"),
         GraftFunctions.cosineSim(col(vecCol), col("cv")).as("csim")
       )
       .groupBy(col(idCol))
       .agg(max(struct(col("csim"), col("centroid_id"))).as("best"))
       .select(col(idCol), col("best.centroid_id").as("centroid_id"))
-      .join(corpus, idCol)
+  }
+
+  /** Deterministic k-means seeding (`numCentroids` lowest-id vectors),
+    * optionally refined with `refineIterations` Lloyd steps: assign → new
+    * centroid = per-dimension mean of its members (distributed: posexplode +
+    * two keyed aggregations — no vectors ever collect to the driver). */
+  def ivfCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      numCentroids: Int = 16,
+      refineIterations: Int = 0
+  ): DataFrame = {
+    var cents = corpus
+      .orderBy(col(idCol))
+      .limit(numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    for (_ <- 1 to refineIterations) {
+      val members = assign(corpus, cents, vecCol, idCol)
+        .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      cents = members
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(
+          col("centroid_id"),
+          expr("transform(pm, p -> cast(p.m AS float))").as("cv")
+        )
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) index: every corpus vector assigned to its nearest
+    * centroid (see [[ivfCentroids]] for seeding/refinement). */
+  def ivfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      numCentroids: Int = 16,
+      refineIterations: Int = 0
+  ): DataFrame = {
+    val cents =
+      ivfCentroids(corpus, vecCol, idCol, numCentroids, refineIterations)
+    assign(corpus, cents, vecCol, idCol).join(corpus, idCol)
   }
 
   /** ANN via IVF: queries probe their `nProbe` nearest centroids and score
@@ -84,15 +120,14 @@ object SimilaritySearch {
       idCol: String,
       k: Int,
       numCentroids: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      refineIterations: Int = 0
   ): DataFrame = {
     implicit val spark: SparkSession = corpus.sparkSession
-    val index = ivfIndex(corpus, vecCol, idCol, numCentroids)
+    val centroids = ivfCentroids(corpus, vecCol, idCol, numCentroids, refineIterations)
+    val index = assign(corpus, centroids, vecCol, idCol).join(corpus, idCol)
     val cents = broadcast(
-      corpus
-        .orderBy(col(idCol))
-        .limit(numCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      centroids.select(col("centroid_id").as("cid"), col("cv"))
     )
     // nProbe nearest centroids per query (tiny: |queries| x numCentroids)
     val probes = broadcast(

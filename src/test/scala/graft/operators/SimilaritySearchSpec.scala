@@ -78,6 +78,21 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
+
+    // Lloyd-refined centroids: index still complete, recall reasonable
+    val refined = SimilaritySearch
+      .ivfTopK(emb, queries, "embedding", "vec_id", k = 5,
+        numCentroids = 16, nProbe = 6, refineIterations = 2)
+      .select("query_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val refinedRecall = (exact & refined).size.toDouble / exact.size
+    assert(refinedRecall >= 0.5, s"refinedRecall=$refinedRecall")
+    assert(
+      SimilaritySearch.ivfIndex(emb, "embedding", "vec_id", 16, 2).count() ==
+        emb.count()
+    )
   }
 
   test("plan shape: queries broadcast, corpus not shuffled before scoring") {

@@ -97,6 +97,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file sink: stream -> parquet with checkpoint -> read back") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    val out = dir.getAbsolutePath + "/out"
+    val ckpt = dir.getAbsolutePath + "/ckpt"
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .dedupStream(input.toDF(), watermark = "5 minutes")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(ev(1, ts(0)), ev(2, ts(1)), ev(1, ts(0)))
+      q.processAllAvailable()
+      input.addData(ev(3, ts(2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(
+      back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L)
+    )
+  }
+
   test("batch replay of the windowed aggregation matches the events table") {
     // same plan runs in batch mode over the parquet events table
     val events = graft.Tables.t(spark, SparkFixture.sfDir, "events")
