@@ -527,6 +527,63 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B36: CUBE with grouping() indicators.
+    "q_cube" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")
+        )
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"),
+          col("g_status"),
+          col("g_prio")
+        )
+        .orderBy(col("status"), col("priority"), col("g_status"), col("g_prio"))
+    },
+
+    // ---- B37: window navigation (lead / first_value per partition).
+    "q_window_nav" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          first_value(col("o_orderkey")).over(w).as("first_orderkey")
+        )
+        .filter(col("o_custkey") < 100)
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+
+    // ---- B38: higher-order array functions over the embedding column.
+    "q_vector_norms" -> { (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(
+          col("label"),
+          expr(
+            "round(sqrt(aggregate(embedding, cast(0.0 AS double), " +
+              "(acc, x) -> acc + cast(x AS double) * cast(x AS double))), 6)"
+          ).as("norm"),
+          size(col("embedding")).as("dims")
+        )
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          rsum(col("norm"), 4).as("sum_norm"),
+          max(col("dims")).as("dims")
+        )
+        .orderBy(col("label"))
+    },
+
     // ---- B35: left-outer join + count-of-counts histogram (Q13 shape).
     "q13_customer_distribution" -> { (s, dir) =>
       val perCust = T(s, dir, "customer")
@@ -918,6 +975,37 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority, g_status, g_prio""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | lead(o_orderkey, 1) OVER w AS next_orderkey,
+        | first_value(o_orderkey) OVER w AS first_orderkey
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_vector_norms" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                       x -> x * x))), 6) AS norm,
+        |    CAST(len(embedding) AS INTEGER) AS dims
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n,
+        | CAST(round(sum(CAST(norm AS DECIMAL(30,10))),4) AS DOUBLE) AS sum_norm,
+        | max(dims) AS dims
+        |FROM v
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
     "q13_customer_distribution" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (
