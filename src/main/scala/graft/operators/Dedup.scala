@@ -126,7 +126,8 @@ object Dedup {
       threshold: Double,
       shingleK: Int = 3,
       numHashes: Int = 128,
-      bands: Int = 32
+      bands: Int = 32,
+      broadcastCandidates: Boolean = true
   ): DataFrame = {
     implicit val spark: SparkSession = docs.sparkSession
     // Jaccard over 64-bit shingle hashes == Jaccard over the shingle strings
@@ -137,11 +138,13 @@ object Dedup {
         GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
       ).as("sh")
     )
-    // Candidate set is tiny relative to the corpus: broadcast it so the
-    // shingle table streams through both joins without a shuffle.
-    val cands = broadcast(
+    // The candidate set is usually tiny relative to the corpus: broadcast it
+    // so the shingle table streams through both joins without a shuffle.
+    // If a corpus is duplicate-heavy enough that the pair set itself is
+    // huge, pass broadcastCandidates=false and let AQE pick the strategy.
+    val rawCands =
       minhashCandidatePairs(docs, textCol, idCol, shingleK, numHashes, bands)
-    )
+    val cands = if (broadcastCandidates) broadcast(rawCands) else rawCands
     cands
       .join(shingles.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(shingles.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
