@@ -736,6 +736,18 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    // ---- C4c: the deduplicated corpus — keep each cluster's canonical
+    // (smallest-id) document; everything else is a near-duplicate drop.
+    "dedup_keep_canonical" -> { (s, dir) =>
+      val clusters = operators.Dedup
+        .nearDupClusters(T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
+      clusters
+        .filter(col("id") === col("component"))
+        .select(col("id").as("doc_id"))
+        .join(T(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- C5: embedding near-dups via hyperplane LSH buckets (rows-only:
     // bucket recall is probabilistic by design; exactness spec'd in tests).
     "dedup_embedding" -> { (s, dir) =>
@@ -1247,6 +1259,38 @@ object SparkEntry {
         |  FROM reach JOIN edges ON reach.r = edges.src
         |)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_keep_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM t
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |    ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |         / len(list_distinct(list_concat(a.s, b.s))) END, 4) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id AS src, a_id AS dst FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.id, edges.dst AS r
+        |  FROM reach JOIN edges ON reach.r = edges.src
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, d.n_chars
+        |FROM comp JOIN documents d ON comp.id = d.doc_id
+        |WHERE comp.id = comp.component
+        |ORDER BY d.doc_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
