@@ -21,16 +21,71 @@ object ConnectedComponents {
   /** @param edges  (a, b) undirected pairs, ids as longs
     * @param nodes  optional (id) universe; nodes absent from edges become
     *               singleton components
+    * @param smallGraphThreshold  edge count at or below which the component
+    *        labels are computed with a driver-side union-find over the
+    *        (bounded) collected edge list instead of the iterative join loop.
+    *        Near-dup graphs are usually tiny relative to the corpus — a few
+    *        hundred edges for thousands of documents — and each distributed
+    *        round costs a fixed multi-job latency; the hybrid keeps the
+    *        distributed path for genuinely large graphs.
     * @return (id, component) — component = min id reachable
     */
   def run(
       edges: DataFrame,
       nodes: DataFrame,
       idCol: String = "id",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      smallGraphThreshold: Long = 1000000L
   ): DataFrame = {
     val aCol = edges.columns(0)
     val bCol = edges.columns(1)
+
+    val pairList =
+      if (smallGraphThreshold > 0) {
+        val capped = edges
+          .select(col(aCol).cast("long"), col(bCol).cast("long"))
+          .limit((smallGraphThreshold + 1).toInt)
+          .collect()
+        if (capped.length <= smallGraphThreshold) Some(capped) else None
+      } else None
+
+    pairList match {
+      case Some(pairs) =>
+        // driver-side union-find with path compression, min-id roots
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
+        }
+        def union(a: Long, b: Long): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        pairs.foreach(r => union(r.getLong(0), r.getLong(1)))
+        val labels = pairs
+          .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+          .distinct
+          .map(x => (x, find(x)))
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        val labelDf = labels.toSeq.toDF("id", "_cc_component")
+        return nodes
+          .select(col(idCol).as("id"))
+          .distinct()
+          .join(broadcast(labelDf), Seq("id"), "left")
+          .select(
+            col("id"),
+            coalesce(col("_cc_component"), col("id")).as("component")
+          )
+      case None => // fall through to the distributed loop
+    }
     // symmetric neighbor list
     val sym = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))

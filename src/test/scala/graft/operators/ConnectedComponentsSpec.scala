@@ -24,12 +24,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     ))
   }
 
-  test("long path converges (diameter > 1 round)") {
+  test("long path converges in the distributed loop (diameter > 1 round)") {
     val n = 32
     val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
     val nodes = (0 until n).map(_.toLong).toDF("id")
-    val out = ConnectedComponents.run(edges, nodes).collect()
+    // smallGraphThreshold = 0 forces the iterative path
+    val out =
+      ConnectedComponents.run(edges, nodes, smallGraphThreshold = 0L).collect()
     assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("local union-find path equals the distributed loop") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 8L), (8L, 9L))
+      .toDF("a", "b")
+    val nodes = (1L to 12L).toDF("id")
+    val local = ConnectedComponents
+      .run(edges, nodes)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val dist = ConnectedComponents
+      .run(edges, nodes, smallGraphThreshold = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(local == dist)
   }
 
   test("nearDupClusters groups the planted near-dups, keeps others singleton") {
