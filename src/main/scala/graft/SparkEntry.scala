@@ -527,6 +527,102 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B39: join back on an aggregate max (Q15 top-supplier shape).
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = T(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+        )
+        .groupBy(col("l_suppkey"))
+        .agg(rsum(revenue).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      T(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_rev") === col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    },
+
+    // ---- B40: anti-join + scalar subquery (Q22 shape): wealthy customers
+    // with no orders, by nation.
+    "q22_sales_opportunity" -> { (s, dir) =>
+      val cust = T(s, dir, "customer")
+      val avgBal = cust
+        .filter(col("c_acctbal") > 0.0)
+        .agg(
+          (sum(col("c_acctbal").cast("decimal(30,10)")).cast("double") /
+            count(col("c_acctbal"))).as("ab")
+        )
+      cust
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(
+          T(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti"
+        )
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), rsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // ---- B41: share-of-total HAVING (Q11 shape): parts above a revenue
+    // fraction of the whole.
+    "q11_important_parts" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val pr = li.groupBy(col("l_partkey")).agg(rsum(revenue).as("value"))
+      val tot = pr.agg(
+        (sum(col("value").cast("decimal(30,10)")).cast("double") /
+          count(col("value"))).as("av")
+      )
+      pr.join(broadcast(tot))
+        .filter(col("value") > col("av") * 1.5)
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // ---- B42: multi-stage event funnel (view -> click -> purchase ordering
+    // per user, microsecond-exact).
+    "q_event_funnel" -> { (s, dir) =>
+      val stages = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase")
+        )
+      stages.agg(
+        count(col("t_view")).as("n_view"),
+        sum(
+          when(
+            col("t_click") > col("t_view"), 1L
+          ).otherwise(0L)
+        ).as("n_view_click"),
+        sum(
+          when(
+            col("t_click") > col("t_view") && col("t_purchase") > col("t_click"),
+            1L
+          ).otherwise(0L)
+        ).as("n_full_funnel")
+      )
+    },
+
+    // ---- B43: vocabulary extraction — top bigrams by frequency (the
+    // corpus-statistics side of a training-data pipeline).
+    "text_vocab_ngrams" -> { (s, dir) =>
+      T(s, dir, "documents")
+        .select(
+          explode(functions.TextFunctions.wordShingles(col("text"), 2)).as("ngram")
+        )
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(100)
+    },
+
     // ---- B36: CUBE with grouping() indicators.
     "q_cube" -> { (s, dir) =>
       T(s, dir, "orders")
@@ -987,6 +1083,73 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |), m AS (SELECT max(total_rev) AS mx FROM r)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey, m
+        |WHERE total_rev = mx
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+        |         / count(c_acctbal) AS ab
+        |  FROM customer WHERE c_acctbal > 0.0
+        |)
+        |SELECT c_nationkey, count(*) AS numcust,
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))),2) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY l_partkey
+        |), tot AS (
+        |  SELECT CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+        |         / count(value) AS av
+        |  FROM pr
+        |)
+        |SELECT l_partkey, value
+        |FROM pr, tot
+        |WHERE value > av * 1.5
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_event_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT count(t_view) AS n_view,
+        | CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        | CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM s""".stripMargin,
+    "text_vocab_ngrams" ->
+      """WITH t AS (
+        |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), n AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+        |  FROM t
+        |)
+        |SELECT ngram, count(*) AS n FROM n
+        |GROUP BY ngram
+        |ORDER BY n DESC, ngram
+        |LIMIT 100""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
