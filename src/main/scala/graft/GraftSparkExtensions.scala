@@ -60,5 +60,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => ShingleHashes(es(0), intLit(es(1)))
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_topk"),
+        info("graft_topk", "bounded-heap per-group top-k (id, score) pairs"),
+        (es: Seq[Expression]) => TopKAggregate(es(0), es(1), intLit(es(2)))
+      )
+    )
   }
 }

@@ -12,6 +12,10 @@ import graft.catalog.{GlueCatalogProvider, LocalDirectoryGlueClient}
   * would: Glue type strings → [[graft.catalog.GlueTypeParser]] → explicit read
   * schema → native parquet scan. Registration is metadata-only and cached per
   * (session, directory).
+  *
+  * NOTE: first use sets two session-wide parquet timestamp confs (nanosAsLong,
+  * inferTimestampNTZ off) — see
+  * [[graft.catalog.LocalDirectoryGlueClient.enableParquetTimestampCompat]].
   */
 object Tables {
 

@@ -36,6 +36,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the same property the reference gets from DataFusion's ListingTable. The
   * catalog is read-only, like the reference (its `register_schema` is
   * `unimplemented!()`, glue.rs:564-570).
+  *
+  * NOTE: when backed by [[LocalDirectoryGlueClient]], first use sets two
+  * session-wide parquet timestamp confs (nanosAsLong, inferTimestampNTZ off) —
+  * see [[LocalDirectoryGlueClient.enableParquetTimestampCompat]].
   */
 final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
 

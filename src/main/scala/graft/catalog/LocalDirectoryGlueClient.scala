@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * Glue type string with [[GlueTypeParser.toGlueType]] — so registration still
   * exercises the full Glue-string → parser → Spark-schema path, exactly like a
   * real Glue-backed table would.
+  *
+  * NOTE: constructing this client calls
+  * [[LocalDirectoryGlueClient.enableParquetTimestampCompat]], which sets two
+  * SESSION-WIDE parquet timestamp confs (see its doc) — required both for the
+  * client's own schema reads and for later query-time reads of the registered
+  * tables. Documented here and at the public entry points ([[graft.Tables]],
+  * [[GlueTableCatalog]]) so callers opt in knowingly.
   */
 final class LocalDirectoryGlueClient(
     spark: SparkSession,
@@ -33,14 +40,7 @@ final class LocalDirectoryGlueClient(
     "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
   )
 
-  // Parquet TIMESTAMP(NANOS) columns have no direct Spark representation
-  // (SPARK-40819: they surface as LongType under the nanosAsLong legacy
-  // conf). The provider converts them back to microsecond timestamps at load;
-  // here we make sure schema reads see longs instead of failing.
-  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-  // Glue's `timestamp` carries no timezone flag; normalize everything to
-  // TimestampType under the UTC session instead of surfacing TimestampNTZ.
-  spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  LocalDirectoryGlueClient.enableParquetTimestampCompat(spark)
 
   override def getDatabases(): Seq[GlueDatabase] = Seq(GlueDatabase(database))
 
@@ -143,5 +143,26 @@ final class LocalDirectoryGlueClient(
           field.getName
       }.toSet
     } finally reader.close()
+  }
+}
+
+object LocalDirectoryGlueClient {
+
+  /** Session-wide parquet timestamp compatibility confs the Glue-model layer
+    * relies on. These intentionally affect ALL parquet reads in the session —
+    * not just catalog tables — because query-time scans of registered tables
+    * go through the ordinary parquet source:
+    *
+    *  - `spark.sql.legacy.parquet.nanosAsLong=true`: parquet TIMESTAMP(NANOS)
+    *    columns have no direct Spark representation (SPARK-40819); under this
+    *    conf they surface as LongType and the provider converts them back to
+    *    microsecond timestamps at load, instead of the read failing.
+    *  - `spark.sql.parquet.inferTimestampNTZ.enabled=false`: Glue's
+    *    `timestamp` carries no timezone flag; normalize to TimestampType under
+    *    the UTC session instead of surfacing TimestampNTZ.
+    */
+  def enableParquetTimestampCompat(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 }

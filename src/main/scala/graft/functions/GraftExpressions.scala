@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{
   BinaryExpression,
   Expression,
+  ImplicitCastInputTypes,
   UnaryExpression
 }
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,7 +21,12 @@ import org.apache.spark.sql.types._
   * helpers in [[GraftFunctions]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  // The kernel reads packed float32; declaring the type lets the analyzer
+  // coerce array<double> literals (SQL default) instead of reading garbage.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -42,8 +48,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** LSH bucket id from `numPlanes` random hyperplanes (equi-join key for ANN). */
 case class HyperplaneBucket(child: Expression, numPlanes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(numPlanes >= 1 && numPlanes <= 30, "numPlanes must be in [1,30]")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_hyperplane_bucket"
 
@@ -63,8 +71,10 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int)
 
 /** MinHash signature (array of `numHashes` longs) over pre-hashed shingles. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(numHashes >= 1 && numHashes <= 512, "numHashes must be in [1,512]")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
@@ -86,8 +96,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * replaces the split→slice→concat_ws→xxhash64 higher-order-function chain
   * with a single kernel — no intermediate shingle strings. */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(k >= 1 && k <= 16, "k must be in [1,16]")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
@@ -103,7 +115,9 @@ case class ShingleHashes(child: Expression, k: Int)
 
 /** 64-bit SimHash over pre-hashed tokens. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
@@ -127,13 +141,17 @@ object GraftFunctions {
         throw new IllegalArgumentException(s"expected int literal, got $other")
     }
 
-  private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
-
-  /** Idempotently register graft_* SQL functions on the session. */
+  /** Idempotently register graft_* SQL functions on the session. The
+    * already-registered check asks the session's own functionRegistry (rather
+    * than tracking sessions in a static set, which would leak across GC'd
+    * sessions and collide on identity hashes). */
   def register(spark: SparkSession): Unit = {
-    if (!registered.add(System.identityHashCode(spark.sessionState))) return
     val reg = spark.sessionState.functionRegistry
+    if (
+      reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk")
+      )
+    ) return
     reg.createOrReplaceTempFunction(
       "graft_cosine",
       es => CosineSimilarity(es(0), es(1)),

@@ -3,7 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -25,12 +25,16 @@ case class TopKAggregate(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[TopKAggregate.Heap] {
+) extends TypedImperativeAggregate[TopKAggregate.Heap]
+    with ImplicitCastInputTypes {
 
   require(k >= 1 && k <= (1 << 20), "k must be in [1, 2^20]")
 
   import TopKAggregate.Heap
 
+  // The heap stores primitive (long, double); declaring the types makes the
+  // analyzer coerce int ids / float scores instead of a runtime ClassCastException.
+  override def inputTypes: Seq[DataType] = Seq(LongType, DoubleType)
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

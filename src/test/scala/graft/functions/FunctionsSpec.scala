@@ -114,6 +114,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("input types declared: array<double> / int inputs coerce, not garbage") {
+    GraftFunctions.register(spark)
+    // SQL float literals default to array<double>; ImplicitCastInputTypes must
+    // coerce to array<float> so the float32 kernel doesn't read a double-strided
+    // array as packed floats.
+    val c = spark
+      .sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head
+      .getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-7)
+    // array<int> input to the long-hash ops must coerce to array<bigint>
+    val mh = spark
+      .sql("SELECT graft_minhash(array(1, 2, 3), 4) AS sig")
+      .head
+      .getSeq[Long](0)
+    val mhLong = spark
+      .sql("SELECT graft_minhash(array(1L, 2L, 3L), 4) AS sig")
+      .head
+      .getSeq[Long](0)
+    assert(mh == mhLong)
+    val sh = spark.sql("SELECT graft_simhash(array(7, 8)) AS h").head.getLong(0)
+    val shLong =
+      spark.sql("SELECT graft_simhash(array(7L, 8L)) AS h").head.getLong(0)
+    assert(sh == shLong)
+    // int id + float score into graft_topk: analyzer coerces to (long, double)
+    // instead of a runtime ClassCastException
+    val tk = spark
+      .sql(
+        "SELECT graft_topk(id, s, 2) AS t FROM VALUES (1, CAST(0.5 AS FLOAT))," +
+          " (2, CAST(0.9 AS FLOAT)), (3, CAST(0.1 AS FLOAT)) AS v(id, s)"
+      )
+      .head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(_.getLong(0)) == Seq(2L, 1L))
+    // non-castable input is rejected at analysis time
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_cosine('abc', array(1.0F))").collect()
+    )
+    assert(err.getMessage.toLowerCase.contains("graft_cosine"))
+  }
+
   test("langid picks the language whose stopwords dominate") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
