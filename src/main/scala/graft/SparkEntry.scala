@@ -951,6 +951,145 @@ object SparkEntry {
           size(col("features")).as("n_dims")
         )
         .orderBy("doc_id")
+    },
+
+    // ---- B44: min-cost supplier join-back (Q2 shape). lineitem stands in
+    // for partsupp as the part↔supplier price list: for each qualifying part,
+    // the EUROPE suppliers offering its minimum price. Per-part min is a
+    // small aggregate (bounded by the part filter), so the join-back side
+    // broadcasts; the only fact shuffle is the groupBy on l_partkey.
+    "q2_min_cost" -> { (s, dir) =>
+      val es = broadcast(
+        T(s, dir, "supplier")
+          .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(
+            T(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      )
+      val px = broadcast(
+        T(s, dir, "part")
+          .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+          .select("p_partkey", "p_name")
+      )
+      val offers = T(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(es, col("l_suppkey") === col("s_suppkey"))
+        .join(px, col("l_partkey") === col("p_partkey"))
+      val mn = offers
+        .groupBy(col("p_partkey").as("mpk"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      offers
+        .join(
+          broadcast(mn),
+          col("p_partkey") === col("mpk") &&
+            col("l_extendedprice") === col("min_price")
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_price")
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // ---- B45: distinct-supplier counts with NOT IN exclusion (Q16 shape).
+    // The exclusion list (suppliers in deficit) is tiny -> broadcast anti-join;
+    // count(distinct) shuffles once on the grouping key.
+    "q16_supplier_counts" -> { (s, dir) =>
+      val px = broadcast(
+        T(s, dir, "part")
+          .filter(
+            col("p_brand") =!= "Brand#1" &&
+              !col("p_type").like("MEDIUM%") &&
+              col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36)
+          )
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+      )
+      val bad = broadcast(
+        T(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0.0)
+          .select(col("s_suppkey").as("bad_suppkey"))
+      )
+      T(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(px, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("bad_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // ---- B46: nested IN-subquery with HAVING threshold (Q20 shape):
+    // suppliers who shipped a significant volume of 'small%' parts in 1996.
+    // The qualifying-supplier set is an aggregate over the fact table; the
+    // outer supplier side is dim-sized, so the semi-join broadcasts the
+    // aggregate, not the fact.
+    "q20_promotion_candidates" -> { (s, dir) =>
+      val px = broadcast(
+        T(s, dir, "part").filter(col("p_name").like("small%")).select("p_partkey")
+      )
+      val qual = T(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(px, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(30,10)")).cast("double").as("qty"))
+        .filter(col("qty") > 40.0)
+        .select("l_suppkey")
+      T(s, dir, "supplier")
+        .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(
+          T(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey")
+        )
+        .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // ---- B47: sole-late-supplier detection (Q21 shape). The classic
+    // EXISTS / NOT EXISTS pair over the same-order lineitems is rewritten as
+    // ONE aggregation per order (distinct suppliers, distinct late suppliers,
+    // late-item count): same semantics, one fact shuffle instead of two
+    // correlated self-joins — the rewrite that matters when lineitem is the
+    // 100 TB table. The DuckDB oracle runs the classic correlated form, so
+    // the gate independently proves the rewrite equivalent.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val supEuro = broadcast(
+        T(s, dir, "supplier")
+          .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(
+            T(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select("s_suppkey", "s_name")
+      )
+      val fOrders = T(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val flagged = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn(
+          "late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+        )
+      flagged
+        .groupBy(col("o_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("ns"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("nls"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"),
+          count(when(col("late"), lit(1))).as("n_late_items")
+        )
+        .filter(col("ns") > 1 && col("nls") === 1)
+        .join(supEuro, col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("n_late_items")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }
   )
 
@@ -1529,6 +1668,74 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS fingerprint,
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q2_min_cost" ->
+      """WITH es AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |), px AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+        |), offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |         l_extendedprice
+        |  FROM lineitem
+        |  JOIN es ON l_suppkey = s_suppkey
+        |  JOIN px ON l_partkey = p_partkey
+        |), mn AS (
+        |  SELECT p_partkey AS mpk, min(l_extendedprice) AS min_price
+        |  FROM offers GROUP BY 1
+        |)
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, min_price
+        |FROM offers JOIN mn ON p_partkey = mpk AND l_extendedprice = min_price
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promotion_candidates" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) > 40.0
+        |)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      // classic correlated EXISTS / NOT EXISTS form — independently verifies
+      // the Spark side's single-aggregation rewrite
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin
   )
 }
