@@ -953,6 +953,76 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- C13: deterministic stratified sampling — per-language rates via a
+    // content-hash nibble (md5, engine-portable). No rand(): resampling under
+    // stage retries would break exactly-once semantics at scale; a hash of
+    // the key is idempotent, uniformly distributed, and needs no shuffle.
+    "docs_stratified_sample" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      T(s, dir, "documents")
+        .withColumn("nib", tf.sampleNibble(col("doc_id"), "s42"))
+        .filter(
+          (col("lang") === "en" && col("nib").isin("0", "1", "2", "3")) ||
+            (col("lang") =!= "en" &&
+              col("nib").isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- C14: lexical-diversity filter (type-token ratio + top-token
+    // share). Both statistics are computed per row with higher-order array
+    // functions — no explode, no shuffle: the filter streams through
+    // whole-stage codegen like any scalar predicate.
+    "text_diversity_filter" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      val toks = tf.wsTokens(col("text"))
+      val n = size(toks)
+      val d = size(array_distinct(toks))
+      val maxFreq = array_max(
+        transform(array_distinct(toks), t => size(filter(toks, x => x === t)))
+      )
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          d.as("n_distinct"),
+          round(d.cast("double") / n, 4).as("ttr"),
+          round(maxFreq.cast("double") / n, 4).as("top_share")
+        )
+        .filter(col("ttr") >= 0.45)
+        .orderBy("doc_id")
+    },
+
+    // ---- C15: sequence packing — assign documents to fixed token-budget
+    // training packs (capacity 512) by cumulative token count within
+    // (lang, source), ordered by doc_id. The window key is the natural shard
+    // key: packing parallelism grows with the number of (lang, source)
+    // shards, so no single-partition window bottleneck at scale.
+    "docs_pack_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = functions.TextFunctions
+      val w = Window
+        .partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          size(tf.wsTokens(col("text"))).cast("long").as("n_tok")
+        )
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+        .groupBy(col("lang"), col("source"), col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens")
+        )
+        .orderBy("lang", "source", "pack_id")
+    },
+
     // ---- B44: min-cost supplier join-back (Q2 shape). lineitem stands in
     // for partsupp as the part↔supplier price list: for each qualifying part,
     // the EUROPE suppliers offering its minimum price. Per-part min is a
@@ -1669,6 +1739,47 @@ object SparkEntry {
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "docs_stratified_sample" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE (lang = 'en'
+        |       AND substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2','3'))
+        |   OR (lang <> 'en'
+        |       AND substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2','3','4','5','6','7'))
+        |ORDER BY doc_id""".stripMargin,
+    "text_diversity_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |    round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr,
+        |    round(list_max(list_transform(list_distinct(toks),
+        |            t2 -> len(list_filter(toks, x -> x = t2))))::DOUBLE
+        |          / len(toks), 4) AS top_share
+        |  FROM t
+        |)
+        |SELECT * FROM m WHERE ttr >= 0.45 ORDER BY doc_id""".stripMargin,
+    "docs_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), w AS (
+        |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t
+        |)
+        |SELECT lang, source, (cum - n_tok) // 512 AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM w
+        |GROUP BY lang, source, pack_id
+        |ORDER BY lang, source, pack_id""".stripMargin,
     "q2_min_cost" ->
       """WITH es AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name

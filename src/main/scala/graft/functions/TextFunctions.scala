@@ -106,4 +106,33 @@ object TextFunctions {
     val lenScore = least(length(n).cast("double") / lit(200.0), lit(1.0))
     round(lit(0.5) * distinctRatio + lit(0.5) * lenScore, 4)
   }
+
+  // ---- sampling / redaction ----
+
+  /** Deterministic content-hash sampling key: first hex nibble of
+    * md5(salt ++ id). Stable across runs/engines (md5 is portable, unlike
+    * xxhash64), uniformly distributed, and independent of partitioning — the
+    * property `rand()`-based sampling lacks at scale (retries/stage replays
+    * resample). Keep a row when the nibble falls below the per-stratum
+    * threshold: nibble ∈ first k of "0123456789abcdef" ⇒ rate k/16. */
+  def sampleNibble(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 1)
+
+  /** PII redaction: emails, international-ish phone numbers and IPv4
+    * addresses replaced by typed tags. Patterns are intentionally in the
+    * portable intersection of Java regex and RE2 (no backrefs, no
+    * lookaround) so the op stays oracle-checkable. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+  val Ipv4Regex = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRegex, "<EMAIL>"),
+        PhoneRegex,
+        "<PHONE>"
+      ),
+      Ipv4Regex,
+      "<IP>"
+    )
 }

@@ -155,6 +155,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("graft_cosine"))
   }
 
+  test("piiScrub redacts emails, phones, IPv4; leaves clean text alone") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "contact jane.doe+spam@example.co.uk for details"),
+      (2L, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+      (3L, "server at 192.168.0.1 responded"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("id", "text")
+    val out = df
+      .select($"id", TF.piiScrub($"text").as("t"))
+      .orderBy("id")
+      .collect()
+      .map(_.getString(1))
+    assert(out(0) == "contact <EMAIL> for details")
+    assert(out(1) == "call <PHONE> or <PHONE> now")
+    assert(out(2) == "server at <IP> responded")
+    assert(out(3) == "nothing sensitive here at all")
+  }
+
+  test("sampleNibble is deterministic and roughly uniform") {
+    import graft.functions.{TextFunctions => TF}
+    val ids = (0L until 1600L).toDF("id")
+    val counts = ids
+      .groupBy(TF.sampleNibble($"id", "s42").as("nib"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(counts.keySet.subsetOf("0123456789abcdef".map(_.toString).toSet))
+    // 16 nibbles x expected 100 each; allow wide tolerance
+    assert(counts.values.forall(c => c > 50 && c < 160), counts)
+  }
+
   test("langid picks the language whose stopwords dominate") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
