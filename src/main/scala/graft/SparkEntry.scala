@@ -1147,13 +1147,23 @@ object SparkEntry {
           "late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
         )
+      // two-phase aggregation instead of two countDistinct()s in one groupBy:
+      // distinct aggregates plan an Expand (one input row per distinct agg, 3x
+      // the fact rows through the hash aggregate). Pre-aggregating per
+      // (order, supplier) needs no Expand, and the second aggregate runs on
+      // the already-tiny per-order-supplier rows.
       flagged
+        .groupBy(col("o_orderkey"), col("l_suppkey"))
+        .agg(
+          max(col("late")).as("supp_late"),
+          count(when(col("late"), lit(1))).as("supp_late_items")
+        )
         .groupBy(col("o_orderkey"))
         .agg(
-          countDistinct(col("l_suppkey")).as("ns"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("nls"),
-          max(when(col("late"), col("l_suppkey"))).as("late_supp"),
-          count(when(col("late"), lit(1))).as("n_late_items")
+          count(lit(1)).as("ns"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("nls"),
+          max(when(col("supp_late"), col("l_suppkey"))).as("late_supp"),
+          sum(col("supp_late_items")).as("n_late_items")
         )
         .filter(col("ns") > 1 && col("nls") === 1)
         .join(supEuro, col("late_supp") === col("s_suppkey"))

@@ -82,15 +82,15 @@ object TextFunctions {
   }
 
   /** Predicted language: argmax of the stopword scores, ties broken by list
-    * order (en > fr > de > es > zh) — mirrored exactly in the SQL oracle. */
+    * order (en > fr > de > es > zh) — mirrored exactly in the SQL oracle.
+    * Built as array_position(scores, max) rather than a pairwise when-chain:
+    * the chain references every score O(n²) times, which defeats codegen
+    * subexpression elimination and re-tokenizes per comparison; the array
+    * form evaluates each stopword count once. */
   def langId(c: Column): Column = {
-    val scores = Stopwords.map { case (lang, words) => lang -> stopwordCount(c, words) }
-    scores.init.zipWithIndex
-      .foldRight(lit(scores.last._1)) { case (((lang, s), i), elseCol) =>
-        val laterScores = scores.drop(i + 1).map(_._2)
-        val isMax = laterScores.foldLeft(lit(true))((acc, o) => acc && s >= o)
-        when(isMax, lang).otherwise(elseCol)
-      }
+    val scoreArr = array(Stopwords.map { case (_, words) => stopwordCount(c, words) }: _*)
+    val langArr = array(Stopwords.map { case (lang, _) => lit(lang) }: _*)
+    element_at(langArr, array_position(scoreArr, array_max(scoreArr)).cast("int"))
   }
 
   // ---- quality scoring ----
