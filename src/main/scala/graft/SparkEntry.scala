@@ -953,6 +953,57 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- B48: as-of join (see operators.AsOfJoin): every purchase event
+    // aligned to the user's most recent prior-or-equal view. One keyed
+    // shuffle + sort, no range cross-join.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      operators.AsOfJoin
+        .asOf(
+          purchases,
+          views,
+          keyCols = Seq("user_id"),
+          tsCol = "ts",
+          rightTieCol = "event_id",
+          rightPayload = Seq("event_id", "value"),
+          leftCols = Seq("user_id", "ts", "event_id")
+        )
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("asof_event_id").as("view_id"),
+          col("asof_value").as("view_value")
+        )
+        .orderBy("event_id")
+    },
+
+    // ---- B49: range join (see operators.AsOfJoin.rangeJoin): clicks within
+    // 10 minutes after each view, per user — bucketed equi-join, candidate
+    // space bounded by bucket co-residents instead of |L|x|R|.
+    "q_range_join" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      operators.AsOfJoin
+        .rangeJoin(views, clicks, Seq("user_id"), "ts", 600000000L)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views_with_click")
+        )
+        .orderBy("user_id")
+    },
+
     // ---- C13: deterministic stratified sampling — per-language rates via a
     // content-hash nibble (md5, engine-portable). No rand(): resampling under
     // stage retries would break exactly-once semantics at scale; a hash of
@@ -1749,6 +1800,44 @@ object SparkEntry {
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "q_asof_join" ->
+      // same union-merge formulation; per-column last_value is safe here
+      // because the view payload has no nulls
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_value,
+        |    1 AS is_left
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+        |    event_id AS r_id, value AS r_value, 0 AS is_left
+        |  FROM events WHERE event_type = 'view'
+        |), u AS (
+        |  SELECT * FROM l UNION ALL SELECT * FROM r
+        |), w AS (
+        |  SELECT user_id, event_id, is_left,
+        |    last_value(r_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, is_left, r_id
+        |       ROWS UNBOUNDED PRECEDING) AS view_id,
+        |    last_value(r_value IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, is_left, r_id
+        |       ROWS UNBOUNDED PRECEDING) AS view_value
+        |  FROM u
+        |)
+        |SELECT user_id, event_id, view_id, view_value
+        |FROM w WHERE is_left = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      // direct range-predicate join — independently verifies the bucketed
+      // equi-join decomposition on the Spark side
+      """SELECT v.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT v.event_id) AS n_views_with_click
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='view') v
+        |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type='click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "docs_stratified_sample" ->
       """SELECT doc_id, lang, source
         |FROM documents

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the latest right row with
+  * `right.ts <= left.ts` within the same key — the lookup shape behind
+  * feature backfills ("most recent profile snapshot before this event"),
+  * trade/quote alignment, and session attribution.
+  *
+  * Spark has no ASOF JOIN operator; the naive encodings are a range
+  * cross-join (O(|L|·|R|) per key) or a per-left-row correlated subquery.
+  * This implementation is the union-merge formulation instead: tag and union
+  * both sides, sort each key's timeline once, and carry the last right
+  * payload forward with `last(..., ignoreNulls)` over the ordered window.
+  * Cost is ONE shuffle on the key + a per-partition sort — the same shape as
+  * any keyed window, linear in |L|+|R|, no candidate blow-up, AQE-splittable
+  * on skewed keys. Right payload is packed into ONE struct before the window
+  * so all carried columns come from the same right row (per-column
+  * last_value could mix rows if a payload column were null).
+  *
+  * Ties: a right row at exactly `left.ts` IS visible (<=); among right rows
+  * with identical ts the one with the largest `rightTieCol` wins —
+  * deterministic on both engines.
+  */
+object AsOfJoin {
+
+  /** @param leftCols   left columns to keep (must include keyCols/tsCol)
+    * @param rightPayload right columns carried to the matched left row,
+    *                     emitted as `asof_<name>`; the right ts is always
+    *                     emitted as `asof_ts`.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightTieCol: String,
+      rightPayload: Seq[String],
+      leftCols: Seq[String]
+  ): DataFrame = {
+    val payloadStruct = struct(
+      col(tsCol).as("asof_ts") +:
+        rightPayload.map(c => col(c).as(s"asof_$c")): _*
+    )
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol),
+        lit(0).as("_is_left"),
+        col(rightTieCol).cast("long").as("_tie"),
+        payloadStruct.as("_r")
+      ) ++ leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol).map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)
+      ): _*
+    )
+    val rStructType = r.schema("_r").dataType
+    val l = left.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol),
+        lit(1).as("_is_left"),
+        lit(null).cast("long").as("_tie"),
+        lit(null).cast(rStructType).as("_r")
+      ) ++ leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol).map(col): _*
+    )
+    // right rows sort before left rows at equal ts (_is_left 0 < 1), so a
+    // right row at exactly left.ts is already in the frame
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("_is_left"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select(
+        leftCols.map(col) ++
+          Seq(col("_asof.asof_ts").as("asof_ts")) ++
+          rightPayload.map(c => col(s"_asof.asof_$c").as(s"asof_$c")): _*
+      )
+  }
+
+  /** Range join: pairs (l, r) with `r.ts` in `[l.ts, l.ts + window)` per key,
+    * expressed as an equi-join on coarse time buckets + exact predicate: each
+    * left row probes its own bucket and the next, so the candidate space is
+    * bounded by bucket co-residents, not |L|·|R|. `windowMicros` must equal
+    * the bucket width. */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      windowMicros: Long
+  ): DataFrame = {
+    val lb = left
+      .withColumn("_lts", unix_micros(col(tsCol)))
+      .withColumn(
+        "_bucket",
+        explode(
+          array((col("_lts") / windowMicros).cast("long"),
+            (col("_lts") / windowMicros).cast("long") + 1)
+        )
+      )
+      .drop(tsCol)
+    val rb = right
+      .withColumn("_rts", unix_micros(col(tsCol)))
+      .withColumn("_bucket", (col("_rts") / windowMicros).cast("long"))
+      .drop(tsCol)
+    lb.join(rb, keyCols :+ "_bucket")
+      .filter(col("_rts") >= col("_lts") && col("_rts") < col("_lts") + windowMicros)
+      .drop("_bucket")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOf picks latest prior-or-equal right row; ties by largest id") {
+    val left = Seq(
+      (1L, ts("2020-01-01 10:00:00"), 100L), // after r1, r2 at same ts
+      (1L, ts("2020-01-01 09:00:00"), 101L), // before any right row -> null
+      (2L, ts("2020-01-01 12:00:00"), 102L)  // exactly at r4 -> r4 visible
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2020-01-01 10:00:00"), 11L, 1.5), // tie on ts with id 12
+      (1L, ts("2020-01-01 10:00:00"), 12L, 2.5), // largest id wins
+      (2L, ts("2020-01-01 12:00:00"), 14L, 4.5),
+      (2L, ts("2020-01-01 13:00:00"), 15L, 5.5)  // in the future, ignored
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin
+      .asOf(left, right, Seq("user_id"), "ts", "event_id",
+        Seq("event_id", "value"), Seq("user_id", "ts", "event_id"))
+      .orderBy("event_id")
+      .collect()
+    // event 100: right rows 11,12 at equal ts -> 12 (largest tie id)
+    assert(out(0).getLong(2) == 100L || out(0).getAs[Long]("event_id") == 100L)
+    val byId = out.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(100L).getAs[Long]("asof_event_id") == 12L)
+    assert(byId(100L).getAs[Double]("asof_value") == 2.5)
+    assert(byId(101L).isNullAt(byId(101L).fieldIndex("asof_event_id")))
+    assert(byId(102L).getAs[Long]("asof_event_id") == 14L)
+  }
+
+  test("asOf plans exactly one shuffle (union-merge, no range cross-join)") {
+    val ev = graft.Tables.t(spark, SparkFixture.sfDir, "events")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id", "value")
+    val plan = AsOfJoin
+      .asOf(purchases, views, Seq("user_id"), "ts", "event_id",
+        Seq("value"), Seq("user_id", "ts", "event_id"))
+      .queryExecution
+      .executedPlan
+      .toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("rangeJoin equals the direct range predicate") {
+    val ev = graft.Tables.t(spark, SparkFixture.sfDir, "events")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val bucketed = AsOfJoin
+      .rangeJoin(views, clicks, Seq("user_id"), "ts", 600000000L)
+      .select("view_id", "click_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val direct = views
+      .join(
+        clicks.withColumnRenamed("ts", "cts").withColumnRenamed("user_id", "cuid"),
+        col("user_id") === col("cuid") &&
+          unix_micros(col("cts")) >= unix_micros(col("ts")) &&
+          unix_micros(col("cts")) < unix_micros(col("ts")) + 600000000L
+      )
+      .select("view_id", "click_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(bucketed == direct)
+    assert(bucketed.nonEmpty)
+  }
+}
