@@ -1,0 +1,113 @@
+package graft.catalog
+
+/** AWS-SDK-shaped paged responses: the real Glue API returns
+  * GetDatabases/GetTables results in pages linked by NextToken, and the
+  * reference walks them via the SDK paginator (reference:
+  * src/catalog_provider/glue.rs get_tables().into_paginator()). These types
+  * mirror that wire shape without any SDK dependency, so a real-service
+  * client drops in behind [[PagedGlueApi]] unchanged.
+  */
+final case class GlueDatabasesPage(
+    databases: Seq[GlueDatabase],
+    nextToken: Option[String]
+)
+
+final case class GlueTablesPage(
+    tables: Seq[GlueTable],
+    nextToken: Option[String]
+)
+
+/** The paged Glue API surface (GetDatabases / GetTables with NextToken +
+  * MaxResults). Implementations: a real AWS-backed client out of scope here;
+  * [[graft.catalog.PagedGlueClient]] adapts any implementation to the flat
+  * [[GlueClient]] the provider consumes.
+  */
+trait PagedGlueApi {
+  def getDatabasesPage(
+      nextToken: Option[String],
+      maxResults: Int
+  ): GlueDatabasesPage
+  def getTablesPage(
+      database: String,
+      nextToken: Option[String],
+      maxResults: Int
+  ): GlueTablesPage
+}
+
+/** Drains a [[PagedGlueApi]] into the flat [[GlueClient]] — the analogue of
+  * the SDK's paginator loop. Detects token cycles (a misbehaving backend
+  * echoing the same NextToken) instead of spinning forever.
+  */
+final class PagedGlueClient(api: PagedGlueApi, pageSize: Int = 100)
+    extends GlueClient {
+  require(pageSize >= 1, "pageSize must be >= 1")
+
+  private def drain[T](fetch: Option[String] => (Seq[T], Option[String])): Seq[T] = {
+    val out = Seq.newBuilder[T]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var token: Option[String] = None
+    var first = true
+    while (first || token.isDefined) {
+      first = false
+      token.foreach { t =>
+        if (!seen.add(t))
+          throw new GlueCatalogException(
+            s"Glue pagination cycle: NextToken '$t' repeated"
+          )
+      }
+      val (items, next) = fetch(token)
+      out ++= items
+      token = next
+    }
+    out.result()
+  }
+
+  override def getDatabases(): Seq[GlueDatabase] =
+    drain { t =>
+      val p = api.getDatabasesPage(t, pageSize)
+      (p.databases, p.nextToken)
+    }
+
+  override def getTables(database: String): Seq[GlueTable] =
+    drain { t =>
+      val p = api.getTablesPage(database, t, pageSize)
+      (p.tables, p.nextToken)
+    }
+}
+
+/** In-memory paged backend for tests: serves an underlying table list in
+  * pages of `pageSize`, with opaque numeric tokens — behaves like the real
+  * service including the absent-token first call and null token on the last
+  * page. Counts calls so specs can assert the paginator actually paged. */
+final class InMemoryPagedGlueApi(tables: Seq[GlueTable]) extends PagedGlueApi {
+  @volatile var databaseCalls: Int = 0
+  @volatile var tableCalls: Int = 0
+
+  private def slice[T](all: Seq[T], token: Option[String], max: Int): (Seq[T], Option[String]) = {
+    val start = token.map(_.toInt).getOrElse(0)
+    val page = all.slice(start, start + max)
+    val next = if (start + max < all.length) Some((start + max).toString) else None
+    (page, next)
+  }
+
+  override def getDatabasesPage(
+      nextToken: Option[String],
+      maxResults: Int
+  ): GlueDatabasesPage = {
+    databaseCalls += 1
+    val dbs = tables.map(_.databaseName).distinct.map(GlueDatabase)
+    val (page, next) = slice(dbs, nextToken, maxResults)
+    GlueDatabasesPage(page, next)
+  }
+
+  override def getTablesPage(
+      database: String,
+      nextToken: Option[String],
+      maxResults: Int
+  ): GlueTablesPage = {
+    tableCalls += 1
+    val (page, next) =
+      slice(tables.filter(_.databaseName == database), nextToken, maxResults)
+    GlueTablesPage(page, next)
+  }
+}

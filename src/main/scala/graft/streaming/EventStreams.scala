@@ -71,6 +71,41 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Stream-stream interval join: each click attributed to the views it
+    * follows within `windowSeconds`, per user. Both sides carry watermarks
+    * and the join condition is a bounded time range, so Spark derives state
+    * retention for BOTH sides (a view is held only until its attribution
+    * window passes the watermark; a click only until it cannot match an
+    * in-flight view) — state stays bounded at any input rate, sharded by the
+    * join key. */
+  def clickAttribution(
+      views: DataFrame,
+      clicks: DataFrame,
+      watermark: String = "10 minutes",
+      windowSeconds: Long = 600L
+  ): DataFrame = {
+    val v = views
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id"),
+        col("ts").as("view_ts"),
+        col("event_id").as("view_id")
+      )
+    val c = clicks
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"),
+        col("event_id").as("click_id")
+      )
+    v.join(
+      c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowSeconds SECONDS")
+    ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+  }
+
   /** Gap-based sessionization with custom state: a session closes when no
     * event arrives for `gapSeconds` (event time). Emitted on event-time
     * timeout; state per user, sharded by the grouping key. */

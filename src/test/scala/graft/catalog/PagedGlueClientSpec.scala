@@ -1,0 +1,52 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PagedGlueClientSpec extends AnyFunSuite {
+
+  private val ParquetSd = GlueStorageDescriptor(
+    location = "/tmp/none",
+    inputFormat = "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+    outputFormat = "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+    serdeInfo = GlueSerDeInfo(
+      "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+    ),
+    columns = Seq(GlueColumn("x", "bigint"))
+  )
+
+  private def table(db: String, name: String) =
+    GlueTable(db, name, ParquetSd)
+
+  test("paginator drains every page in order") {
+    val tables = (1 to 7).map(i => table("db1", s"t$i")) ++
+      Seq(table("db2", "u1"))
+    val api = new InMemoryPagedGlueApi(tables)
+    val client = new PagedGlueClient(api, pageSize = 2)
+
+    val got = client.getTables("db1")
+    assert(got.map(_.name) == (1 to 7).map(i => s"t$i"))
+    assert(api.tableCalls == 4, s"7 tables / page 2 = 4 calls, got ${api.tableCalls}")
+
+    assert(client.getDatabases().map(_.name) == Seq("db1", "db2"))
+    assert(client.getTables("db2").map(_.name) == Seq("u1"))
+    assert(client.getTable("db1", "t5").name == "t5")
+  }
+
+  test("empty database yields one page and no tables") {
+    val api = new InMemoryPagedGlueApi(Seq(table("db1", "t1")))
+    val client = new PagedGlueClient(api, pageSize = 10)
+    assert(client.getTables("nope").isEmpty)
+  }
+
+  test("a backend echoing the same NextToken is detected, not looped") {
+    val api = new PagedGlueApi {
+      override def getDatabasesPage(t: Option[String], m: Int) =
+        GlueDatabasesPage(Seq(GlueDatabase("db")), Some("stuck"))
+      override def getTablesPage(db: String, t: Option[String], m: Int) =
+        GlueTablesPage(Seq.empty, Some("stuck"))
+    }
+    val client = new PagedGlueClient(api)
+    val e = intercept[GlueCatalogException](client.getDatabases())
+    assert(e.getMessage.contains("stuck"))
+  }
+}

@@ -126,6 +126,50 @@ class EventStreamsSpec extends AnyFunSuite {
     )
   }
 
+  test("stream-stream interval join attributes clicks to in-window views") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams
+      .clickAttribution(
+        views.toDF(),
+        clicks.toDF(),
+        watermark = "2 minutes",
+        windowSeconds = 600L
+      )
+      .writeStream
+      .format("memory")
+      .queryName("attribution")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      views.addData(
+        ev(10, ts(0), user = 1L, typ = "view"),
+        ev(11, ts(20), user = 2L, typ = "view")
+      )
+      clicks.addData(
+        ev(20, ts(5), user = 1L),  // 5 min after view 10 -> attributed
+        ev(21, ts(15), user = 1L), // 15 min after view 10 -> outside window
+        ev(22, ts(25), user = 2L)  // 5 min after view 11 -> attributed
+      )
+      q.processAllAvailable()
+      // push watermark forward so all joinable pairs are final
+      views.addData(ev(98, ts(59), user = 99L, typ = "view"))
+      clicks.addData(ev(99, ts(59), user = 99L))
+      q.processAllAvailable()
+      val pairs = spark
+        .table("attribution")
+        .select("view_id", "click_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(pairs.contains((10L, 20L)))
+      assert(pairs.contains((11L, 22L)))
+      assert(!pairs.contains((10L, 21L)))
+    } finally q.stop()
+  }
+
   test("file sink exactly-once across restart: no dupes, no loss") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
