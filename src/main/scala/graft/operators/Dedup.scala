@@ -132,6 +132,11 @@ object Dedup {
     implicit val spark: SparkSession = docs.sparkSession
     // Jaccard over 64-bit shingle hashes == Jaccard over the shingle strings
     // (collisions ~n²/2⁶⁴) — and set ops on longs are far cheaper.
+    // Shingles are recomputed by the candidate branch and this verification
+    // branch. Measured (sf0.1): materializing them once via localCheckpoint
+    // costs MORE than the recompute — the kernel is cheap, block write/read
+    // is not. On a cluster where the text scan dominates (remote storage),
+    // flip that trade by persisting `shingles` MEMORY_AND_DISK.
     val shingles = docs.select(
       col(idCol),
       array_distinct(
