@@ -953,6 +953,51 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- B50: pivot — wide conditional aggregation with explicit pivot
+    // values (explicit list keeps the plan a single pass, no values-discovery
+    // job, and makes the output schema deterministic for the oracle).
+    "q_pivot" -> { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot(
+          "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        )
+        .count()
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- B51: RANGE-frame window — 7-day moving revenue over the daily
+    // series. Range frames bound state by event-time distance, the window
+    // shape rolling metrics need; day count per partition is bounded so the
+    // single unpartitioned window is safe (pre-aggregated input).
+    "q_window_range" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("rev"))
+      val w = Window.orderBy(unix_date(col("day"))).rangeBetween(-6, 0)
+      daily
+        .select(
+          col("day"),
+          round(sum(col("rev")).over(w), 2).cast("double").as("mov7")
+        )
+        .orderBy("day")
+    },
+
+    // ---- B52: sketch aggregates (rows-only: HLL/KLL internals are
+    // engine-specific; the spec asserts error bounds against exact values).
+    "q_approx_stats" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95")
+        )
+        .orderBy("event_type")
+    },
+
     // ---- B48: as-of join (see operators.AsOfJoin): every purchase event
     // aligned to the user's most recent prior-or-equal view. One keyed
     // shuffle + sort, no range cross-join.
@@ -1800,6 +1845,28 @@ object SparkEntry {
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_window_range" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT day,
+        |  CAST(round(sum(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS DOUBLE) AS mov7
+        |FROM d
+        |ORDER BY day""".stripMargin,
     "q_asof_join" ->
       // same union-merge formulation; per-column last_value is safe here
       // because the view payload has no nulls

@@ -16,7 +16,10 @@ class QueriesSpec extends AnyFunSuite {
       "q_info_tables", "q_info_columns",
       // sketch internals not expressible in portable SQL (see SURVEY §6)
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "ann_lsh",
-      "ann_ivf", "multimodal_features"
+      "ann_ivf", "multimodal_features",
+      // sketch aggregates: HLL/KLL internals are engine-specific; bounds
+      // asserted in the spec below instead
+      "q_approx_stats"
     )
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
@@ -70,6 +73,32 @@ class QueriesSpec extends AnyFunSuite {
       .head
     val (exact, approx) = (r.getLong(0), r.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
+  test("q_approx_stats sketches land within tolerance of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, SparkFixture.sfDirMid, "events")
+    val approx = SparkEntry
+      .queries("q_approx_stats")(spark, SparkFixture.sfDirMid)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    for ((t, (u, p50, p95)) <- exact) {
+      val (au, ap50, ap95) = approx(t)
+      assert(math.abs(au - u).toDouble / u < 0.05, s"$t users $au vs $u")
+      assert(math.abs(ap50 - p50) / math.max(p50.abs, 1e-9) < 0.05, s"$t p50")
+      assert(math.abs(ap95 - p95) / math.max(p95.abs, 1e-9) < 0.05, s"$t p95")
+    }
   }
 
   test("q_topk uses TakeOrderedAndProject (no global sort)") {
