@@ -953,6 +953,53 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- B53: distribution window functions (ntile / cume_dist /
+    // percent_rank) — exact rational outputs, engine-portable.
+    "q_window_distribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+      T(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          col("s_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(percent_rank().over(w), 6).as("pr")
+        )
+        .orderBy("s_suppkey")
+    },
+
+    // ---- B54: ordered string aggregation (listagg): deterministic because
+    // the member list is sorted before joining.
+    "q_listagg" -> { (s, dir) =>
+      T(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("c_name"))), ",").as("members"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("c_nationkey")
+    },
+
+    // ---- B55: per-group mode via explicit argmax (count desc, value desc) —
+    // built-in mode() tie-breaking differs across engines, the window
+    // formulation is deterministic on both.
+    "q_mode" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = T(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window
+        .partitionBy("c_nationkey")
+        .orderBy(col("n").desc, col("c_mktsegment").desc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("mode_seg"), col("n"))
+        .orderBy("c_nationkey")
+    },
+
     // ---- B50: pivot — wide conditional aggregation with explicit pivot
     // values (explicit list keeps the plan a single pass, no values-discovery
     // job, and makes the output schema deterministic for the oracle).
@@ -1845,6 +1892,34 @@ object SparkEntry {
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "q_window_distribution" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_listagg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS members,
+        |  count(*) AS n
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment DESC) AS rn
+        |  FROM c
+        |)
+        |SELECT c_nationkey, c_mktsegment AS mode_seg, n
+        |FROM r WHERE rn = 1
+        |ORDER BY c_nationkey""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
