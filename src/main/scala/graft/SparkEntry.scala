@@ -953,6 +953,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- B56: two-phase salted aggregation (operators.Salt) — the
+    // heavy-hitter-key pattern, oracle-checked against the direct groupBy
+    // (identical results for decomposable aggregates; decimal-exact sums so
+    // both phases are order-independent).
+    "q_salted_agg" -> { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+        .select(
+          col("l_suppkey"),
+          col("l_quantity").cast("decimal(30,10)").as("qty_dec")
+        )
+      operators.Salt
+        .saltedSum(li, Seq("l_suppkey"), "qty_dec", salts = 8)
+        .select(
+          col("l_suppkey"),
+          round(col("sum_qty_dec"), 2).cast("double").as("sum_qty")
+        )
+        .orderBy("l_suppkey")
+    },
+
     // ---- B53: distribution window functions (ntile / cume_dist /
     // percent_rank) — exact rational outputs, engine-portable.
     "q_window_distribution" -> { (s, dir) =>
@@ -1892,6 +1911,14 @@ object SparkEntry {
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "q_salted_agg" ->
+      // the direct (unsalted) aggregation — proves the two-phase salted plan
+      // computes the same result
+      """SELECT l_suppkey,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
     "q_window_distribution" ->
       """SELECT s_suppkey, s_nationkey,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
