@@ -953,6 +953,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- C17: incremental (batch-vs-corpus) dedup — odd doc_ids are the
+    // incoming batch, even doc_ids the reference corpus. The oracle
+    // re-derives the kept set with a direct O(|in|·|ref|) Jaccard join, so
+    // the gate proves the LSH candidate path finds every cross-corpus
+    // near-dup at the threshold.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val reference = docs.filter(col("doc_id") % 2 === 0)
+      operators.Dedup
+        .dedupAgainstCorpus(incoming, reference, "text", "doc_id", threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- B56: two-phase salted aggregation (operators.Salt) — the
     // heavy-hitter-key pattern, oracle-checked against the direct groupBy
     // (identical results for decomposable aggregates; decimal-exact sums so
@@ -1910,6 +1925,28 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS fingerprint,
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM t
+        |), matched AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |   AND (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |        ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |             / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.8
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND doc_id NOT IN (SELECT doc_id FROM matched)
         |ORDER BY doc_id""".stripMargin,
     "q_salted_agg" ->
       // the direct (unsalted) aggregation — proves the two-phase salted plan

@@ -176,6 +176,67 @@ object Dedup {
     ConnectedComponents.run(pairs, docs.select(col(idCol).as("id")), "id")
   }
 
+  /** Incremental (batch-vs-corpus) dedup: drop from `incoming` every doc
+    * that is a near-duplicate (n-gram Jaccard >= threshold) of some doc in
+    * `reference` — the ingestion-time shape: the reference corpus is large
+    * and already deduplicated, the incoming batch is comparatively small.
+    *
+    * Same LSH machinery as [[nearDupPairs]], but candidates come from an
+    * equi-join of the two sides' band buckets, so cost scales with the
+    * incoming batch (+ one pass over the reference for sketches), never
+    * |incoming| × |reference|. In production the reference side's band table
+    * is precomputed once and reused across batches.
+    */
+  def dedupAgainstCorpus(
+      incoming: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    implicit val spark: SparkSession = incoming.sparkSession
+    def bandTable(df: DataFrame) = minhashBands(
+      minhashSignatures(df, textCol, idCol, shingleK, numHashes),
+      idCol,
+      numHashes,
+      bands
+    )
+    def shingleTable(df: DataFrame) = df.select(
+      col(idCol),
+      array_distinct(
+        GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
+      ).as("sh")
+    )
+    // candidate (incoming, reference) pairs sharing a band bucket; bucket-size
+    // cap on the reference side bounds degenerate boilerplate buckets
+    val refBands = bandTable(reference)
+      .groupBy("band", "bh")
+      .agg(collect_list(col(idCol)).as("ref_ids"))
+      .filter(size(col("ref_ids")) <= maxBucketSize)
+    val cands = bandTable(incoming)
+      .withColumnRenamed(idCol, "in_id")
+      .join(refBands, Seq("band", "bh"))
+      .select(col("in_id"), explode(col("ref_ids")).as("ref_id"))
+      .distinct()
+    val matched = cands
+      .join(
+        shingleTable(incoming).select(col(idCol).as("in_id"), col("sh").as("sh_in")),
+        "in_id"
+      )
+      .join(
+        shingleTable(reference).select(col(idCol).as("ref_id"), col("sh").as("sh_ref")),
+        "ref_id"
+      )
+      .filter(TF.jaccard(col("sh_in"), col("sh_ref")) >= threshold)
+      .select(col("in_id").as(idCol))
+      .distinct()
+    incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** SimHash sketch per document: (id, simhash). Sketched over 2-gram
     * shingles rather than single tokens: on homogeneous corpora (shared
     * vocabulary) token-level sketches collapse into a few values, which makes

@@ -76,6 +76,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("dedupAgainstCorpus drops incoming near-dups of the reference only") {
+    val reference = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact dup of 100
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),    // near dup of 100
+      (3L, "totally new content that matches nothing at all"),
+      (4L, "one two three four five six seven eight nine ten") // exact dup of 101
+    ).toDF("doc_id", "text")
+    val kept = Dedup
+      .dedupAgainstCorpus(incoming, reference, "text", "doc_id", threshold = 0.5)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(kept == Set(3L), s"kept $kept")
+    // a lower threshold with no matching shingles still keeps novel docs
+    val keptAll = Dedup
+      .dedupAgainstCorpus(
+        incoming.filter($"doc_id" === 3L),
+        reference,
+        "text",
+        "doc_id",
+        threshold = 0.3
+      )
+      .count()
+    assert(keptAll == 1L)
+  }
+
   test("oversized LSH buckets are dropped (skew guard)") {
     // 60 identical docs -> one giant bucket; cap at 10 drops it entirely
     val many = (1L to 60L).map(i => (i, "same same same same same")).toDF("doc_id", "text")
