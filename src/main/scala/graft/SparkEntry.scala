@@ -953,6 +953,52 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- C18: the composed corpus-prep flagship: exact dedup → quality
+    // gate → diversity gate → sequence packing, one declarative plan. Two
+    // shuffles total (fingerprint window, pack window) — Catalyst pipelines
+    // the scalar gates into the scans; every stage is individually oracled
+    // elsewhere and the whole chain is oracled here.
+    "docs_prepare_corpus" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = functions.TextFunctions
+      val base = T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          tf.normText(col("text")).as("norm"),
+          tf.qualityScore(col("text")).as("quality")
+        )
+        .withColumn("fp", md5(col("norm")))
+        .withColumn("w", split(col("norm"), " "))
+        .withColumn("n_tok", size(col("w")))
+        .withColumn(
+          "ttr",
+          round(size(array_distinct(col("w"))).cast("double") / col("n_tok"), 4)
+        )
+      val kept = base
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keeper"))
+        .filter(col("quality") >= 0.5 && col("ttr") >= 0.45)
+      val wp = Window
+        .partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("cum", sum(col("n_tok").cast("long")).over(wp))
+        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          col("n_tok"),
+          col("ttr"),
+          col("quality"),
+          col("pack_id")
+        )
+        .orderBy("doc_id")
+    },
+
     // ---- C17: incremental (batch-vs-corpus) dedup — odd doc_ids are the
     // incoming batch, even doc_ids the reference corpus. The oracle
     // re-derives the kept set with a direct O(|in|·|ref|) Jaccard join, so
@@ -1925,6 +1971,33 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS fingerprint,
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "docs_prepare_corpus" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), f AS (
+        |  SELECT *, md5(norm) AS fp, string_split(norm, ' ') AS w FROM n
+        |), k1 AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f
+        |), k2 AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(w) AS INTEGER) AS n_tok,
+        |    round(len(list_distinct(w))::DOUBLE / len(w), 4) AS ttr,
+        |    round(0.5 * (len(list_distinct(w))::DOUBLE / len(w))
+        |          + 0.5 * least(length(norm)::DOUBLE / 200.0, 1.0), 4) AS quality
+        |  FROM k1 WHERE doc_id = keeper
+        |), k3 AS (
+        |  SELECT * FROM k2 WHERE quality >= 0.5 AND ttr >= 0.45
+        |), p AS (
+        |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, source
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM k3
+        |)
+        |SELECT doc_id, lang, source, n_tok, ttr, quality,
+        |  (cum - n_tok) // 512 AS pack_id
+        |FROM p
         |ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH t AS (
