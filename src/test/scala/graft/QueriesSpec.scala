@@ -101,6 +101,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("docs_prepare_corpus plans two keyed shuffles (fp window, pack window)") {
+    val plan = SparkEntry
+      .queries("docs_prepare_corpus")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyed == 2, s"expected 2 keyed shuffles, got $keyed:\n${plan.take(3000)}")
+  }
+
   test("q_topk uses TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry
       .queries("q_topk_orders")(spark, dir)
