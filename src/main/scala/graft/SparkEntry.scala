@@ -713,6 +713,22 @@ object SparkEntry {
       )
     },
 
+    // ---- B57: explicit GROUPING SETS (neither rollup nor cube): chosen
+    // grouping combinations in one pass over the fact table.
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.provider(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          | CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          | count(*) AS n,
+          | CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))),2) AS DOUBLE) AS qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+      )
+    },
+
     // ---- B30: INTERSECT — nations having both customers and suppliers.
     "q_intersect" -> { (s, dir) =>
       T(s, dir, "customer")
@@ -1972,6 +1988,15 @@ object SparkEntry {
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))),2) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
     "docs_prepare_corpus" ->
       """WITH n AS (
         |  SELECT doc_id, lang, source,
