@@ -21,7 +21,19 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo(
+      "graft",
+      null,
+      name,
+      usage,
+      "",
+      "",
+      "",
+      "",
+      "4.0.0",
+      "",
+      "scala_udf"
+    )
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

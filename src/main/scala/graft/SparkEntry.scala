@@ -755,7 +755,7 @@ object SparkEntry {
       val globalAvg = ord.agg(
         sum(col("o_totalprice").cast("decimal(30,10)")).cast("double") /
           count(col("o_totalprice"))
-      ).head.getDouble(0)
+      ).head().getDouble(0)
       ord
         .filter(col("o_totalprice") > globalAvg * 1.5)
         .agg(
