@@ -209,6 +209,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
   }
 
+  test("file streaming source: parquet directory drained incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toFile
+    val src = dir.getAbsolutePath + "/in"
+    new java.io.File(src).mkdirs()
+    // two files arriving over time
+    Seq(ev(1, ts(0)), ev(2, ts(1))).toDF().write.parquet(src + "/batch1")
+    Seq(ev(3, ts(2))).toDF().write.parquet(src + "/batch2")
+    val stream = spark.readStream
+      .schema(Seq.empty[Event].toDF().schema)
+      .option("maxFilesPerTrigger", "1") // bounded per-microbatch intake
+      .parquet(src + "/*")
+    val counts = EventStreams
+      .windowedCounts(stream, watermark = "10 minutes")
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("file_src_counts")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      // nothing finalized yet (watermark), but offsets advanced through both
+      // files; complete-mode total via a second query on the same source
+      val total = spark.read.parquet(src + "/*").count()
+      assert(total == 3)
+      val progress = q.recentProgress
+      assert(progress.map(_.numInputRows).sum == 3, "stream drained all files")
+    } finally q.stop()
+  }
+
   test("batch replay of the windowed aggregation matches the events table") {
     // same plan runs in batch mode over the parquet events table
     val events = graft.Tables.t(spark, SparkFixture.sfDir, "events")
