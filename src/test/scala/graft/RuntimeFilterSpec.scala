@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Asserts Spark's runtime bloom-filter injection fires on our fact-fact
+  * join shape: a selective dimension-side filter seeds a bloom filter that
+  * prunes the fact side BEFORE the shuffle — at 100 TB this is the
+  * difference between shuffling the full fact table and shuffling only rows
+  * that can possibly join. Complements E2 (broadcast) and E6b (AQE skew):
+  * broadcast handles small sides, bloom filters handle selective-but-too-
+  * big-to-broadcast sides.
+  */
+class RuntimeFilterSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("selective fact-fact join injects a runtime bloom filter") {
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // test-scale tables are far below the production thresholds
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB"
+    )
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.t(spark, SparkFixture.sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val ord = Tables.t(spark, SparkFixture.sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val n = j.collect().length
+      assert(n > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter in plan:\n${plan.take(3000)}"
+      )
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+}
