@@ -202,6 +202,34 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(df.filter(df("bucket_no") === 7).count() == 1)
   }
 
+  test("nested struct/map/array columns round-trip through Glue type strings") {
+    val root = Files.createTempDirectory("graft_nested").toFile
+    import spark.implicits._
+    val df = Seq(
+      (1L, ("alice", 30), Map("a" -> 1.5), Seq(Seq(1, 2), Seq(3))),
+      (2L, ("bob", 40), Map("b" -> 2.5), Seq(Seq(4)))
+    ).toDF("id", "person", "scores", "matrix")
+    df.write.parquet(root.getAbsolutePath + "/nested.parquet")
+
+    val client = new LocalDirectoryGlueClient(spark, root.getAbsolutePath, "db3")
+    val cols = client.getTables("db3").head.storageDescriptor.columns
+    val byName = cols.map(c => c.name -> c.dataType).toMap
+    // synthesized Glue type STRINGS — the exact wire format the reference
+    // parses (struct<>, map<>, nested array<array<>>)
+    assert(byName("person") == "struct<_1:string,_2:int>")
+    assert(byName("scores") == "map<string,double>")
+    assert(byName("matrix") == "array<array<int>>")
+
+    // ...and the full parse → StructType → read path reproduces the data
+    val p = new GlueCatalogProvider(client, spark)
+    val back = p.registerTable("db3", "nested")
+    assert(back.schema("person").dataType.typeName == "struct")
+    assert(back.schema("scores").dataType.typeName == "map")
+    val r = back.filter(back("id") === 1L).head()
+    assert(r.getStruct(r.fieldIndex("person")).getString(0) == "alice")
+    assert(r.getMap[String, Double](r.fieldIndex("scores"))("a") == 1.5)
+  }
+
   test("information_schema.tables matches demo shape") {
     val p = newProvider()
     p.registerAll()
