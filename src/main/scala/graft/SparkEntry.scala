@@ -969,6 +969,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- C19: boilerplate span detection — 8-token spans repeated across
+    // >= 3 distinct documents (the cross-doc repeated-substring signal that
+    // drives template/boilerplate stripping). Explode is bounded by tokens
+    // per doc; the shuffle is keyed by span.
+    "text_boilerplate_spans" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(tf.wordShingles(col("text"), 8)).as("span")
+        )
+        .groupBy(col("span"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences")
+        )
+        .filter(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("span"))
+        .limit(50)
+    },
+
     // ---- C18: the composed corpus-prep flagship: exact dedup → quality
     // gate → diversity gate → sequence packing, one declarative plan. Two
     // shuffles total (fingerprint window, pack window) — Catalyst pipelines
@@ -1997,6 +2018,23 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "text_boilerplate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+7], ' ')
+        |            for i in range(1, len(w) - 6)]) AS span
+        |  FROM t
+        |)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM g
+        |GROUP BY span
+        |HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY n_docs DESC, span
+        |LIMIT 50""".stripMargin,
     "docs_prepare_corpus" ->
       """WITH n AS (
         |  SELECT doc_id, lang, source,
