@@ -230,6 +230,45 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(r.getMap[String, Double](r.fieldIndex("scores"))("a") == 1.5)
   }
 
+  test("DSv2 three-part name serves a CSV table through the serde triple") {
+    val dir = Files.createTempDirectory("graft_dsv2csv").toFile
+    val f = new java.io.File(dir, "pets.csv")
+    Files.writeString(f.toPath, "id;name\n1;rex\n2;milo\n")
+    val t = GlueTable(
+      "db9",
+      "pets",
+      GlueStorageDescriptor(
+        location = f.getAbsolutePath,
+        inputFormat = "org.apache.hadoop.mapred.TextInputFormat",
+        outputFormat =
+          "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+        serdeInfo = GlueSerDeInfo(
+          "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+          Map("field.delim" -> ";")
+        ),
+        columns = Seq(GlueColumn("id", "bigint"), GlueColumn("name", "string")),
+        parameters = Map("skip.header.line.count" -> "1")
+      )
+    )
+    GlueTableCatalog.injectClient(new InMemoryGlueClient(Seq(t)))
+    try {
+      // a SECOND catalog name, instantiated after injection (the session's
+      // main `glue` catalog instance keeps its LocalDirectory client)
+      spark.conf.set(
+        "spark.sql.catalog.glue_csv",
+        classOf[GlueTableCatalog].getName
+      )
+      val rows = spark
+        .sql("SELECT id, name FROM glue_csv.db9.pets ORDER BY id")
+        .collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "rex"), (2L, "milo")))
+    } finally {
+      GlueTableCatalog.clearInjectedClient()
+      spark.conf.unset("spark.sql.catalog.glue_csv")
+    }
+  }
+
   test("information_schema.tables matches demo shape") {
     val p = newProvider()
     p.registerAll()
