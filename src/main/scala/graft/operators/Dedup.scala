@@ -222,7 +222,10 @@ object Dedup {
       .join(refBands, Seq("band", "bh"))
       .select(col("in_id"), explode(col("ref_ids")).as("ref_id"))
       .distinct()
-    val matched = cands
+    // candidate pairs are tiny relative to both corpora: broadcast them so
+    // the two shingle verification joins stream without a shuffle (same
+    // trade as nearDupPairs)
+    val matched = broadcast(cands)
       .join(
         shingleTable(incoming).select(col(idCol).as("in_id"), col("sh").as("sh_in")),
         "in_id"
