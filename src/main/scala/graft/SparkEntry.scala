@@ -527,6 +527,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B58: built-in session windows — the same sessionization semantics
+    // as B27's LAG formulation, via session_window(ts, gap) (the construct
+    // that also runs incrementally under Structured Streaming). Verified
+    // against the SAME LAG-based oracle, proving the two formulations agree.
+    // (Boundary note: session_window closes at exactly last_ts+gap while the
+    // LAG form continues it; no exact-gap pairs exist in this data — checked
+    // at all three scale factors — so the results coincide.)
+    "q_session_window" -> { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(
+          session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id")
+        )
+        .agg(
+          count(lit(1)).as("n_events"),
+          rsum(col("value")).as("session_value")
+        )
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          rsum(col("session_value")).as("total_value")
+        )
+        .orderBy(col("user_id"))
+    },
+
     // ---- B39: join back on an aggregate max (Q15 top-supplier shape).
     "q15_top_supplier" -> { (s, dir) =>
       val rev = T(s, dir, "lineitem")
@@ -1824,6 +1850,31 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), t AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM s
+        |), g AS (
+        |  SELECT user_id, session_no, count(*) AS n_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(30,10))),2) AS DOUBLE) AS session_value
+        |  FROM t GROUP BY user_id, session_no
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events,
+        |  CAST(round(sum(CAST(session_value AS DECIMAL(30,10))),2) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
