@@ -106,6 +106,40 @@ object EventStreams {
     ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
   }
 
+  /** Incremental materialized view: maintain per-event-type running counts
+    * as a queryable parquet table, updated in place as the stream advances.
+    * Update-mode aggregation emits only the groups that changed in each
+    * micro-batch; foreachBatch overwrites only THOSE partitions (dynamic
+    * partition overwrite), so maintenance cost per batch is proportional to
+    * the changed keys, not the view size — the no-Delta incremental-MV
+    * pattern. Restart-safe: the checkpoint replays the last uncommitted
+    * batch and the overwrite is idempotent per partition.
+    */
+  def maintainTypeCountsView(
+      events: DataFrame,
+      outPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")), 2)
+          .cast("double")
+          .as("total_value")
+      )
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type")
+          .parquet(outPath)
+      }
+      .start()
+
   /** Gap-based sessionization with custom state: a session closes when no
     * event arrives for `gapSeconds` (event time). Emitted on event-time
     * timeout; state per user, sharded by the grouping key. */

@@ -209,6 +209,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
   }
 
+  test("incremental materialized view: only changed partitions rewritten") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toFile
+    val out = dir.getAbsolutePath + "/view"
+    val ckpt = dir.getAbsolutePath + "/ckpt"
+    val input = MemoryStream[Event]
+    val q = EventStreams.maintainTypeCountsView(input.toDF(), out, ckpt)
+    try {
+      input.addData(
+        ev(1, ts(0), typ = "click", v = 1.0),
+        ev(2, ts(1), typ = "click", v = 2.0),
+        ev(3, ts(2), typ = "view", v = 5.0)
+      )
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(out).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(v1 == Map("click" -> 2L, "view" -> 1L))
+      val viewFile1 = new java.io.File(out, "event_type=view")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+      // only 'click' changes; the 'view' partition's files must survive
+      input.addData(ev(4, ts(3), typ = "click", v = 3.0))
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(out).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(v2 == Map("click" -> 3L, "view" -> 1L))
+      val viewFile2 = new java.io.File(out, "event_type=view")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(viewFile1 == viewFile2, "unchanged partition was rewritten")
+    } finally q.stop()
+  }
+
   test("file streaming source: parquet directory drained incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toFile
