@@ -527,6 +527,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- B59: the DSv2 catalog path under the oracle gate — the same
+    // engine surface through `SELECT ... FROM <catalog>.<db>.<table>`
+    // three-part names (GlueTableCatalog), proving the DataSource-V2 route
+    // serves byte-identical data, not just the temp-view route.
+    "q_dsv2_catalog" -> { (s, dir) =>
+      s.conf.set(
+        "spark.sql.catalog.glue_v",
+        "graft.catalog.GlueTableCatalog"
+      )
+      s.conf.set("spark.sql.catalog.glue_v.root", dir)
+      s.sql(
+        """SELECT r_name, count(*) AS n_nations,
+          | CAST(round(sum(CAST(s_acctbal AS DECIMAL(30,10))),2) AS DOUBLE) AS total_bal
+          |FROM glue_v.graft.region
+          |JOIN glue_v.graft.nation ON n_regionkey = r_regionkey
+          |JOIN glue_v.graft.supplier ON s_nationkey = n_nationkey
+          |GROUP BY r_name
+          |ORDER BY r_name""".stripMargin
+      )
+    },
+
     // ---- B58: built-in session windows — the same sessionization semantics
     // as B27's LAG formulation, via session_window(ts, gap) (the construct
     // that also runs incrementally under Structured Streaming). Verified
@@ -2095,6 +2116,14 @@ object SparkEntry {
         |  CAST(length(norm) AS INTEGER) AS n_chars_norm
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "q_dsv2_catalog" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(30,10))),2) AS DOUBLE) AS total_bal
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
