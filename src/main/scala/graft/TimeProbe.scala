@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one query (arg 1) at a given SF dir (arg 2), n runs (arg 3). */
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q_dsv2_catalog")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"TIME $name run$i: $sec%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

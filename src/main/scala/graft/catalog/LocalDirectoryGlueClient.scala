@@ -44,8 +44,30 @@ final class LocalDirectoryGlueClient(
 
   override def getDatabases(): Seq[GlueDatabase] = Seq(GlueDatabase(database))
 
+  // Memoized catalog snapshot. Building a GlueTable entry costs a schema
+  // inference + a footer read per table, and the GlueClient.getTable default
+  // resolves ONE table by listing ALL of them — uncached, a 3-table query
+  // paid ~30 schema inferences (~2s measured at sf0.1; BENCH_r02
+  // q_dsv2_catalog). Real Glue deployments cache GetTables responses for the
+  // same reason (API rate limits at cluster scale); call [[refresh]] after
+  // adding/altering tables under `root` to invalidate.
+  @volatile private var snapshot: Option[Seq[GlueTable]] = None
+
+  /** Drop the memoized table list so the next call re-scans the directory. */
+  def refresh(): Unit = snapshot = None
+
   override def getTables(db: String): Seq[GlueTable] = {
     if (db != database) return Seq.empty
+    snapshot match {
+      case Some(ts) => ts
+      case None =>
+        val ts = scanTables()
+        snapshot = Some(ts)
+        ts
+    }
+  }
+
+  private def scanTables(): Seq[GlueTable] = {
     val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
     entries.toSeq
       .filter(f =>
