@@ -1512,6 +1512,186 @@ object SparkEntry {
         .groupBy(col("s_name"))
         .agg(sum(col("n_late_items")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // ---- B60: MERGE/upsert (CDC apply) — a change batch with inserts,
+    // updates and deletes applied to the orders snapshot in ONE keyed
+    // full-outer join (operators.Merge.applyCdc). The oracle re-derives the
+    // merge with a plain FULL JOIN + coalesce.
+    "q_merge_upsert" -> { (s, dir) =>
+      val base = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = base
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit("U").as("op")
+        )
+      val inserts = base
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(
+          (col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          lit("I").as("o_orderstatus"),
+          col("o_totalprice"),
+          lit("I").as("op")
+        )
+      val deletes = base
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(
+          col("o_orderkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit("D").as("op")
+        )
+      operators.Merge
+        .applyCdc(base, updates.unionByName(inserts).unionByName(deletes), Seq("o_orderkey"))
+        .filter(col("o_orderkey") % 17 === 0)
+        .orderBy("o_orderkey")
+    },
+
+    // ---- B61: SCD type-2 dimension build (operators.Merge.scd2) — version
+    // rows with validity intervals from the purchase change log; lead()
+    // window per key, tie-broken by event_id.
+    "q_scd2_dimension" -> { (s, dir) =>
+      val log = T(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") % 50 === 0)
+        .select("user_id", "event_id", "ts", "value")
+      operators.Merge
+        .scd2(log, "user_id", "ts", "event_id")
+        .select("user_id", "version", "valid_from", "valid_to", "is_current", "value")
+        .orderBy("user_id", "version")
+    },
+
+    // ---- B62: equi-width histogram over a broadcast min/max scalar —
+    // two scans total (one for the stats, one for the bucketing), no shuffle
+    // beyond the 10-row aggregate.
+    "q_price_histogram" -> { (s, dir) =>
+      val o = T(s, dir, "orders")
+      val stats = o.agg(
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx")
+      )
+      o.crossJoin(broadcast(stats))
+        .select(
+          least(
+            lit(9L),
+            floor((col("o_totalprice") - col("mn")) * lit(10.0) / (col("mx") - col("mn")))
+          ).as("bucket"),
+          col("o_totalprice")
+        )
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), rsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket")
+    },
+
+    // ---- C20: deterministic train/val/test split + shard assignment via
+    // md5 hex nibbles — stable under retries/replays (no rand()), uniformly
+    // distributed, and portable (md5 is identical across engines). First
+    // nibble picks the split (12/2/2 of 16), second picks 1 of 16 shards.
+    "docs_split_shard" -> { (s, dir) =>
+      val h = md5(col("doc_id").cast("string"))
+      val c1 = substring(h, 1, 1)
+      T(s, dir, "documents")
+        .select(
+          when(c1.isin("c", "d"), "val")
+            .when(c1.isin("e", "f"), "test")
+            .otherwise("train")
+            .as("split"),
+          substring(h, 2, 1).as("shard"),
+          col("n_chars")
+        )
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "shard")
+    },
+
+    // ---- C21: per-domain cap — keep each (source, lang)'s top-5 documents
+    // by quality score (dedup against over-represented domains). The
+    // row_number idiom is TopKRewriteRule's input shape, so it plans as a
+    // bounded heap per group, not a full sort.
+    "docs_domain_cap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = functions.TextFunctions
+      val w = Window.partitionBy("source", "lang").orderBy(col("quality").desc, col("doc_id"))
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("lang"),
+          tf.qualityScore(col("text")).as("quality")
+        )
+        .withColumn("cap_rank", row_number().over(w).cast("long"))
+        .filter(col("cap_rank") <= 5)
+        .orderBy("source", "lang", "cap_rank")
+    },
+
+    // ---- C22: benchmark decontamination — training docs sharing 5-gram
+    // shingles with the eval set (doc_id % 5 == 0), counted on hashed
+    // shingles with the eval shingle set broadcast
+    // (operators.Decontaminate). Oracle re-derives on shingle STRINGS.
+    "docs_decontaminate" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      operators.Decontaminate
+        .overlaps(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0),
+          "text",
+          "doc_id",
+          k = 5
+        )
+        .orderBy("doc_id")
+    },
+
+    // ---- C23: tf-idf top terms per document — the keyword-extraction /
+    // relevance-scoring pass. Counts are exact integers; the only double is
+    // the final score, quantized to 6 decimals on both engines BEFORE
+    // ranking so ulp-level ln() differences cannot flip an order.
+    "text_tfidf_terms" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tfn = functions.TextFunctions
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), explode(tfn.wsTokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val nDocs = toks.agg(countDistinct(col("doc_id")).as("nd"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .select(
+          col("doc_id"),
+          col("term"),
+          col("tf"),
+          col("df"),
+          round(col("tf") * log(col("nd").cast("double") / col("df")), 6).as("score")
+        )
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5 && col("doc_id") < 50)
+        .orderBy("doc_id", "rn")
+    },
+
+    // ---- C24: two Lloyd iterations of k-means over the embeddings
+    // (operators.KMeans) — every step engine-portable (rounded distances,
+    // decimal-exact centroid means), so the ORACLE verifies whole
+    // iterations, not just the final labels.
+    "emb_kmeans" -> { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val c0 = operators.KMeans.seeds(e, "v", "vec_id", 8)
+      val a1 = operators.KMeans.assign(e, c0, "v", "vec_id")
+      val c1 = operators.KMeans.updateCentroids(e, a1, "v", "vec_id")
+      val a2 = operators.KMeans
+        .assign(e, c1, "v", "vec_id")
+        .withColumnRenamed("cluster", "c2")
+      a1.withColumnRenamed("cluster", "c1")
+        .join(a2, "vec_id")
+        .filter(col("vec_id") < 100)
+        .orderBy("vec_id")
     }
   )
 
@@ -2403,6 +2583,174 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name""".stripMargin
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice, 'U' AS op
+        |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_totalprice, 'I'
+        |  FROM base WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 'D'
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |), merged AS (
+        |  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |         coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice
+        |  FROM base b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |  WHERE c.op IS NULL OR c.op <> 'D'
+        |)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+        |WHERE o_orderkey % 17 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2_dimension" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 50 = 0
+        |)
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current,
+        |  value
+        |FROM log
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "q_price_histogram" ->
+      """WITH s AS (
+        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+        |)
+        |SELECT
+        |  CAST(least(9, floor((o_totalprice - mn) * 10.0 / (mx - mn))) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS total
+        |FROM orders, s
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "docs_split_shard" ->
+      """WITH d AS (
+        |  SELECT md5(CAST(doc_id AS VARCHAR)) AS h, n_chars FROM documents
+        |)
+        |SELECT CASE WHEN substr(h,1,1) IN ('c','d') THEN 'val'
+        |            WHEN substr(h,1,1) IN ('e','f') THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  substr(h,2,1) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "docs_domain_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, source, lang, norm, string_split(norm, ' ') AS w FROM t
+        |), q AS (
+        |  SELECT doc_id, source, lang,
+        |    round(0.5 * (CASE WHEN len(w) = 0 THEN 0.0
+        |                 ELSE len(list_distinct(w))::DOUBLE / len(w) END)
+        |        + 0.5 * least(length(norm)::DOUBLE / 200.0, 1.0), 4) AS quality
+        |  FROM u
+        |), r AS (
+        |  SELECT doc_id, source, lang, quality,
+        |    row_number() OVER (PARTITION BY source, lang
+        |                       ORDER BY quality DESC, doc_id) AS cap_rank
+        |  FROM q
+        |)
+        |SELECT doc_id, source, lang, quality, cap_rank FROM r
+        |WHERE cap_rank <= 5
+        |ORDER BY source, lang, cap_rank""".stripMargin,
+    "docs_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                   for i in range(1, len(w)-3)]) AS s
+        |  FROM t
+        |), ev AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 5 = 0
+        |), tr AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 <> 0
+        |)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id
+        |ORDER BY tr.doc_id""".stripMargin,
+    "text_tfidf_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(w) AS term FROM t
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS nd FROM tok
+        |), scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln(nd::DOUBLE / df), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, score, rn FROM r
+        |WHERE rn <= 5 AND doc_id < 50
+        |ORDER BY doc_id, rn""".stripMargin,
+    "emb_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+        |), d1 AS (
+        |  SELECT e.vec_id, c0.cid,
+        |    round(list_sum([ (e.v[i]-c0.cv[i])*(e.v[i]-c0.cv[i])
+        |                     for i in range(1, len(e.v)+1)]), 4) AS d
+        |  FROM e, c0
+        |), a1 AS (
+        |  SELECT vec_id, cid AS c1 FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d1
+        |  ) WHERE rn = 1
+        |), x AS (
+        |  SELECT a1.c1, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+        |  FROM e JOIN a1 USING (vec_id)
+        |), m AS (
+        |  SELECT c1, pos,
+        |    round(CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS mv
+        |  FROM x GROUP BY c1, pos
+        |), c1t AS (
+        |  SELECT c1 AS cid, array_agg(mv ORDER BY pos) AS cv FROM m GROUP BY c1
+        |), d2 AS (
+        |  SELECT e.vec_id, c1t.cid,
+        |    round(list_sum([ (e.v[i]-c1t.cv[i])*(e.v[i]-c1t.cv[i])
+        |                     for i in range(1, len(e.v)+1)]), 4) AS d
+        |  FROM e, c1t
+        |), a2 AS (
+        |  SELECT vec_id, cid AS c2 FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d2
+        |  ) WHERE rn = 1
+        |)
+        |SELECT a1.vec_id, a1.c1, a2.c2
+        |FROM a1 JOIN a2 USING (vec_id)
+        |WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the clustering
+  * pass a training-data pipeline runs for corpus analysis / stratification
+  * (complements [[SimilaritySearch.ivfCentroids]], which is the
+  * cosine/float flavor feeding the IVF ANN index; this one is squared-
+  * euclidean in double precision with every step engine-portable, so whole
+  * iterations are verifiable against an external SQL oracle).
+  *
+  * Scale design (100 TB): k centroids are a handful of rows — every
+  * assignment is a broadcast cross-join (k rows) over one corpus scan, the
+  * argmin is a per-row aggregation (no shuffle of the vectors), and the
+  * centroid update is posexplode → two keyed aggregations on (cluster, dim)
+  * — shuffle volume k×dim, independent of corpus size. Nothing ever
+  * collects to the driver.
+  *
+  * Portability discipline (mirrored in the oracle SQL): squared distances
+  * rounded to 4 decimals BEFORE the argmin with ties to the lowest centroid
+  * id; centroid means via exact DECIMAL(30,10) summation rounded to 6 — so
+  * float summation order can flip neither an assignment nor a coordinate.
+  */
+object KMeans {
+
+  /** Left-fold sum of squared differences of two double arrays. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  /** Nearest-centroid id per point under rounded squared-euclidean distance.
+    * `cents`: (cid, cv array<double>). Output: (idCol, cluster). */
+  def assign(
+      points: DataFrame,
+      cents: DataFrame,
+      vecCol: String,
+      idCol: String
+  ): DataFrame =
+    points
+      .crossJoin(broadcast(cents))
+      .select(
+        col(idCol),
+        col("cid"),
+        round(sqDist(col(vecCol).cast("array<double>"), col("cv")), 4).as("d")
+      )
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col(idCol), col("best.cid").as("cluster"))
+
+  /** Deterministic seeds: the k lowest-id vectors as (cid = id, cv).
+    * orderBy+limit plans TakeOrderedAndProject — no global sort. */
+  def seeds(points: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
+    points
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+
+  /** One Lloyd update: per-dimension mean (exact decimal sum, rounded to 6)
+    * of each cluster's members. Clusters that lost all members disappear. */
+  def updateCentroids(
+      points: DataFrame,
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String
+  ): DataFrame =
+    points
+      .join(assigned, idCol)
+      .select(
+        col("cluster").as("cid"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x"))
+      )
+      .groupBy(col("cid"), col("pos"))
+      .agg(
+        round(sum(col("x").cast("decimal(30,10)")).cast("double") / count(lit(1)), 6)
+          .as("m")
+      )
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
+}

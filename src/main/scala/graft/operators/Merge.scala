@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture style table maintenance: MERGE/upsert semantics and
+  * slowly-changing-dimension (SCD type 2) builds, expressed as declarative
+  * joins/windows so Catalyst plans them (the reference's engine gets MERGE
+  * from the SQL frontend; Spark's OSS parquet tables have no MERGE INTO, so
+  * the library provides the equivalent dataframe transform).
+  *
+  * Scale design (100 TB): `applyCdc` is a single keyed full-outer join — the
+  * change batch is usually ≪ the base table, so with AQE the join degenerates
+  * to a cheap shuffle of the small side against a co-partitioned base; when
+  * the base is bucketed/partitioned by the key, the write-back can use
+  * dynamic partition overwrite so only touched partitions rewrite (see
+  * streaming.EventStreams incremental-MV pattern for the sink side).
+  * `scd2` is one shuffle on the dimension key and a window within it.
+  */
+object Merge {
+
+  /** Apply a CDC batch to a base snapshot.
+    *
+    * `changes` carries the same schema as `base` plus `opCol` with values
+    * 'I' (insert), 'U' (update) or 'D' (delete). Result = base with updates
+    * applied (non-key columns taken from the change row), inserts added and
+    * deletes removed — the MERGE INTO WHEN MATCHED/NOT MATCHED shape.
+    * At most one change row per key is assumed (standard CDC batch compaction
+    * — dedupe upstream with a last-wins window if not).
+    */
+  def applyCdc(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op"
+  ): DataFrame = {
+    val dataCols = base.columns.filterNot(keyCols.contains)
+    val b = base.as("b")
+    val c = changes.as("c")
+    val joinCond = keyCols
+      .map(k => col(s"b.$k") <=> col(s"c.$k"))
+      .reduce(_ && _)
+    val merged = b.join(c, joinCond, "full_outer")
+    val keep = col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D"
+    val outCols: Seq[Column] =
+      keyCols.map(k => coalesce(col(s"c.$k"), col(s"b.$k")).as(k)) ++
+        dataCols.map(d => coalesce(col(s"c.$d"), col(s"b.$d")).as(d))
+    merged.filter(keep).select(outCols: _*)
+  }
+
+  /** Plain upsert (no deletes): change rows win on key collision, new keys
+    * are appended. */
+  def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame =
+    applyCdc(base, changes.withColumn("__op", lit("U")), keyCols, "__op")
+
+  /** Build an SCD type-2 dimension from a change log: one row per observed
+    * version with its validity interval.
+    *
+    * Output = input columns + `version` (1-based, long), `valid_from`,
+    * `valid_to` (timestamp of the next version, null for the current one)
+    * and `is_current`. `tieBreak` orders simultaneous changes
+    * deterministically.
+    */
+  def scd2(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreak: String
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    log
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val evalSet = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog tonight")
+  ).toDF("doc_id", "text")
+
+  test("planted eval n-gram marks the training doc, clean docs pass") {
+    val train = Seq(
+      // contains "the quick brown fox jumps" (5-gram from the eval doc)
+      (1L, "witnesses saw the quick brown fox jumps over a fence yesterday"),
+      // no shared 5-gram
+      (2L, "completely unrelated text about distributed query engines at scale"),
+      // shares words but never five in a row
+      (3L, "the lazy brown dog sleeps while the fox watches quick birds")
+    ).toDF("doc_id", "text")
+
+    val hits = Decontaminate
+      .overlaps(train, evalSet, "text", "doc_id", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(hits.contains(1L) && hits(1L) >= 1)
+    assert(!hits.contains(2L) && !hits.contains(3L))
+
+    val clean = Decontaminate
+      .clean(train, evalSet, "text", "doc_id", k = 5)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(clean.toSeq == Seq(2L, 3L))
+  }
+
+  test("identical doc shares every shingle; n_shared counts distinct grams") {
+    val train = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val n = Decontaminate
+      .overlaps(train, evalSet, "text", "doc_id", k = 5)
+      .head()
+      .getLong(1)
+    // 10 tokens -> 6 overlapping 5-grams, all distinct
+    assert(n == 6L)
+  }
+
+  test("eval shingle side is broadcast (corpus never shuffles for the probe)") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Decontaminate
+      .overlaps(train, evalSet, "text", "doc_id", k = 5)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // two tight blobs around (0,0) and (10,10), seeds one per blob
+  private val points = Seq(
+    (0L, Seq(0.0, 0.1)),
+    (1L, Seq(10.0, 10.1)),
+    (2L, Seq(0.2, -0.1)),
+    (3L, Seq(9.8, 10.0)),
+    (4L, Seq(-0.1, 0.0)),
+    (5L, Seq(10.1, 9.9))
+  ).toDF("id", "v")
+
+  test("assign: nearest centroid wins, ties to lowest centroid id") {
+    val cents = KMeans.seeds(points, "v", "id", 2) // ids 0 (blob A), 1 (blob B)
+    val out = KMeans
+      .assign(points, cents, "v", "id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L))
+
+    // exact tie: equidistant point goes to the lower centroid id
+    val tiePoint = Seq((9L, Seq(5.0, 5.05))).toDF("id", "v")
+    val tieCents = Seq((0L, Seq(0.0, 0.1)), (1L, Seq(10.0, 10.0))).toDF("cid", "cv")
+    val t = KMeans.assign(tiePoint, tieCents, "v", "id").head()
+    assert(t.getLong(1) == 0L)
+  }
+
+  test("updateCentroids: per-dimension mean of members, 6-decimal stable") {
+    val cents = KMeans.seeds(points, "v", "id", 2)
+    val a = KMeans.assign(points, cents, "v", "id")
+    val updated = KMeans
+      .updateCentroids(points, a, "v", "id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    // blob A mean: ((0+0.2-0.1)/3, (0.1-0.1+0)/3)
+    assert(updated(0L) == Seq(0.033333, 0.0))
+    assert(updated(1L) == Seq(9.966667, 10.0))
+  }
+
+  test("one Lloyd step is a fixed point on well-separated blobs") {
+    val c0 = KMeans.seeds(points, "v", "id", 2)
+    val a1 = KMeans.assign(points, c0, "v", "id")
+    val c1 = KMeans.updateCentroids(points, a1, "v", "id")
+    val a2 = KMeans.assign(points, c1, "v", "id")
+    assert(
+      a1.orderBy("id").collect().map(_.getLong(1)).toSeq ==
+        a2.orderBy("id").collect().map(_.getLong(1)).toSeq
+    )
+  }
+
+  test("assignment broadcasts the centroids (no shuffle of the corpus)") {
+    val cents = KMeans.seeds(points, "v", "id", 2)
+    val plan =
+      KMeans.assign(points, cents, "v", "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}

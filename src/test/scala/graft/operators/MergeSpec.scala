@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("applyCdc: insert, update, delete, untouched") {
+    val base = Seq(
+      (1L, "a", 10.0),
+      (2L, "b", 20.0),
+      (3L, "c", 30.0)
+    ).toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, Some("b2"), Some(22.0), "U"), // update
+      (3L, None, None, "D"), // delete
+      (4L, Some("d"), Some(40.0), "I") // insert
+    ).toDF("k", "name", "v", "op")
+
+    val out = Merge
+      .applyCdc(base, changes, Seq("k"))
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0)))
+  }
+
+  test("applyCdc: partial update columns fall back to base (null = keep)") {
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    // update only v; name null in the change row keeps the base value
+    val changes =
+      Seq((1L, Option.empty[String], 11.0, "U")).toDF("k", "name", "v", "op")
+    val r = Merge.applyCdc(base, changes, Seq("k")).head()
+    assert(r.getString(1) == "a" && r.getDouble(2) == 11.0)
+  }
+
+  test("upsert: change rows win, new keys append") {
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val changes = Seq((2L, 25.0), (5L, 50.0)).toDF("k", "v")
+    val out = Merge
+      .upsert(base, changes, Seq("k"))
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 25.0), (5L, 50.0)))
+  }
+
+  test("scd2: validity intervals chain and only the last version is current") {
+    val log = Seq(
+      (7L, ts("2020-01-01 00:00:00"), 1L, "v1"),
+      (7L, ts("2020-02-01 00:00:00"), 2L, "v2"),
+      (7L, ts("2020-03-01 00:00:00"), 3L, "v3"),
+      (8L, ts("2020-01-15 00:00:00"), 4L, "x1")
+    ).toDF("k", "ts", "seq", "attr")
+
+    val dim = Merge.scd2(log, "k", "ts", "seq").orderBy("k", "version").collect()
+    val u7 = dim.filter(_.getLong(0) == 7L)
+    assert(u7.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    // valid_to of version n == valid_from of version n+1
+    assert(
+      u7(0).getAs[Timestamp]("valid_to") == u7(1).getAs[Timestamp]("valid_from")
+    )
+    assert(u7.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
+    val u8 = dim.filter(_.getLong(0) == 8L)
+    assert(u8.length == 1 && u8.head.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2: simultaneous changes ordered by tie-break column") {
+    val log = Seq(
+      (1L, ts("2020-01-01 00:00:00"), 2L, "late"),
+      (1L, ts("2020-01-01 00:00:00"), 1L, "early")
+    ).toDF("k", "ts", "seq", "attr")
+    val dim = Merge.scd2(log, "k", "ts", "seq").orderBy("version").collect()
+    assert(dim.map(_.getAs[String]("attr")).toSeq == Seq("early", "late"))
+  }
+
+  test("applyCdc plans one keyed join, no extra shuffle of the base") {
+    val base = Seq((1L, 10.0)).toDF("k", "v")
+    val changes = Seq((1L, 11.0, "U")).toDF("k", "v", "op")
+    val plan = Merge
+      .applyCdc(base, changes, Seq("k"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+  }
+}
