@@ -1,0 +1,123 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout maintenance for parquet table directories — the jobs a
+  * 100 TB deployment schedules continuously:
+  *
+  *  - **Compaction**: streaming sinks and frequent small batches produce
+  *    many tiny files; at scale that blows up driver-side file listing,
+  *    task scheduling (one task per tiny split) and the namenode/object-
+  *    store metadata path. Compaction rewrites a directory into
+  *    size-targeted files.
+  *  - **Sorted (clustered) layout**: parquet stores per-row-group min/max
+  *    statistics; writing a table range-partitioned + sorted on a filter
+  *    column makes those ranges disjoint, so selective scans skip whole
+  *    row groups / files instead of reading everything
+  *    ([[fileColumnStats]] exposes the footer evidence).
+  */
+object FileLayout {
+
+  /** Data file paths (parquet parts) under a table directory. */
+  def dataFiles(spark: SparkSession, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+  }
+
+  /** Total bytes of the data files under `dir`. */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+      .sum
+  }
+
+  /** Rewrite `inDir` into `outDir` with files sized toward `targetBytes`.
+    * Uses coalesce (no shuffle): input partitions merge in place, so the
+    * rewrite is a pure read+write — the right default for compaction where
+    * the data is already well-distributed. */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long
+  ): Int = {
+    val bytes = dataBytes(spark, inDir)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read
+      .parquet(inDir)
+      .coalesce(nFiles)
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+    nFiles
+  }
+
+  /** Write `df` range-partitioned into `numFiles` files, sorted within each
+    * on `sortCols` — the clustered layout that makes parquet row-group
+    * min/max stats disjoint on the sort key. */
+  def sortedWrite(
+      df: DataFrame,
+      dir: String,
+      numFiles: Int,
+      sortCols: String*
+  ): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+
+  /** Per-row-group (min, max) footer statistics of an INT64 column across
+    * the data files of `dir`: (file name, row group index, min, max).
+    * This is the exact metadata a parquet reader consults to skip row
+    * groups under a range predicate. */
+  def fileColumnStats(
+      spark: SparkSession,
+      dir: String,
+      column: String
+  ): Seq[(String, Int, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    dataFiles(spark, dir).flatMap { path =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+          case (block, i) =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .flatMap { cc =>
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) None
+                else
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (mn: java.lang.Long, mx: java.lang.Long) =>
+                      Some((path.getName, i, mn.longValue(), mx.longValue()))
+                    case _ => None
+                  }
+              }
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** True when no two (min,max) ranges overlap — the property that lets a
+    * range predicate touch at most one file/row-group run. */
+  def rangesDisjoint(stats: Seq[(String, Int, Long, Long)]): Boolean = {
+    val sorted = stats.sortBy(_._3)
+    sorted.zip(sorted.drop(1)).forall { case ((_, _, _, aMax), (_, _, bMin, _)) =>
+      aMax < bMin
+    }
+  }
+}

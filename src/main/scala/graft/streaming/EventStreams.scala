@@ -71,6 +71,15 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment: the streaming events joined to a static
+    * dimension on `joinCol`. The static side is broadcast — each micro-batch
+    * is a map-side hash join, no shuffle of the stream and no streaming
+    * state at all (the canonical shape for dimension lookups at any rate;
+    * the dim table re-reads per batch, so catalog-backed dims pick up slow
+    * metadata changes without restarting the query). */
+  def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
+    events.join(broadcast(dim), joinCol)
+
   /** Stream-stream interval join: each click attributed to the views it
     * follows within `windowSeconds`, per user. Both sides carry watermarks
     * and the join condition is a bounded time range, so Spark derives state

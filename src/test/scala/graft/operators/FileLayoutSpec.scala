@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, Tables}
+
+class FileLayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("compact: many tiny files rewrite into the size-targeted count, data intact") {
+    val root = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val tiny = s"$root/tiny"
+    val packed = s"$root/packed"
+    val docs = Tables.t(spark, SparkFixture.sfDir, "documents")
+
+    docs.repartition(40).write.parquet(tiny)
+    val before = FileLayout.dataFiles(spark, tiny).size
+    assert(before == 40)
+
+    // target far above total size -> everything packs into one file
+    FileLayout.compact(spark, tiny, packed, targetBytes = 1L << 30)
+    val after = FileLayout.dataFiles(spark, packed).size
+    assert(after == 1)
+
+    val a = spark.read.parquet(tiny).orderBy("doc_id").collect()
+    val b = spark.read.parquet(packed).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("compact: target size yields multiple balanced-enough files") {
+    val root = Files.createTempDirectory("graft_compact2").toFile.getAbsolutePath
+    val tiny = s"$root/tiny"
+    val packed = s"$root/packed"
+    val li = Tables.t(spark, SparkFixture.sfDir, "lineitem")
+    li.repartition(32).write.parquet(tiny)
+    val total = FileLayout.dataBytes(spark, tiny)
+    val planned = FileLayout.compact(spark, tiny, packed, targetBytes = total / 3)
+    assert(planned >= 3 && planned <= 4)
+    assert(FileLayout.dataFiles(spark, packed).size == planned)
+    assert(spark.read.parquet(packed).count() == li.count())
+  }
+
+  test("sortedWrite: row-group min/max ranges on the sort key are disjoint") {
+    val root = Files.createTempDirectory("graft_sorted").toFile.getAbsolutePath
+    val sortedDir = s"$root/sorted"
+    val unsortedDir = s"$root/unsorted"
+    val li = Tables
+      .t(spark, SparkFixture.sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+
+    FileLayout.sortedWrite(li, sortedDir, 4, "l_orderkey")
+    val sortedStats = FileLayout.fileColumnStats(spark, sortedDir, "l_orderkey")
+    assert(sortedStats.size >= 4)
+    assert(FileLayout.rangesDisjoint(sortedStats), sortedStats.toString)
+
+    // contrast: a hash-repartitioned write interleaves the key everywhere
+    li.repartition(4).write.parquet(unsortedDir)
+    val unsortedStats =
+      FileLayout.fileColumnStats(spark, unsortedDir, "l_orderkey")
+    assert(!FileLayout.rangesDisjoint(unsortedStats), unsortedStats.toString)
+  }
+
+  test("selective range scan over the sorted layout pushes the filter to parquet") {
+    val root = Files.createTempDirectory("graft_sorted2").toFile.getAbsolutePath
+    val dir = s"$root/sorted"
+    val li = Tables
+      .t(spark, SparkFixture.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    FileLayout.sortedWrite(li, dir, 4, "l_orderkey")
+
+    val q = spark.read.parquet(dir).filter(col("l_orderkey") === 42L)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_orderkey"), scan)
+    // correctness of the pruned read
+    assert(
+      q.count() == li.filter(col("l_orderkey") === 42L).count()
+    )
+  }
+}

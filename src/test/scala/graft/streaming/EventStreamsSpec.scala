@@ -278,4 +278,36 @@ class EventStreamsSpec extends AnyFunSuite {
     val out = EventStreams.windowedCounts(events)
     assert(out.count() > 0)
   }
+
+  test("stream-static enrich: broadcast dim join, no streaming state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[Event]
+    val q = EventStreams
+      .enrich(input.toDF(), dim, "event_type")
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ev(1, ts(0), typ = "click"),
+        ev(2, ts(1), typ = "view"),
+        ev(3, ts(2), typ = "error") // no dim row -> dropped by inner join
+      )
+      q.processAllAvailable()
+      val rows = spark
+        .table("enriched")
+        .select("event_id", "category")
+        .collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+        .toMap
+      assert(rows == Map(1L -> "interaction", 2L -> "impression"))
+      // stateless: no state store rows tracked for this query
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
