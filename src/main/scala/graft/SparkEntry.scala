@@ -907,16 +907,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // ---- C5: embedding near-dups via hyperplane LSH buckets (rows-only:
-    // bucket recall is probabilistic by design; exactness spec'd in tests).
+    // ---- C5: embedding near-dups via hyperplane LSH buckets with 1-bit
+    // multi-probe on both sides (rows-only: bucket recall is probabilistic
+    // by design; recall + degenerate-bucket bounds spec'd in tests).
     "dedup_embedding" -> { (s, dir) =>
       operators.Dedup
         .embeddingNearDups(
           T(s, dir, "embeddings"),
           "embedding",
           "vec_id",
-          threshold = 0.4,
-          numPlanes = 2
+          threshold = 0.4
         )
         .orderBy("a_id", "b_id")
     },
@@ -2715,7 +2715,9 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), c0 AS (
-        |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+        |  -- the k lowest vec_ids, exactly KMeans.seeds (orderBy(id).limit(k));
+        |  -- no assumption of a 0-based dense id domain
+        |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
         |), d1 AS (
         |  SELECT e.vec_id, c0.cid,
         |    round(list_sum([ (e.v[i]-c0.cv[i])*(e.v[i]-c0.cv[i])

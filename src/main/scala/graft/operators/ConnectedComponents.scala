@@ -44,7 +44,7 @@ object ConnectedComponents {
       if (smallGraphThreshold > 0) {
         val capped = edges
           .select(col(aCol).cast("long"), col(bCol).cast("long"))
-          .limit((smallGraphThreshold + 1).toInt)
+          .limit(math.min(smallGraphThreshold + 1, Int.MaxValue.toLong).toInt)
           .collect()
         if (capped.length <= smallGraphThreshold) Some(capped) else None
       } else None

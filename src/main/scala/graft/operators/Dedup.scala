@@ -311,31 +311,76 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed by
-    * random hyperplanes so the pair space is an equi-join per bucket. With
-    * few planes recall is high and buckets stay large; more planes trades
-    * recall for smaller buckets — at 100 TB use more planes + multi-probe. */
+    * random hyperplanes so the pair space is an equi-join per bucket.
+    *
+    * Same single-shuffle, bounded-bucket shape as [[simhashPairs]]: bucket →
+    * collect (id, vec) structs capped at `maxBucketSize` → in-bucket pair
+    * lambda with the cosine predicate INSIDE it, so shuffle and memory are
+    * proportional to the qualifying output, never to the candidate space —
+    * a degenerate bucket (boilerplate embeddings) is dropped by the cap, not
+    * exploded. Recall: each vector probes its own bucket plus every 1-bit
+    * flip; with BOTH pair members probing, any pair whose buckets differ in
+    * <= 2 of the `numPlanes` hyperplane signs still collides (A^i == B^j
+    * covers bit-distance 2, A^i == B covers 1). The cosine is accumulated in
+    * the same order as the codegen kernel (dot / (sqrt·sqrt), float→double
+    * widening), so values are bit-identical to [[GraftFunctions.cosineSim]]. */
   def embeddingNearDups(
       emb: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      numPlanes: Int = 4
+      numPlanes: Int = 8,
+      maxBucketSize: Int = 4096,
+      multiProbe: Boolean = true
   ): DataFrame = {
     implicit val spark: SparkSession = emb.sparkSession
-    val b = emb.select(
-      col(idCol),
-      col(vecCol),
-      GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
-    )
-    val l = b.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("va"))
-    val rr = b.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("vb"))
-    l.join(rr, "bucket")
-      .filter(col("a_id") < col("b_id"))
+    val base = emb
       .select(
-        col("a_id"),
-        col("b_id"),
-        round(GraftFunctions.cosineSim(col("va"), col("vb")), 4).as("cos")
+        col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket0")
       )
-      .filter(col("cos") >= threshold)
+      // norm once per vector, not once per pair; zero-norm vectors have
+      // cosine 0 to everything (kernel convention) — drop them here rather
+      // than let 0/0 produce NaN (which Spark orders ABOVE the threshold)
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (s, z) -> s + z * z))"))
+      .filter(col("nrm") > 0d)
+    val probed =
+      if (multiProbe)
+        base.select(
+          col("id"),
+          col("v"),
+          col("nrm"),
+          explode(
+            expr(
+              s"array_union(array(bucket0), " +
+                s"transform(sequence(0, ${numPlanes - 1}), " +
+                s"b -> cast(bucket0 ^ shiftleft(1, b) AS int)))"
+            )
+          ).as("bucket")
+        )
+      else base.withColumnRenamed("bucket0", "bucket")
+    val buckets = probed
+      .groupBy("bucket")
+      .agg(
+        sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
+          .as("xs")
+      )
+      .filter(size(col("xs")).between(2, maxBucketSize))
+    buckets
+      .select(
+        explode(
+          expr(
+            "flatten(transform(xs, (x, i) -> " +
+              "filter(transform(slice(xs, i + 2, size(xs)), " +
+              "y -> struct(x.id AS a_id, y.id AS b_id, " +
+              "round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0d, (s, z) -> s + z) " +
+              "/ (x.nrm * y.nrm), 4) AS cos)), " +
+              s"p -> p.cos >= $threshold)))"
+          )
+        ).as("p")
+      )
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.cos").as("cos"))
+      .distinct()
   }
 }

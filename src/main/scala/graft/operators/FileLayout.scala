@@ -45,9 +45,11 @@ object FileLayout {
   }
 
   /** Rewrite `inDir` into `outDir` with files sized toward `targetBytes`.
-    * Uses coalesce (no shuffle): input partitions merge in place, so the
-    * rewrite is a pure read+write — the right default for compaction where
-    * the data is already well-distributed. */
+    * Merging (planned files <= input partitions) uses coalesce — no shuffle,
+    * a pure read+write, the right default for compacting many small files.
+    * Splitting (planned files > input partitions, e.g. one oversized file)
+    * needs a round-robin repartition: coalesce can only merge, never split.
+    * Returns the ACTUAL number of data files written, not the plan. */
   def compact(
       spark: SparkSession,
       inDir: String,
@@ -56,13 +58,14 @@ object FileLayout {
   ): Int = {
     val bytes = dataBytes(spark, inDir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read
-      .parquet(inDir)
-      .coalesce(nFiles)
-      .write
+    val in = spark.read.parquet(inDir)
+    val sized =
+      if (nFiles > in.rdd.getNumPartitions) in.repartition(nFiles)
+      else in.coalesce(nFiles)
+    sized.write
       .mode("overwrite")
       .parquet(outDir)
-    nFiles
+    dataFiles(spark, outDir).size
   }
 
   /** Write `df` range-partitioned into `numFiles` files, sorted within each
@@ -112,12 +115,16 @@ object FileLayout {
     }
   }
 
-  /** True when no two (min,max) ranges overlap — the property that lets a
-    * range predicate touch at most one file/row-group run. */
+  /** True when no two (min,max) ranges overlap beyond a shared boundary
+    * value — the property that lets a range predicate touch at most one
+    * file/row-group run (plus its immediate neighbour at the boundary).
+    * Touching ranges (aMax == bMin) are accepted: on a non-unique sort key,
+    * rows sharing the boundary key value legitimately span adjacent row
+    * groups, and a reader still skips every non-adjacent group. */
   def rangesDisjoint(stats: Seq[(String, Int, Long, Long)]): Boolean = {
-    val sorted = stats.sortBy(_._3)
+    val sorted = stats.sortBy(s => (s._3, s._4))
     sorted.zip(sorted.drop(1)).forall { case ((_, _, _, aMax), (_, _, bMin, _)) =>
-      aMax < bMin
+      aMax <= bMin
     }
   }
 }

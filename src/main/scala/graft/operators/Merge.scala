@@ -28,6 +28,14 @@ object Merge {
     * deletes removed — the MERGE INTO WHEN MATCHED/NOT MATCHED shape.
     * At most one change row per key is assumed (standard CDC batch compaction
     * — dedupe upstream with a last-wins window if not).
+    *
+    * NULL semantics: a NULL in a change row's non-key column means "keep the
+    * base value" (coalesce), NOT "set to NULL" — the common CDC-payload
+    * convention for partial updates, but a deliberate divergence from SQL
+    * MERGE's UPDATE SET (which would assign the NULL). Callers needing
+    * set-to-NULL should carry an explicit sentinel or a struct-typed change
+    * payload. Keys join null-safely (<=>), so a NULL key in base and changes
+    * is treated as the same key.
     */
   def applyCdc(
       base: DataFrame,
@@ -50,7 +58,8 @@ object Merge {
   }
 
   /** Plain upsert (no deletes): change rows win on key collision, new keys
-    * are appended. */
+    * are appended. Inherits [[applyCdc]]'s NULL contract: a NULL non-key
+    * column in a change row keeps the base value rather than nulling it. */
   def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame =
     applyCdc(base, changes.withColumn("__op", lit("U")), keyCols, "__op")
 
