@@ -1692,6 +1692,19 @@ object SparkEntry {
         .join(a2, "vec_id")
         .filter(col("vec_id") < 100)
         .orderBy("vec_id")
+    },
+
+    // ---- A-suite: ANALYZE-style catalog statistics (catalog.TableStatistics)
+    // — exact per-column n_rows/nulls/ndv/min/max, the numbers the provider
+    // turns into broadcast decisions at registration (see
+    // TableStatisticsSpec for the plan-flip proof).
+    "q_table_stats" -> { (s, dir) =>
+      catalog.TableStatistics
+        .collect(
+          T(s, dir, "part"),
+          Seq("p_partkey", "p_brand", "p_retailprice", "p_size")
+        )
+        .orderBy("column_name")
     }
   )
 
@@ -2753,6 +2766,25 @@ object SparkEntry {
         |SELECT a1.vec_id, a1.c1, a2.c2
         |FROM a1 JOIN a2 USING (vec_id)
         |WHERE vec_id < 100
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_table_stats" -> {
+      def one(c: String, isNum: Boolean) = {
+        val minNum = if (isNum) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (isNum) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (isNum) "CAST(NULL AS VARCHAR)" else s"CAST(MIN($c) AS VARCHAR)"
+        val maxStr = if (isNum) "CAST(NULL AS VARCHAR)" else s"CAST(MAX($c) AS VARCHAR)"
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS ndv,
+           |  $minNum AS min_num, $maxNum AS max_num,
+           |  $minStr AS min_str, $maxStr AS max_str FROM part""".stripMargin
+      }
+      Seq(
+        one("p_partkey", isNum = true),
+        one("p_brand", isNum = false),
+        one("p_retailprice", isNum = true),
+        one("p_size", isNum = true)
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }
   )
 }

@@ -102,12 +102,32 @@ final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
     }
     // Partition columns are discovered from directory names; cast them to the
     // Glue-declared partition-key types so the schema matches the catalog.
-    table.partitionKeys.foldLeft(df) { (acc, pk) =>
+    val typed = table.partitionKeys.foldLeft(df) { (acc, pk) =>
       if (acc.columns.contains(pk.name))
         acc.withColumn(pk.name, col(pk.name).cast(GlueTypeParser.parse(pk.dataType)))
       else acc
     }
+    applyCatalogStatistics(table, typed)
   }
+
+  /** Catalog statistics → plan decisions: when the Glue parameters carry
+    * `spark.sql.statistics.*` stats (see [[TableStatistics]]) estimating the
+    * table at or under `spark.sql.autoBroadcastJoinThreshold`, register it
+    * with a broadcast hint, so every join against it becomes a map-side hash
+    * join regardless of how Spark estimates the files themselves (remote or
+    * heavily-compressed files routinely misestimate). This is the same
+    * decision ANALYZE-backed catalog stats drive in Spark's own CBO, applied
+    * at the point this catalog controls: registration. Threshold <= 0
+    * (broadcast disabled) suppresses the hint. */
+  private def applyCatalogStatistics(table: GlueTable, df: DataFrame): DataFrame =
+    TableStatistics.estimatedSizeInBytes(table) match {
+      case Some(size) =>
+        val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        if (threshold > 0 && size <= threshold) df.hint("broadcast") else df
+      case None => df
+    }
 
   def schemaOf(table: GlueTable): StructType =
     GlueTypeParser.toSchema(

@@ -15,7 +15,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 object GlueTableWriter {
 
   /** Write `df` to `location` in the format the serde triple implies and
-    * build the Glue metadata for it. */
+    * build the Glue metadata for it.
+    *
+    * `statsColumns` non-empty additionally runs an ANALYZE pass over those
+    * columns ([[TableStatistics.collect]]) and persists the results — plus
+    * the post-write byte size — as `spark.sql.statistics.*` table parameters,
+    * which [[GlueCatalogProvider.load]] turns into broadcast decisions at
+    * registration time. */
   def write(
       df: DataFrame,
       database: String,
@@ -24,7 +30,8 @@ object GlueTableWriter {
       format: String = "parquet",
       partitionBy: Seq[String] = Seq.empty,
       mode: SaveMode = SaveMode.Overwrite,
-      options: Map[String, String] = Map.empty
+      options: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Seq.empty
   ): GlueTable = {
     val writer = df.write.format(format).mode(mode).options(options)
     val partitioned =
@@ -76,6 +83,12 @@ object GlueTableWriter {
         Map("skip.header.line.count" -> "1")
       else Map.empty[String, String]
 
+    val statsParams =
+      if (statsColumns.isEmpty) Map.empty[String, String]
+      else
+        TableStatistics.asParameters(TableStatistics.collect(df, statsColumns)) +
+          (TableStatistics.TotalSizeParam -> bytesUnder(location).toString)
+
     GlueTable(
       databaseName = database,
       name = table,
@@ -87,7 +100,17 @@ object GlueTableWriter {
         columns = dataCols,
         parameters = headerOpt
       ),
-      partitionKeys = partCols
+      partitionKeys = partCols,
+      parameters = statsParams
     )
+  }
+
+  /** Total data bytes under `location` (recursive, commit markers excluded). */
+  private def bytesUnder(location: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      else f.length()
+    walk(new java.io.File(location))
   }
 }

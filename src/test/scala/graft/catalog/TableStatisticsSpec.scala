@@ -1,0 +1,126 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class TableStatisticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def sampleDf = Seq(
+    (1L, "ada", Some(2.5)),
+    (2L, "bob", None),
+    (3L, "ada", Some(7.5)),
+    (4L, "eve", Some(2.5))
+  ).toDF("id", "name", "score")
+
+  test("collect computes exact per-column stats") {
+    val stats = TableStatistics
+      .collect(sampleDf, Seq("id", "name", "score"))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val id = stats("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 0 && id.getLong(3) == 4)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 4.0)
+    val name = stats("name")
+    assert(name.getLong(3) == 3) // ndv
+    assert(name.getString(6) == "ada" && name.getString(7) == "eve")
+    val score = stats("score")
+    assert(score.getLong(2) == 1) // one null
+    assert(score.getLong(3) == 2) // ndv excludes null
+    assert(score.getDouble(4) == 2.5 && score.getDouble(5) == 7.5)
+  }
+
+  test("collect on an empty column list fails fast with a clear error") {
+    val e = intercept[IllegalArgumentException](
+      TableStatistics.collect(sampleDf, Seq.empty)
+    )
+    assert(e.getMessage.contains("at least one column"))
+  }
+
+  test("asParameters uses the spark.sql.statistics.* key convention") {
+    val params =
+      TableStatistics.asParameters(TableStatistics.collect(sampleDf, Seq("id", "name")))
+    assert(params(TableStatistics.NumRowsParam) == "4")
+    assert(params("spark.sql.statistics.colStats.id.distinctCount") == "4")
+    assert(params("spark.sql.statistics.colStats.id.nullCount") == "0")
+    assert(params("spark.sql.statistics.colStats.id.min") == "1.0")
+    assert(params("spark.sql.statistics.colStats.name.max") == "eve")
+  }
+
+  test("estimatedSizeInBytes prefers totalSize, falls back to numRows x width") {
+    val sd = GlueStorageDescriptor(
+      "/tmp/x",
+      "in",
+      "out",
+      GlueSerDeInfo("serde"),
+      Seq(GlueColumn("id", "bigint"), GlueColumn("name", "string"))
+    )
+    val t = GlueTable("db", "t", sd)
+    assert(TableStatistics.estimatedSizeInBytes(t).isEmpty)
+    val withRows =
+      t.copy(parameters = Map(TableStatistics.NumRowsParam -> "10"))
+    // bigint=8 + string default 20 => 28 bytes/row
+    assert(TableStatistics.estimatedSizeInBytes(withRows).contains(280L))
+    val withSize = t.copy(parameters =
+      Map(
+        TableStatistics.NumRowsParam -> "10",
+        TableStatistics.TotalSizeParam -> "999"
+      )
+    )
+    assert(TableStatistics.estimatedSizeInBytes(withSize).contains(999L))
+  }
+
+  test("catalog stats drive the broadcast decision for a registered table") {
+    val dir = Files.createTempDirectory("graft_stats").toFile
+    val dimLoc = new java.io.File(dir, "dim").getPath
+    val factLoc = new java.io.File(dir, "fact").getPath
+    val dim = (1L to 50L).map(i => (i, s"name_$i")).toDF("k", "name")
+    val fact = (1L to 500L).map(i => (i % 50 + 1, i * 1.0)).toDF("k", "v")
+    // writer persists an ANALYZE pass for the dim table
+    val dimTable = GlueTableWriter.write(
+      dim, "statsdb", "dim_s", dimLoc, statsColumns = Seq("k", "name")
+    )
+    val factTable = GlueTableWriter.write(fact, "statsdb", "fact_s", factLoc)
+    assert(dimTable.parameters(TableStatistics.NumRowsParam) == "50")
+    assert(dimTable.parameters(TableStatistics.TotalSizeParam).toLong > 0)
+
+    // Simulate the 100 TB failure mode this exists for: Spark's own file-size
+    // estimate is wildly inflated (compression factor) so it will never pick
+    // a broadcast on its own, while the catalog knows the table's true size.
+    // The plan decision must flip on exactly the catalog stats parameter.
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val oldFactor = spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+      spark.conf.set("spark.sql.sources.fileCompressionFactor", "1000000.0")
+      val noStats = new GlueCatalogProvider(
+        new InMemoryGlueClient(Seq(dimTable.copy(parameters = Map.empty), factTable)),
+        spark
+      )
+      val cold = noStats
+        .registerTable("statsdb", "fact_s")
+        .join(noStats.registerTable("statsdb", "dim_s"), "k")
+      assert(!cold.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+
+      // same files, same confs; the only change is the catalog asserting the
+      // dim's true byte size -> registration attaches the broadcast hint
+      val withStats = new GlueCatalogProvider(
+        new InMemoryGlueClient(Seq(dimTable, factTable)),
+        spark
+      )
+      val hinted = withStats
+        .registerTable("statsdb", "fact_s")
+        .join(withStats.registerTable("statsdb", "dim_s"), "k")
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(hinted.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.conf.set("spark.sql.sources.fileCompressionFactor", oldFactor)
+    }
+  }
+}
