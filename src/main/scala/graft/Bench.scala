@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query gets one untimed warmup execution first — that amortizes the
   * one-time costs a long-lived cluster would not pay per query (catalog
-  * registration, codegen compilation, JIT) — then one timed execution.
+  * registration, codegen compilation, JIT) — then the reported number is the
+  * MEDIAN of three timed executions: single-run local[32] timings carry
+  * ±20% run-to-run noise (measured across rounds), the same order as the
+  * per-round deltas being tracked; the median makes those deltas signal.
+  * Override the run count with SPARK_GRAFT_BENCH_RUNS.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,14 +29,18 @@ object Bench {
     // Warm the catalog once (registration is metadata-only but not free).
     Tables.provider(spark, sfDir)
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warmup: codegen + JIT
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val timed = Seq.fill(runs) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> timed(timed.size / 2)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

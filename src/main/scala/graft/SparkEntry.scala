@@ -43,6 +43,18 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(30,10)")).cast("double")
 
+  /** Run `sql` against the DSv2 `glue` catalog rooted at `dir`, configuring
+    * the catalog on first use (catalog instances are cached per session, so
+    * an already-configured `glue` catalog — e.g. the test fixture's — is
+    * left alone; every caller passes the same dir within one session). */
+  private def infoSchemaSql(s: SparkSession, dir: String, sql: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.catalog.glue").isEmpty) {
+      s.conf.set("spark.sql.catalog.glue", "graft.catalog.GlueTableCatalog")
+      s.conf.set("spark.sql.catalog.glue.root", dir)
+    }
+    s.sql(sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B1: wide aggregation over the fact table (TPC-H Q1 shape).
     // One shuffle on (returnflag, linestatus); partial aggregation map-side.
@@ -848,13 +860,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
 
-    // ---- B17: information_schema parity (rows-only check; the DuckDB side
-    // has no Glue catalog to mirror).
+    // ---- B17: information_schema parity, through the DSv2 catalog — the
+    // reference demo's literal `SELECT * FROM information_schema.tables`
+    // SQL (demo.rs). Oracled with the expected metadata as literal VALUES:
+    // the rows derive from the parquet schemas, which are fixed across
+    // scale factors (TESTDATA.md).
     "q_info_tables" -> { (s, dir) =>
-      Tables.provider(s, dir).informationSchemaTables()
+      infoSchemaSql(s, dir, "SELECT * FROM glue.information_schema.tables ORDER BY table_name")
     },
     "q_info_columns" -> { (s, dir) =>
-      Tables.provider(s, dir).informationSchemaColumns()
+      infoSchemaSql(
+        s,
+        dir,
+        "SELECT * FROM glue.information_schema.columns ORDER BY table_name, ordinal_position"
+      )
     },
 
     // ---- C1: exact dedup groups by md5 content fingerprint.
@@ -1692,6 +1711,61 @@ object SparkEntry {
         .join(a2, "vec_id")
         .filter(col("vec_id") < 100)
         .orderBy("vec_id")
+    },
+
+    // ---- A4 activated: an avro-backed Glue table read end-to-end through
+    // the serde-triple dispatch (GlueFormats -> graft.sources.AvroRead).
+    // Fixture: nation rewritten as avro container files, then served by a
+    // fresh provider off an InMemory catalog; the oracle reads the SAME
+    // rows from the parquet twin, so a hash match proves the avro path
+    // returns byte-identical data.
+    "q_avro_scan" -> { (s, dir) =>
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_avro_scan_${math.abs(dir.hashCode)}"
+      ).getPath
+      sources.AvroRead.write(T(s, dir, "nation"), tmp)
+      val table = catalog.GlueTable(
+        "avrodb",
+        "nation_avro",
+        catalog.GlueStorageDescriptor(
+          location = tmp,
+          inputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+          outputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+          serdeInfo =
+            catalog.GlueSerDeInfo("org.apache.hadoop.hive.serde2.avro.AvroSerDe"),
+          columns = Seq(
+            catalog.GlueColumn("n_nationkey", "int"),
+            catalog.GlueColumn("n_name", "string"),
+            catalog.GlueColumn("n_regionkey", "int")
+          )
+        )
+      )
+      new catalog.GlueCatalogProvider(new catalog.InMemoryGlueClient(Seq(table)), s)
+        .load(table)
+        .orderBy("n_nationkey")
+    },
+
+    // ---- D5 batch twin: the streaming interval join's OWN code path
+    // (EventStreams.clickAttribution — watermarks are analyzer-eliminated on
+    // batch inputs) under the DuckDB gate, mirroring the B27/B29/B58
+    // batch-twin pattern: the join predicate the streaming query runs is
+    // exactly what DuckDB verifies here.
+    "q_click_attribution" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      streaming.EventStreams
+        .clickAttribution(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click")
+        )
+        .select(
+          col("user_id"),
+          col("view_id"),
+          col("click_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us")
+        )
+        .orderBy("user_id", "view_id", "click_id")
     },
 
     // ---- A-suite: ANALYZE-style catalog statistics (catalog.TableStatistics)
@@ -2767,6 +2841,96 @@ object SparkEntry {
         |FROM a1 JOIN a2 USING (vec_id)
         |WHERE vec_id < 100
         |ORDER BY vec_id""".stripMargin,
+
+    "q_info_tables" ->
+      """SELECT * FROM (VALUES
+        |  ('glue','graft','customer','BASE TABLE'),
+        |  ('glue','graft','documents','BASE TABLE'),
+        |  ('glue','graft','embeddings','BASE TABLE'),
+        |  ('glue','graft','events','BASE TABLE'),
+        |  ('glue','graft','lineitem','BASE TABLE'),
+        |  ('glue','graft','nation','BASE TABLE'),
+        |  ('glue','graft','orders','BASE TABLE'),
+        |  ('glue','graft','part','BASE TABLE'),
+        |  ('glue','graft','region','BASE TABLE'),
+        |  ('glue','graft','supplier','BASE TABLE')
+        |) AS t(table_catalog, table_schema, table_name, table_type)
+        |ORDER BY table_name""".stripMargin,
+
+    "q_info_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('glue','graft','customer','c_custkey',0,'YES','bigint'),
+        |  ('glue','graft','customer','c_name',1,'YES','string'),
+        |  ('glue','graft','customer','c_nationkey',2,'YES','int'),
+        |  ('glue','graft','customer','c_acctbal',3,'YES','double'),
+        |  ('glue','graft','customer','c_mktsegment',4,'YES','string'),
+        |  ('glue','graft','documents','doc_id',0,'YES','bigint'),
+        |  ('glue','graft','documents','text',1,'YES','string'),
+        |  ('glue','graft','documents','lang',2,'YES','string'),
+        |  ('glue','graft','documents','source',3,'YES','string'),
+        |  ('glue','graft','documents','n_chars',4,'YES','bigint'),
+        |  ('glue','graft','embeddings','vec_id',0,'YES','bigint'),
+        |  ('glue','graft','embeddings','embedding',1,'YES','array<float>'),
+        |  ('glue','graft','embeddings','label',2,'YES','int'),
+        |  ('glue','graft','events','event_id',0,'YES','bigint'),
+        |  ('glue','graft','events','ts',1,'YES','timestamp'),
+        |  ('glue','graft','events','user_id',2,'YES','bigint'),
+        |  ('glue','graft','events','event_type',3,'YES','string'),
+        |  ('glue','graft','events','value',4,'YES','double'),
+        |  ('glue','graft','events','props',5,'YES','string'),
+        |  ('glue','graft','lineitem','l_orderkey',0,'YES','bigint'),
+        |  ('glue','graft','lineitem','l_partkey',1,'YES','bigint'),
+        |  ('glue','graft','lineitem','l_suppkey',2,'YES','bigint'),
+        |  ('glue','graft','lineitem','l_linenumber',3,'YES','int'),
+        |  ('glue','graft','lineitem','l_quantity',4,'YES','double'),
+        |  ('glue','graft','lineitem','l_extendedprice',5,'YES','double'),
+        |  ('glue','graft','lineitem','l_discount',6,'YES','double'),
+        |  ('glue','graft','lineitem','l_tax',7,'YES','double'),
+        |  ('glue','graft','lineitem','l_returnflag',8,'YES','string'),
+        |  ('glue','graft','lineitem','l_linestatus',9,'YES','string'),
+        |  ('glue','graft','lineitem','l_shipdate',10,'YES','timestamp'),
+        |  ('glue','graft','nation','n_nationkey',0,'YES','int'),
+        |  ('glue','graft','nation','n_name',1,'YES','string'),
+        |  ('glue','graft','nation','n_regionkey',2,'YES','int'),
+        |  ('glue','graft','orders','o_orderkey',0,'YES','bigint'),
+        |  ('glue','graft','orders','o_custkey',1,'YES','bigint'),
+        |  ('glue','graft','orders','o_orderstatus',2,'YES','string'),
+        |  ('glue','graft','orders','o_totalprice',3,'YES','double'),
+        |  ('glue','graft','orders','o_orderdate',4,'YES','timestamp'),
+        |  ('glue','graft','orders','o_orderpriority',5,'YES','string'),
+        |  ('glue','graft','part','p_partkey',0,'YES','bigint'),
+        |  ('glue','graft','part','p_name',1,'YES','string'),
+        |  ('glue','graft','part','p_brand',2,'YES','string'),
+        |  ('glue','graft','part','p_type',3,'YES','string'),
+        |  ('glue','graft','part','p_size',4,'YES','int'),
+        |  ('glue','graft','part','p_retailprice',5,'YES','double'),
+        |  ('glue','graft','region','r_regionkey',0,'YES','int'),
+        |  ('glue','graft','region','r_name',1,'YES','string'),
+        |  ('glue','graft','supplier','s_suppkey',0,'YES','bigint'),
+        |  ('glue','graft','supplier','s_name',1,'YES','string'),
+        |  ('glue','graft','supplier','s_nationkey',2,'YES','int'),
+        |  ('glue','graft','supplier','s_acctbal',3,'YES','double')
+        |) AS t(table_catalog, table_schema, table_name, column_name,
+        |       ordinal_position, is_nullable, data_type)
+        |ORDER BY table_name, ordinal_position""".stripMargin,
+
+    "q_avro_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_click_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT user_id, view_id, click_id,
+        |  epoch_us(view_ts) AS view_us, epoch_us(click_ts) AS click_us
+        |FROM v JOIN c ON user_id = c_user_id
+        |  AND epoch_us(click_ts) >= epoch_us(view_ts)
+        |  AND epoch_us(click_ts) < epoch_us(view_ts) + 600000000
+        |ORDER BY user_id, view_id, click_id""".stripMargin,
 
     "q_table_stats" -> {
       def one(c: String, isNum: Boolean) = {

@@ -67,6 +67,20 @@ final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
       options: TableRegistrationOptions = DeriveSchemaFromGlueTable
   ): DataFrame = {
     val fmt = GlueFormats.resolve(table)
+    // Avro rides its own reader (avro-core container files, one task per
+    // file; flat directory layout — Hive-partitioned Avro dirs are not
+    // supported). DeriveSchema casts the embedded writer schema to the
+    // Glue-declared one, InferSchema trusts the files.
+    if (fmt.source == GlueFormats.GraftAvro) {
+      val raw = graft.sources.AvroRead.read(spark, table.storageDescriptor.location)
+      val shaped = options match {
+        case DeriveSchemaFromGlueTable =>
+          val declared = GlueTypeParser.toSchema(table.storageDescriptor.columns)
+          raw.select(declared.map(f => col(f.name).cast(f.dataType)): _*)
+        case InferSchemaFromData => raw
+      }
+      return applyCatalogStatistics(table, shaped)
+    }
     // Parquet TIMESTAMP(NANOS) columns (named in table parameters by the
     // client) cannot be read as Spark timestamps; read them as raw nanos
     // longs and truncate to microseconds below — the same ns→µs truncation

@@ -13,12 +13,18 @@ final case class ResolvedFormat(source: String, options: Map[String, String])
   * Spark-side differences from the DataFusion version:
   *   - CSV honours `field.delim` and `skip.header.line.count` via reader
   *     options (same semantics as CsvFormat::with_delimiter/with_has_header).
-  *   - Avro and Delta require connector jars that are not on this classpath;
-  *     they are *detected* and reported as a structured
+  *   - Avro is served by [[graft.sources.AvroRead]] (avro-core based; the
+  *     spark-avro connector module is not on this classpath).
+  *   - Delta requires the delta-spark connector jar, which is not available
+  *     here; it is *detected* and reported as a structured
   *     [[GlueNotImplementedException]] rather than silently misread — same
   *     contract as the reference's GlueError::NotImplemented fallback.
   */
 object GlueFormats {
+
+  /** Marker source name for Avro tables, read by [[graft.sources.AvroRead]]
+    * rather than a registered Spark data source. */
+  val GraftAvro = "graft-avro"
 
   private val ParquetTriple = (
     "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
@@ -65,10 +71,11 @@ object GlueFormats {
           Map("sep" -> delim.take(1), "header" -> hasHeader.toString)
         )
       case AvroTriple =>
-        // spark-avro is a separate connector module not present on this
-        // classpath; surface the same NotImplemented contract the reference
-        // uses for unknown formats rather than failing deep inside a scan.
-        throw notImplemented(table, "avro needs the spark-avro connector jar")
+        // Served by graft.sources.AvroRead (built on avro-core, which IS on
+        // Spark's classpath — the spark-avro connector module is not).
+        // "graft-avro" is dispatched by GlueCatalogProvider.load; it is not
+        // a DataSourceRegister short name.
+        ResolvedFormat(GlueFormats.GraftAvro, Map.empty)
       case (TextTriple._1, TextTriple._2, s) if JsonSerdes.contains(s) =>
         ResolvedFormat("json", Map.empty)
       case (in, out, s) =>

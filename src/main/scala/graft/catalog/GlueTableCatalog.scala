@@ -74,14 +74,16 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
     }
 
   override def listNamespaces(): Array[Array[String]] =
-    client.getDatabases().map(db => Array(db.name)).toArray
+    client.getDatabases().map(db => Array(db.name)).toArray :+
+      Array(InfoSchemaTables.Namespace)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.length == 1 &&
-      client.getDatabases().exists(_.name == namespace(0))
+      (namespace(0) == InfoSchemaTables.Namespace ||
+        client.getDatabases().exists(_.name == namespace(0)))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]
@@ -90,16 +92,45 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
     else throw new GlueCatalogException(s"No database ${namespace.mkString(".")}")
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    client
-      .getTables(namespace.mkString("."))
-      .map(t => Identifier.of(namespace, t.name))
-      .toArray
+    if (namespace.sameElements(Array(InfoSchemaTables.Namespace)))
+      Array(
+        Identifier.of(namespace, "tables"),
+        Identifier.of(namespace, "columns")
+      )
+    else
+      client
+        .getTables(namespace.mkString("."))
+        .map(t => Identifier.of(namespace, t.name))
+        .toArray
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true }
     catch { case _: Exception => false }
 
   override def loadTable(ident: Identifier): Table = {
+    // `SELECT * FROM <catalog>.information_schema.{tables,columns}` — the
+    // reference demo's literal information_schema SQL through the catalog.
+    if (ident.namespace().sameElements(Array(InfoSchemaTables.Namespace))) {
+      val c = client
+      return ident.name() match {
+        case "tables" =>
+          new InfoSchemaTables.InfoTable(
+            s"$catalogName.${InfoSchemaTables.Namespace}.tables",
+            InfoSchemaTables.TablesSchema,
+            () => InfoSchemaTables.tablesRows(catalogName, c)
+          )
+        case "columns" =>
+          new InfoSchemaTables.InfoTable(
+            s"$catalogName.${InfoSchemaTables.Namespace}.columns",
+            InfoSchemaTables.ColumnsSchema,
+            () => InfoSchemaTables.columnsRows(catalogName, c)
+          )
+        case other =>
+          throw new GlueCatalogException(
+            s"No information_schema table '$other' (have: tables, columns)"
+          )
+      }
+    }
     val spark = SparkSession.active
     val glueTable = client.getTable(ident.namespace().mkString("."), ident.name())
     val fmt = GlueFormats.resolve(glueTable)

@@ -1,0 +1,291 @@
+package graft.sources
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.time.{Instant, LocalDate}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{
+  GenericData,
+  GenericDatumReader,
+  GenericDatumWriter,
+  GenericRecord
+}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file source/sink built directly on avro-core (which ships
+  * on Spark's classpath) — activates Glue tables stored with the Hive Avro
+  * serde triple (reference: src/catalog_provider/glue.rs:407-417 maps the
+  * same triple to AvroFormat) without the separate spark-avro connector
+  * module, which is not available in this environment.
+  *
+  * Parallelism is file-granular: each Avro container file is one Spark task
+  * (a container file is also the natural unit the Hive serde writes). That
+  * is the right shape for the many-files layout catalog tables have; at
+  * 100 TB with pathological single-file tables you would additionally split
+  * on the container's sync markers — noted, not needed for catalog parity.
+  *
+  * Type mapping (both directions): boolean/int/long/float/double/string/
+  * enum→string/bytes/fixed→binary, logical date (int) ↔ DateType, logical
+  * timestamp-micros/millis (long) ↔ TimestampType, union-with-null ↔
+  * nullable, plus nested records, arrays and string-keyed maps. Anything
+  * else (multi-branch unions, duration) raises a clear error instead of
+  * reading garbage.
+  */
+object AvroRead {
+
+  // ---------- Avro schema -> Spark ----------
+
+  def sparkSchema(schema: Schema): StructType = {
+    require(
+      schema.getType == Schema.Type.RECORD,
+      s"top-level Avro type must be a record, got ${schema.getType}"
+    )
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = sparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def sparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(
+        branches.size == 1,
+        s"only union-with-null is supported, got ${s.getTypes.asScala.map(_.getType)}"
+      )
+      (sparkType(branches.head)._1, true)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT =>
+      val dt =
+        if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType
+        else IntegerType
+      (dt, false)
+    case Schema.Type.LONG =>
+      val dt = s.getLogicalType match {
+        case _: LogicalTypes.TimestampMicros | _: LogicalTypes.TimestampMillis =>
+          TimestampType
+        case _ => LongType
+      }
+      (dt, false)
+    case Schema.Type.FLOAT                    => (FloatType, false)
+    case Schema.Type.DOUBLE                   => (DoubleType, false)
+    case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = sparkType(s.getElementType)
+      (ArrayType(et, en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = sparkType(s.getValueType)
+      (MapType(StringType, vt, vn), false)
+    case Schema.Type.RECORD => (sparkSchema(s), false)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  // ---------- value conversion (runs inside tasks) ----------
+
+  /** Avro runtime value -> the external Row representation `createDataFrame`
+    * expects; `fs` is the value's own (non-null-union) Avro schema, needed
+    * for logical-type units. */
+  private def toRowValue(v: Any, fs: Schema): Any = {
+    val s =
+      if (fs.getType == Schema.Type.UNION)
+        fs.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else fs
+    v match {
+      case null => null
+      case r: GenericRecord =>
+        Row.fromSeq(s.getFields.asScala.toSeq.map { f =>
+          toRowValue(r.get(f.pos()), f.schema())
+        })
+      case c: java.util.Collection[_] =>
+        c.asScala.map(toRowValue(_, s.getElementType)).toSeq
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, mv) =>
+          k.toString -> toRowValue(mv, s.getValueType)
+        }.toMap
+      case b: ByteBuffer =>
+        val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+      case f: GenericData.Fixed => f.bytes().clone()
+      case i: java.lang.Integer if s.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
+        java.sql.Date.valueOf(LocalDate.ofEpochDay(i.longValue()))
+      case l: java.lang.Long =>
+        s.getLogicalType match {
+          case _: LogicalTypes.TimestampMicros =>
+            java.sql.Timestamp.from(
+              Instant.ofEpochSecond(
+                Math.floorDiv(l.longValue(), 1000000L),
+                Math.floorMod(l.longValue(), 1000000L) * 1000L
+              )
+            )
+          case _: LogicalTypes.TimestampMillis =>
+            new java.sql.Timestamp(l.longValue())
+          case _ => l
+        }
+      case cs: CharSequence => cs.toString
+      case other            => other
+    }
+  }
+
+  // ---------- read ----------
+
+  /** Data files at `location` (a single file or a directory), commit
+    * markers and hidden files excluded. */
+  private def dataFiles(location: String): Seq[File] = {
+    val root = new File(location)
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).toSeq.flatten.filter(_.isFile).toSeq
+      else Seq(root)
+    files
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .sortBy(_.getName)
+  }
+
+  /** Read an Avro table into a DataFrame: schema from the first container
+    * file's embedded writer schema, one Spark task per file. */
+  def read(spark: SparkSession, location: String): DataFrame = {
+    val files = dataFiles(location)
+    require(files.nonEmpty, s"no Avro data files under $location")
+    val first =
+      new DataFileReader[GenericRecord](files.head, new GenericDatumReader[GenericRecord]())
+    val schema =
+      try sparkSchema(first.getSchema)
+      finally first.close()
+    val paths = files.map(_.getPath)
+    val rdd = spark.sparkContext
+      .parallelize(paths, paths.size)
+      .flatMap { path =>
+        val reader = new DataFileReader[GenericRecord](
+          new File(path),
+          new GenericDatumReader[GenericRecord]()
+        )
+        // one container file per task: buffer-then-close bounds memory at the
+        // file size, which file-granular splits already assume
+        try {
+          val fields = reader.getSchema.getFields.asScala.toSeq
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (reader.hasNext) {
+            val rec = reader.next()
+            out += Row.fromSeq(fields.map(f => toRowValue(rec.get(f.pos()), f.schema())))
+          }
+          out
+        } finally reader.close()
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---------- Spark schema -> Avro ----------
+
+  def avroSchema(schema: StructType, name: String): Schema = {
+    val fields = schema.fields.map { f =>
+      new Schema.Field(
+        f.name,
+        if (f.nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), avroType(f.dataType, f.name))
+        else avroType(f.dataType, f.name),
+        null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null
+      )
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def avroType(dt: DataType, name: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(et, containsNull) =>
+      val e =
+        if (containsNull)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), avroType(et, name))
+        else avroType(et, name)
+      Schema.createArray(e)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v =
+        if (valueContainsNull)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), avroType(vt, name))
+        else avroType(vt, name)
+      Schema.createMap(v)
+    case st: StructType => avroSchema(st, name + "_rec")
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Spark type for Avro: $other")
+  }
+
+  private def toAvroValue(v: Any, s: Schema): Any = {
+    val branch =
+      if (s.getType == Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else s
+    v match {
+      case null               => null
+      case d: java.sql.Date   => d.toLocalDate.toEpochDay.toInt
+      case t: java.sql.Timestamp =>
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      case b: Array[Byte]     => ByteBuffer.wrap(b)
+      case r: Row =>
+        val rec = new GenericData.Record(branch)
+        branch.getFields.asScala.foreach { f =>
+          rec.put(f.pos(), toAvroValue(r.get(f.pos()), f.schema()))
+        }
+        rec
+      case seq: scala.collection.Seq[_] =>
+        seq.map(toAvroValue(_, branch.getElementType)).asJava
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, mv) =>
+          k.toString -> toAvroValue(mv, branch.getValueType)
+        }.toMap.asJava
+      case other => other
+    }
+  }
+
+  // ---------- write ----------
+
+  /** Write `df` as Avro container files under `dir`, one file per non-empty
+    * partition (distributed; the schema travels as its JSON form because
+    * `org.apache.avro.Schema` is not serializable). */
+  def write(df: DataFrame, dir: String): Unit = {
+    val out = new File(dir)
+    out.mkdirs()
+    Option(out.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".avro"))
+      .foreach(_.delete())
+    val schemaJson = avroSchema(df.schema, "row").toString
+    val path = out.getAbsolutePath
+    df.rdd
+      .mapPartitionsWithIndex { (i, rows) =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val schema = new Schema.Parser().parse(schemaJson)
+          val writer = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema)
+          )
+          writer.create(schema, new File(path, f"part-$i%05d.avro"))
+          try {
+            rows.foreach { row =>
+              val rec = new GenericData.Record(schema)
+              schema.getFields.asScala.foreach { f =>
+                rec.put(f.pos(), toAvroValue(row.get(f.pos()), f.schema()))
+              }
+              writer.append(rec)
+            }
+          } finally writer.close()
+          Iterator.single(i)
+        }
+      }
+      .count() // action: materialize the write
+  }
+}

@@ -13,7 +13,6 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every declared query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set(
-      "q_info_tables", "q_info_columns",
       // sketch internals not expressible in portable SQL (see SURVEY §6)
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "ann_lsh",
       "ann_ivf", "multimodal_features",

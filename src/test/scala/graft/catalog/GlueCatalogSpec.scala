@@ -165,20 +165,16 @@ class GlueCatalogSpec extends AnyFunSuite {
         columns = Seq(GlueColumn("r_regionkey", "int"), GlueColumn("r_name", "string"))
       )
     )
-    val avro = good.copy(
-      name = "bad_avro",
-      storageDescriptor = good.storageDescriptor.copy(
-        inputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
-        outputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
-        serdeInfo = GlueSerDeInfo("org.apache.hadoop.hive.serde2.avro.AvroSerDe")
-      )
+    val delta = good.copy(
+      name = "bad_delta",
+      parameters = Map("table_type" -> "delta")
     )
-    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(good, avro)), spark)
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(good, delta)), spark)
     val results = p.registerTables("mixed")
     assert(results.count(_.isRight) == 1)
     val failure = results.collectFirst { case Left(e) => e }.get
     assert(failure.isInstanceOf[GlueNotImplementedException])
-    assert(failure.getMessage.startsWith("mixed.bad_avro"))
+    assert(failure.getMessage.startsWith("mixed.bad_delta"))
     assert(spark.table("ok").count() == 5)
   }
 
@@ -316,5 +312,38 @@ class GlueCatalogSpec extends AnyFunSuite {
     assertThrows[Exception](
       spark.sql("DROP TABLE glue.graft.lineitem")
     )
+  }
+
+  test("DSv2 catalog: literal information_schema SQL (demo parity)") {
+    // the reference demo's `SELECT * FROM information_schema.tables` through
+    // the registered catalog
+    val t = spark
+      .sql("SELECT * FROM glue.information_schema.tables ORDER BY table_name")
+      .collect()
+    assert(t.length == 10)
+    assert(t.forall(r => r.getString(0) == "glue" && r.getString(1) == "graft"))
+    assert(t.map(_.getString(2)).contains("lineitem"))
+    assert(t.forall(_.getString(3) == "BASE TABLE"))
+
+    val c = spark
+      .sql(
+        """SELECT column_name, ordinal_position, data_type
+          |FROM glue.information_schema.columns
+          |WHERE table_name = 'orders' ORDER BY ordinal_position""".stripMargin
+      )
+      .collect()
+    assert(c.head.getString(0) == "o_orderkey" && c.head.getInt(1) == 0)
+    assert(c.map(_.getString(0)).contains("o_totalprice"))
+
+    // the DSv2 route and the provider temp-view route agree column-for-column
+    val p = newProvider()
+    p.registerAll()
+    val viaProvider = p.informationSchemaTables().collect().map(_.toSeq).toSet
+    val viaDsv2 = spark
+      .sql("SELECT * FROM glue.information_schema.tables")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(viaProvider == viaDsv2)
   }
 }

@@ -71,17 +71,15 @@ class GlueFormatsSpec extends AnyFunSuite {
     }
   }
 
-  test("avro is detected but not implemented (no connector jar)") {
-    val e = intercept[GlueNotImplementedException](
-      GlueFormats.resolve(
-        table(
-          "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
-          "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
-          "org.apache.hadoop.hive.serde2.avro.AvroSerDe"
-        )
+  test("avro serde triple resolves to the graft-avro reader") {
+    val fmt = GlueFormats.resolve(
+      table(
+        "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+        "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+        "org.apache.hadoop.hive.serde2.avro.AvroSerDe"
       )
     )
-    assert(e.getMessage.startsWith("db.t:"))
+    assert(fmt == ResolvedFormat(GlueFormats.GraftAvro, Map.empty))
   }
 
   test("delta table_type detected but not implemented") {

@@ -51,6 +51,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("edge count above smallGraphThreshold forces the distributed path " +
+    "and converges in O(log diameter) rounds") {
+    // 200-node path (diameter 199) + 3 dense 20-cliques + singletons:
+    // 769 edges total, so smallGraphThreshold=100 rejects the driver-side
+    // collect (its capped limit(101) probe sees 101 edges) and the iterative
+    // loop must handle it. maxIter=12 only converges if min-label
+    // propagation + pointer jumping really is O(log diameter), not
+    // O(diameter): a plain propagation would need 199 rounds here, and a
+    // non-converged run would fail the equality below.
+    val path = (0 until 199).map(i => (i.toLong, (i + 1).toLong))
+    val cliques = (0 until 3).flatMap { c =>
+      val ids = (1000 + c * 100) until (1020 + c * 100)
+      for (x <- ids; y <- ids if x < y) yield (x.toLong, y.toLong)
+    }
+    val edges = (path ++ cliques).toDF("a", "b")
+    val nodes = ((0L until 200L) ++ (1000L until 1300L)).toDF("id")
+    val dist = ConnectedComponents
+      .run(edges, nodes, maxIter = 12, smallGraphThreshold = 100L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val local = ConnectedComponents
+      .run(edges, nodes, smallGraphThreshold = 10000L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(dist == local)
+    assert((0L until 200L).forall(dist(_) == 0L))
+    assert(dist(1019L) == 1000L && dist(1119L) == 1100L)
+    assert(dist(1250L) == 1250L) // singleton outside any edge
+  }
+
   test("nearDupClusters groups the planted near-dups, keeps others singleton") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -107,6 +107,70 @@ class DedupSpec extends AnyFunSuite {
     assert(keptAll == 1L)
   }
 
+  test("embedding near-dups: recall vs exhaustive truth at the threshold") {
+    // Planted structure: 30 seeded base directions, each with two noisy
+    // copies -> a known population of high-cosine pairs; truth computed by
+    // exhaustive O(n^2) cosine with the operator's own rounding (4 decimals,
+    // float->double widening), independent of any LSH machinery.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+    val rows = (0 until 30).flatMap { i =>
+      val base = vec()
+      Seq((i * 3L, base), (i * 3L + 1, jitter(base)), (i * 3L + 2, jitter(base)))
+    }
+    val threshold = 0.9
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000
+    }
+    val truth = (for {
+      x <- rows; y <- rows
+      if x._1 < y._1 && cos(x._2, y._2) >= threshold
+    } yield (x._1, y._1)).toSet
+    assert(truth.size >= 30, s"planted truth too small: ${truth.size}")
+
+    val found = Dedup
+      .embeddingNearDups(rows.toDF("vec_id", "embedding"), "embedding", "vec_id", threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // precision is exact by construction (cosine verified inside the pair
+    // lambda): every emitted pair must be a true pair
+    assert((found -- truth).isEmpty, s"false positives: ${found -- truth}")
+    // recall: 8 planes + 1-bit multi-probe on both sides covers bucket
+    // hamming distance <= 2; seeded data makes this deterministic
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall (${found.size}/${truth.size})")
+  }
+
+  test("embedding near-dups: degenerate bucket is capped, not exploded") {
+    // 120 identical vectors would form one bucket of 120 in EVERY probe ->
+    // C(120,2)=7140 pairs per probe if uncapped. With the cap they are
+    // dropped entirely while a small planted pair elsewhere still returns.
+    val flood = (0L until 120L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+    val pair = Seq(
+      (1000L, Array(0f, 1f, 1f, 0f)),
+      (1001L, Array(0f, 1f, 0.99f, 0f))
+    )
+    val out = Dedup
+      .embeddingNearDups(
+        (flood ++ pair).toDF("vec_id", "embedding"),
+        "embedding",
+        "vec_id",
+        threshold = 0.9,
+        maxBucketSize = 50
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1000L, 1001L)), s"got ${out.toSeq}")
+  }
+
   test("oversized LSH buckets are dropped (skew guard)") {
     // 60 identical docs -> one giant bucket; cap at 10 drops it entirely
     val many = (1L to 60L).map(i => (i, "same same same same same")).toDF("doc_id", "text")

@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.catalog._
+
+class AvroReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("round-trip: primitives, logical date/timestamp, nulls, binary") {
+    val dir = Files.createTempDirectory("graft_avro_rt").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("flag", BooleanType),
+      StructField("small", IntegerType),
+      StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("blob", BinaryType)
+    ))
+    val rows = Seq(
+      Row(1L, "ada", 2.5, true, 7, Date.valueOf("2024-03-01"),
+        Timestamp.valueOf("2024-03-01 12:34:56.789123"), Array[Byte](1, 2, 3)),
+      Row(2L, null, null, false, null, null, null, null)
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    AvroRead.write(df, dir)
+
+    val back = AvroRead.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val byId = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "ada")
+    assert(byId(1L).getDouble(2) == 2.5)
+    assert(byId(1L).getDate(5) == Date.valueOf("2024-03-01"))
+    // timestamp-micros round-trip preserves microsecond precision
+    assert(byId(1L).getTimestamp(6) == Timestamp.valueOf("2024-03-01 12:34:56.789123"))
+    assert(byId(1L).getAs[Array[Byte]](7).toSeq == Seq[Byte](1, 2, 3))
+    assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(6) && byId(2L).isNullAt(7))
+  }
+
+  test("round-trip: arrays, maps and nested structs") {
+    val dir = Files.createTempDirectory("graft_avro_nested").toString
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Map("a" -> 1L), ("x", 10L)),
+      (2L, Seq.empty[Double], Map.empty[String, Long], ("y", 20L))
+    ).toDF("id", "vec", "counts", "pair")
+    AvroRead.write(df, dir)
+    val back = AvroRead.read(spark, dir).orderBy("id").collect()
+    assert(back(0).getSeq[Double](1) == Seq(1.0, 2.0))
+    assert(back(0).getMap[String, Long](2) == Map("a" -> 1L))
+    assert(back(0).getStruct(3).getString(0) == "x")
+    assert(back(1).getSeq[Double](1).isEmpty)
+  }
+
+  test("one task per container file; files written per partition") {
+    val dir = Files.createTempDirectory("graft_avro_par").toString
+    val df = spark.range(0, 1000).select($"id", ($"id" % 10).as("bucket"))
+      .repartition(4)
+    AvroRead.write(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4)
+    val back = AvroRead.read(spark, dir)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) ==
+      999L * 1000L / 2L)
+  }
+
+  test("avro glue table registers and reads through the provider") {
+    val dir = Files.createTempDirectory("graft_avro_glue").toString
+    val src = Seq((1, "r1"), (2, "r2"), (3, "r3")).toDF("k", "v")
+    AvroRead.write(src, dir)
+    val table = GlueTable(
+      "avrodb", "events_avro",
+      GlueStorageDescriptor(
+        location = dir,
+        inputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+        outputFormat = "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+        serdeInfo = GlueSerDeInfo("org.apache.hadoop.hive.serde2.avro.AvroSerDe"),
+        // declared type narrower than the file's long: DeriveSchema casts
+        columns = Seq(GlueColumn("k", "int"), GlueColumn("v", "string"))
+      )
+    )
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(table)), spark)
+    val df = p.registerTable("avrodb", "events_avro")
+    assert(df.schema("k").dataType == IntegerType)
+    assert(spark.table("events_avro").count() == 3)
+    assert(
+      spark.sql("SELECT v FROM avrodb_events_avro WHERE k = 2").head.getString(0)
+        == "r2"
+    )
+  }
+
+  test("unsupported shapes fail fast with clear errors") {
+    val multiUnion = org.apache.avro.SchemaBuilder
+      .record("r").fields()
+      .name("u").`type`().unionOf().intType().and().stringType().endUnion().noDefault()
+      .endRecord()
+    val e = intercept[IllegalArgumentException](AvroRead.sparkSchema(multiUnion))
+    assert(e.getMessage.contains("union-with-null"))
+    val empty = Files.createTempDirectory("graft_avro_empty").toString
+    val e2 = intercept[IllegalArgumentException](AvroRead.read(spark, empty))
+    assert(e2.getMessage.contains("no Avro data files"))
+  }
+}
