@@ -1779,6 +1779,41 @@ object SparkEntry {
           Seq("p_partkey", "p_brand", "p_retailprice", "p_size")
         )
         .orderBy("column_name")
+    },
+
+    // ---- Delta activated: a delta-backed Glue table (table_type=delta)
+    // read end-to-end through GlueFormats dispatch -> DeltaRead transaction-
+    // log replay (reference registers these via the deltalake crate,
+    // glue.rs:195-237). Fixture: supplier bootstrapped as a delta table,
+    // served by a fresh provider; the oracle reads the SAME rows from the
+    // parquet twin, so a hash match proves the log-replay path returns
+    // byte-identical data.
+    "q_delta_scan" -> { (s, dir) =>
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_delta_scan_${math.abs(dir.hashCode)}"
+      ).getPath
+      sources.DeltaRead.create(T(s, dir, "supplier"), tmp)
+      val table = catalog.GlueTable(
+        "deltadb",
+        "supplier_delta",
+        catalog.GlueStorageDescriptor(
+          location = tmp,
+          inputFormat = "",
+          outputFormat = "",
+          serdeInfo = catalog.GlueSerDeInfo(""),
+          columns = Seq(
+            catalog.GlueColumn("s_suppkey", "bigint"),
+            catalog.GlueColumn("s_name", "string"),
+            catalog.GlueColumn("s_nationkey", "int"),
+            catalog.GlueColumn("s_acctbal", "double")
+          )
+        ),
+        parameters = Map("table_type" -> "delta")
+      )
+      new catalog.GlueCatalogProvider(new catalog.InMemoryGlueClient(Seq(table)), s)
+        .load(table)
+        .orderBy("s_suppkey")
     }
   )
 
@@ -2916,6 +2951,10 @@ object SparkEntry {
 
     "q_avro_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_delta_scan" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "q_click_attribution" ->
       """WITH v AS (

@@ -71,8 +71,14 @@ final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
     // file; flat directory layout — Hive-partitioned Avro dirs are not
     // supported). DeriveSchema casts the embedded writer schema to the
     // Glue-declared one, InferSchema trusts the files.
-    if (fmt.source == GlueFormats.GraftAvro) {
-      val raw = graft.sources.AvroRead.read(spark, table.storageDescriptor.location)
+    if (fmt.source == GlueFormats.GraftAvro || fmt.source == GlueFormats.GraftDelta) {
+      val raw =
+        if (fmt.source == GlueFormats.GraftAvro)
+          graft.sources.AvroRead.read(spark, table.storageDescriptor.location)
+        else
+          // Delta's own metaData schema governs the files; DeriveSchema
+          // below then casts to the Glue-declared shape like any format
+          graft.sources.DeltaRead.read(spark, table.storageDescriptor.location)
       val shaped = options match {
         case DeriveSchemaFromGlueTable =>
           val declared = GlueTypeParser.toSchema(table.storageDescriptor.columns)

@@ -26,6 +26,10 @@ object GlueFormats {
     * rather than a registered Spark data source. */
   val GraftAvro = "graft-avro"
 
+  /** Marker source name for Delta tables, read by
+    * [[graft.sources.DeltaRead]] (transaction-log replay). */
+  val GraftDelta = "graft-delta"
+
   private val ParquetTriple = (
     "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
     "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
@@ -51,8 +55,11 @@ object GlueFormats {
     val sd = table.storageDescriptor
     val serde = sd.serdeInfo
 
+    // Glue marks Delta tables with table_type=delta (reference: glue.rs:191-197
+    // registers them via the deltalake crate); served here by the
+    // transaction-log replay reader.
     if (table.parameters.get("table_type").exists(_.equalsIgnoreCase("delta")))
-      throw notImplemented(table, "delta tables need the delta-spark connector jar")
+      return ResolvedFormat(GraftDelta, Map.empty)
 
     (sd.inputFormat, sd.outputFormat, serde.serializationLibrary) match {
       case ParquetTriple =>

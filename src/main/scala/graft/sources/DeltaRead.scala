@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Minimal Delta Lake table reader by transaction-log replay, built from the
+  * PUBLIC Delta protocol (delta.io PROTOCOL.md): a table is a directory of
+  * parquet data files plus `_delta_log/` holding ordered JSON commits
+  * (`<v>.json`, one action per line — add / remove / metaData / protocol)
+  * and periodic parquet checkpoints (`<v>.checkpoint.parquet` named by
+  * `_last_checkpoint`). The active snapshot at version V = replay of all
+  * actions `<= V`: last metaData wins, `add` paths minus `remove` paths.
+  *
+  * The reference registers Glue `table_type=delta` tables through the
+  * deltalake crate (reference: src/catalog_provider/glue.rs:195-237); this
+  * is the Spark-side equivalent without the delta-spark connector jar
+  * (unavailable in this environment). Scale shape: the log is metadata
+  * (KBs–MBs, driver-side replay is exactly what delta-spark's Snapshot
+  * does); the DATA read is a normal distributed parquet scan over the
+  * active files, so pushdown/pruning/vectorization all apply.
+  *
+  * Supported: JSON commits, one parquet checkpoint generation, schema from
+  * `metaData.schemaString` (it is Spark DataType JSON), `versionAsOf` time
+  * travel, hive-layout partition directories (via basePath). Not supported
+  * (clear error instead): deletion vectors, column mapping, multi-part
+  * checkpoints.
+  */
+object DeltaRead {
+
+  private val mapper = new ObjectMapper()
+
+  /** The table state at a version: (version, active file paths relative to
+    * the table root, declared schema if any metaData action carried one). */
+  final case class Snapshot(
+      version: Long,
+      files: Seq[String],
+      schema: Option[StructType]
+  )
+
+  private def commitVersion(name: String): Long =
+    name.stripSuffix(".json").toLong
+
+  private def requireSupported(node: JsonNode): Unit = {
+    val meta = node.get("metaData")
+    if (meta != null && meta.hasNonNull("columnMappingMode"))
+      throw new IllegalArgumentException("delta column mapping is not supported")
+    val protocol = node.get("protocol")
+    if (protocol != null) {
+      val minReader = protocol.path("minReaderVersion").asInt(1)
+      if (minReader > 2)
+        throw new IllegalArgumentException(
+          s"delta minReaderVersion $minReader exceeds supported reader version 2"
+        )
+    }
+    val add = node.get("add")
+    if (add != null && add.hasNonNull("deletionVector"))
+      throw new IllegalArgumentException("delta deletion vectors are not supported")
+  }
+
+  /** Replay the log and return the snapshot at `versionAsOf` (default:
+    * latest). */
+  def snapshot(
+      spark: SparkSession,
+      tableDir: String,
+      versionAsOf: Option[Long] = None
+  ): Snapshot = {
+    val logDir = new File(tableDir, "_delta_log")
+    require(logDir.isDirectory, s"no _delta_log under $tableDir — not a delta table")
+
+    val commitFiles = Option(logDir.listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getName)
+    require(commitFiles.nonEmpty, s"empty delta log under $tableDir")
+
+    val latest = commitVersion(commitFiles.last.getName)
+    val version = versionAsOf.getOrElse(latest)
+    require(
+      version >= 0 && version <= latest,
+      s"versionAsOf $version out of range [0, $latest]"
+    )
+
+    // checkpoint start point, if one exists at or below the target version
+    val checkpoint = Option(new File(logDir, "_last_checkpoint"))
+      .filter(_.isFile)
+      .map(f => mapper.readTree(Files.readString(f.toPath)))
+      .map { n =>
+        require(
+          !n.hasNonNull("parts"),
+          "multi-part delta checkpoints are not supported"
+        )
+        n.get("version").asLong()
+      }
+      .filter(_ <= version)
+
+    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    var schema: Option[StructType] = None
+
+    checkpoint.foreach { cv =>
+      val cpFile = new File(logDir, f"$cv%020d.checkpoint.parquet")
+      require(cpFile.isFile, s"missing checkpoint file $cpFile")
+      // a checkpoint is a parquet table of the same actions, one per row
+      val cp = spark.read.parquet(cpFile.getPath)
+      val cpCols = cp.columns.toSet
+      if (cpCols.contains("add"))
+        cp.select(col("add.path"))
+          .na
+          .drop()
+          .collect()
+          .foreach(r => active += r.getString(0))
+      if (cpCols.contains("metaData"))
+        cp.select(col("metaData.schemaString"))
+          .na
+          .drop()
+          .collect()
+          .headOption
+          .foreach(r =>
+            schema = Some(DataType.fromJson(r.getString(0)).asInstanceOf[StructType])
+          )
+    }
+
+    commitFiles
+      .filter { f =>
+        val v = commitVersion(f.getName)
+        v <= version && checkpoint.forall(v > _)
+      }
+      .foreach { f =>
+        Files
+          .readAllLines(f.toPath, StandardCharsets.UTF_8)
+          .asScala
+          .filter(_.nonEmpty)
+          .foreach { line =>
+            val node = mapper.readTree(line)
+            requireSupported(node)
+            val add = node.get("add")
+            if (add != null) active += add.get("path").asText()
+            val remove = node.get("remove")
+            if (remove != null) active -= remove.get("path").asText()
+            val meta = node.get("metaData")
+            if (meta != null && meta.hasNonNull("schemaString"))
+              schema = Some(
+                DataType
+                  .fromJson(meta.get("schemaString").asText())
+                  .asInstanceOf[StructType]
+              )
+          }
+      }
+
+    Snapshot(version, active.toSeq, schema)
+  }
+
+  /** Read the table at `versionAsOf` (default latest) as a DataFrame: the
+    * log replay is driver-side metadata; the data read is a distributed
+    * parquet scan over exactly the snapshot's active files. */
+  def read(
+      spark: SparkSession,
+      tableDir: String,
+      versionAsOf: Option[Long] = None
+  ): DataFrame = {
+    val snap = snapshot(spark, tableDir, versionAsOf)
+    val paths = snap.files.map(p => new File(tableDir, p).getPath)
+    if (paths.isEmpty) {
+      val schema = snap.schema.getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableDir has no active files and no metaData schema at v${snap.version}"
+        )
+      )
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema
+      )
+    }
+    // basePath keeps hive-layout partition dirs (key=value) readable as
+    // partition columns, the same convention the provider uses for parquet
+    val reader = spark.read.option("basePath", tableDir)
+    snap.schema.foreach(reader.schema)
+    reader.parquet(paths: _*)
+  }
+
+  /** Bootstrap a delta table from `df` at `dir`: distributed parquet write,
+    * then a version-0 commit (protocol + metaData + one add per data file).
+    * Create-only — no appends, no concurrent-writer coordination (those
+    * need a real transaction coordinator; this exists so delta READS can be
+    * exercised and tested without the delta-spark jar). */
+  def create(df: DataFrame, dir: String): Unit = {
+    val root = new File(dir)
+    if (root.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }
+    df.write.parquet(dir)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("_") && !f.getName.contains("delta_log"))
+      .foreach(_.delete()) // drop _SUCCESS markers; delta lists files in the log
+    val dataFiles = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val logDir = new File(root, "_delta_log")
+    logDir.mkdirs()
+    // table id must be stable for a given location (no wall-clock / RNG)
+    val tableId = java.util.UUID
+      .nameUUIDFromBytes(dir.getBytes(StandardCharsets.UTF_8))
+      .toString
+    val schemaJson = mapper.writeValueAsString(df.schema.json)
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}"""
+    ) ++ dataFiles.map { f =>
+      s"""{"add":{"path":"${f.getName}","partitionValues":{},"size":${f.length()},""" +
+        s""""modificationTime":${f.lastModified()},"dataChange":true}}"""
+    }
+    Files.write(
+      new File(logDir, f"${0L}%020d.json").toPath,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    )
+  }
+}

@@ -165,6 +165,8 @@ class GlueCatalogSpec extends AnyFunSuite {
         columns = Seq(GlueColumn("r_regionkey", "int"), GlueColumn("r_name", "string"))
       )
     )
+    // table_type=delta now routes to DeltaRead; a parquet-only location has
+    // no _delta_log, so registration fails for this table alone, with context
     val delta = good.copy(
       name = "bad_delta",
       parameters = Map("table_type" -> "delta")
@@ -173,8 +175,9 @@ class GlueCatalogSpec extends AnyFunSuite {
     val results = p.registerTables("mixed")
     assert(results.count(_.isRight) == 1)
     val failure = results.collectFirst { case Left(e) => e }.get
-    assert(failure.isInstanceOf[GlueNotImplementedException])
+    assert(failure.isInstanceOf[GlueCatalogException])
     assert(failure.getMessage.startsWith("mixed.bad_delta"))
+    assert(failure.getMessage.contains("_delta_log"))
     assert(spark.table("ok").count() == 5)
   }
 

@@ -82,16 +82,14 @@ class GlueFormatsSpec extends AnyFunSuite {
     assert(fmt == ResolvedFormat(GlueFormats.GraftAvro, Map.empty))
   }
 
-  test("delta table_type detected but not implemented") {
-    val e = intercept[GlueNotImplementedException](
-      GlueFormats.resolve(
-        table(
-          "", "", "",
-          tableParams = Map("table_type" -> "DELTA")
-        )
+  test("delta table_type resolves to the graft-delta log-replay reader") {
+    val fmt = GlueFormats.resolve(
+      table(
+        "", "", "",
+        tableParams = Map("table_type" -> "DELTA")
       )
     )
-    assert(e.getMessage.contains("delta"))
+    assert(fmt == ResolvedFormat(GlueFormats.GraftDelta, Map.empty))
   }
 
   test("unknown triple fails with db.table context, like the reference") {

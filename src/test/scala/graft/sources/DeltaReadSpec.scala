@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.catalog._
+
+class DeltaReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def writeCommit(dir: String, version: Long, lines: Seq[String]): Unit =
+    Files.write(
+      new File(new File(dir, "_delta_log"), f"$version%020d.json").toPath,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    )
+
+  private def dataFiles(dir: String): Seq[String] =
+    new File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getName).sorted.toSeq
+
+  test("create + read round-trip: schema, rows, multi-file layout") {
+    val dir = Files.createTempDirectory("graft_delta_rt").toString
+    val df = spark.range(0, 100).select(
+      $"id", ($"id" % 7).cast("int").as("bucket"), ($"id" * 1.5).as("score")
+    ).repartition(3)
+    DeltaRead.create(df, dir)
+
+    assert(new File(dir, "_delta_log").isDirectory)
+    assert(dataFiles(dir).size == 3)
+
+    val back = DeltaRead.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("id", LongType), ("bucket", IntegerType), ("score", DoubleType)))
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == 99L * 100L / 2L)
+  }
+
+  test("log replay honors remove actions and versionAsOf time travel") {
+    val dir = Files.createTempDirectory("graft_delta_tt").toString
+    DeltaRead.create(spark.range(0, 50).toDF("id").repartition(2), dir)
+    val files = dataFiles(dir)
+
+    // v1 removes one of the two v0 files
+    writeCommit(dir, 1L, Seq(
+      s"""{"remove":{"path":"${files.head}","dataChange":true}}"""
+    ))
+
+    val v0 = DeltaRead.read(spark, dir, versionAsOf = Some(0L))
+    val v1 = DeltaRead.read(spark, dir)
+    assert(v0.count() == 50)
+    assert(v1.count() < 50 && v1.count() > 0)
+    assert(DeltaRead.snapshot(spark, dir).version == 1L)
+    assert(DeltaRead.snapshot(spark, dir).files == files.tail)
+
+    val oob = intercept[IllegalArgumentException](
+      DeltaRead.read(spark, dir, versionAsOf = Some(7L)))
+    assert(oob.getMessage.contains("out of range"))
+  }
+
+  test("replay starts from a parquet checkpoint when one covers the version") {
+    val dir = Files.createTempDirectory("graft_delta_cp").toString
+    DeltaRead.create(spark.range(0, 30).toDF("id").repartition(2), dir)
+    val files = dataFiles(dir)
+    // v1 drops files(0); checkpoint at v1 holds the folded state
+    writeCommit(dir, 1L, Seq(
+      s"""{"remove":{"path":"${files(0)}","dataChange":true}}"""
+    ))
+    val schemaJson = StructType(Seq(StructField("id", LongType))).json
+
+    // build the single-file checkpoint parquet: one row per surviving action
+    val cpTmp = Files.createTempDirectory("graft_delta_cptmp").toString
+    Seq(
+      (Some(files(1)), None: Option[String]),
+      (None, Some(schemaJson))
+    ).toDF("p", "s")
+      .selectExpr(
+        "named_struct('path', p) AS add",
+        "named_struct('schemaString', s) AS metaData")
+      .coalesce(1).write.mode("overwrite").parquet(cpTmp)
+    val part = new File(cpTmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val logDir = new File(dir, "_delta_log")
+    Files.copy(part.toPath,
+      new File(logDir, f"${1L}%020d.checkpoint.parquet").toPath)
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      """{"version":1}""".getBytes(StandardCharsets.UTF_8))
+
+    // poison the pre-checkpoint commits: if replay read them it would throw
+    writeCommit(dir, 0L, Seq("""{"protocol":{"minReaderVersion":9}}"""))
+
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.version == 1L && snap.files == Seq(files(1)))
+    assert(snap.schema.contains(StructType(Seq(StructField("id", LongType)))))
+    assert(DeltaRead.read(spark, dir).count() > 0)
+
+    // a commit past the checkpoint is still applied
+    writeCommit(dir, 2L, Seq(
+      s"""{"remove":{"path":"${files(1)}","dataChange":true}}"""
+    ))
+    assert(DeltaRead.snapshot(spark, dir).files.isEmpty)
+    // no files left: the metaData schema still yields an empty typed frame
+    val empty = DeltaRead.read(spark, dir)
+    assert(empty.schema == StructType(Seq(StructField("id", LongType))))
+    assert(empty.count() == 0)
+  }
+
+  test("unsupported protocol features fail fast with clear errors") {
+    val dir = Files.createTempDirectory("graft_delta_bad").toString
+    DeltaRead.create(spark.range(0, 5).toDF("id"), dir)
+
+    writeCommit(dir, 1L, Seq("""{"protocol":{"minReaderVersion":3}}"""))
+    val e1 = intercept[IllegalArgumentException](DeltaRead.read(spark, dir))
+    assert(e1.getMessage.contains("minReaderVersion"))
+
+    writeCommit(dir, 1L, Seq(
+      """{"add":{"path":"x.parquet","deletionVector":{"storageType":"u"}}}"""))
+    val e2 = intercept[IllegalArgumentException](DeltaRead.read(spark, dir))
+    assert(e2.getMessage.contains("deletion vectors"))
+
+    writeCommit(dir, 1L, Seq(
+      """{"metaData":{"columnMappingMode":"name"}}"""))
+    val e3 = intercept[IllegalArgumentException](DeltaRead.read(spark, dir))
+    assert(e3.getMessage.contains("column mapping"))
+
+    val notDelta = Files.createTempDirectory("graft_not_delta").toString
+    val e4 = intercept[IllegalArgumentException](DeltaRead.read(spark, notDelta))
+    assert(e4.getMessage.contains("_delta_log"))
+  }
+
+  test("glue table_type=delta registers and reads through the provider") {
+    val dir = Files.createTempDirectory("graft_delta_glue").toString
+    DeltaRead.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    val table = GlueTable(
+      "deltadb", "t_delta",
+      GlueStorageDescriptor(
+        location = dir,
+        inputFormat = "", outputFormat = "",
+        serdeInfo = GlueSerDeInfo(""),
+        // declared narrower than the file's long: DeriveSchema casts
+        columns = Seq(GlueColumn("k", "int"), GlueColumn("v", "string"))
+      ),
+      parameters = Map("table_type" -> "delta")
+    )
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(table)), spark)
+    val df = p.registerTable("deltadb", "t_delta")
+    assert(df.schema("k").dataType == IntegerType)
+    assert(spark.sql("SELECT v FROM deltadb_t_delta WHERE k = 2").head.getString(0)
+      == "b")
+  }
+}
