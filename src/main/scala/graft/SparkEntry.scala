@@ -1814,6 +1814,32 @@ object SparkEntry {
       new catalog.GlueCatalogProvider(new catalog.InMemoryGlueClient(Seq(table)), s)
         .load(table)
         .orderBy("s_suppkey")
+    },
+
+    // ---- C25: Gopher/MassiveText repetition-quality signals — per-row
+    // higher-order-function projections, zero shuffles.
+    "text_repetition" -> { (s, dir) =>
+      operators.Repetition
+        .signals(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- C26: exact duplicate-substring spans (token-10-gram form of
+    // Lee et al. suffix-array dedup): corpus-duplicated 10-grams merged
+    // into maximal removable spans per document.
+    "dedup_substring_spans" -> { (s, dir) =>
+      operators.Dedup
+        .duplicateSpans(T(s, dir, "documents"), "text", "doc_id", k = 10)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // ---- C27: semantic dedup (SemDeDup shape): k-means cluster, then drop
+    // within-cluster vectors with a lower-id mate at cosine >= threshold.
+    "dedup_semantic" -> { (s, dir) =>
+      operators.Dedup
+        .semanticDedup(T(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.4, k = 8)
+        .orderBy("vec_id")
     }
   )
 
@@ -2955,6 +2981,123 @@ object SparkEntry {
     "q_delta_scan" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok FROM t
+        |), runs AS (
+        |  SELECT doc_id, count(*) AS run
+        |  FROM (SELECT doc_id, tok,
+        |          pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        |        FROM tok)
+        |  GROUP BY doc_id, tok, grp
+        |), mr AS (
+        |  SELECT doc_id, CAST(max(run) AS INTEGER) AS max_run FROM runs GROUP BY doc_id
+        |), ng AS (
+        |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS tg
+        |  FROM t
+        |)
+        |SELECT ng.doc_id, ng.n_tokens, mr.max_run,
+        |  CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_max([len(list_filter(bg, x -> x = d)) for d in list_distinct(bg)]) AS DOUBLE) / len(bg), 6)
+        |  END AS top_bigram_frac,
+        |  CASE WHEN len(tg) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        |  END AS dup_trigram_frac
+        |FROM ng JOIN mr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS INTEGER) AS pos,
+        |         unnest(gs) AS gram
+        |  FROM (SELECT doc_id,
+        |          [array_to_string(w[i:i+9], ' ') for i in range(1, len(w)-8)] AS gs
+        |        FROM t WHERE len(w) >= 10)
+        |), d AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), p AS (
+        |  SELECT doc_id, pos FROM g JOIN d USING (gram)
+        |), w2 AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS flag
+        |  FROM w2
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM f
+        |)
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(pos) + 10 AS INTEGER) AS span_end, count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
+        |), d1 AS (
+        |  SELECT e.vec_id, c0.cid,
+        |    round(list_sum([ (e.v[i]-c0.cv[i])*(e.v[i]-c0.cv[i])
+        |                     for i in range(1, len(e.v)+1)]), 4) AS d
+        |  FROM e, c0
+        |), a1 AS (
+        |  SELECT vec_id, cid AS c1 FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d1
+        |  ) WHERE rn = 1
+        |), x AS (
+        |  SELECT a1.c1, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+        |  FROM e JOIN a1 USING (vec_id)
+        |), m AS (
+        |  SELECT c1, pos,
+        |    round(CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS mv
+        |  FROM x GROUP BY c1, pos
+        |), c1t AS (
+        |  SELECT c1 AS cid, array_agg(mv ORDER BY pos) AS cv FROM m GROUP BY c1
+        |), d2 AS (
+        |  SELECT e.vec_id, c1t.cid,
+        |    round(list_sum([ (e.v[i]-c1t.cv[i])*(e.v[i]-c1t.cv[i])
+        |                     for i in range(1, len(e.v)+1)]), 4) AS d
+        |  FROM e, c1t
+        |), a2 AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d2
+        |  ) WHERE rn = 1
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(list_sum([ v[i]*v[i] for i in range(1, len(v)+1)])) AS nr
+        |  FROM e
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |  JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
+        |  WHERE na.nr > 0 AND nb.nr > 0
+        |    AND round(list_sum([ ea.v[i]*eb.v[i] for i in range(1, len(ea.v)+1)])
+        |              / (na.nr * nb.nr), 4) >= 0.4
+        |)
+        |SELECT a2.vec_id, a2.cluster,
+        |  a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+        |FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q_click_attribution" ->
       """WITH v AS (

@@ -240,6 +240,69 @@ object Dedup {
     incoming.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** Exact duplicate-substring spans (the token-k-gram form of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" suffix-array
+    * dedup — the k-gram formulation is the one that distributes): every
+    * token position whose k-gram occurs at least `minOccurrences` times in
+    * the corpus (across or within documents), merged into maximal
+    * [span_start, span_end) token spans per document.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams) — span bounds are
+    * 0-based token indices, end exclusive; n_grams counts the duplicated
+    * k-gram start positions the span merged.
+    *
+    * Scale shape: the gram table is one 8-byte hash per token position
+    * (strings never shuffle); occurrence counting and the count join are
+    * keyed equi-shuffles on the gram hash (map-side partial counts,
+    * AQE-skew-splittable); span merging is a per-document window over only
+    * the duplicated positions, bounded by document length. */
+  def duplicateSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 10,
+      minOccurrences: Long = 2L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramsOf = docs
+      .select(col(idCol), TF.wsTokens(col(textCol)).as("w"))
+      .select(
+        col(idCol),
+        // sequence(1, 0) would count DOWN — guard short docs explicitly
+        posexplode(
+          expr(
+            s"CASE WHEN size(w) < $k THEN CAST(array() AS ARRAY<BIGINT>) " +
+              s"ELSE transform(sequence(1, size(w) - ${k - 1}), " +
+              s"i -> xxhash64(concat_ws(' ', slice(w, i, $k)))) END"
+          )
+        ).as(Seq("pos", "gh"))
+      )
+    val dupGrams = gramsOf
+      .groupBy("gh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences)
+      .select("gh")
+    val dupPos = gramsOf.join(dupGrams, "gh").select(col(idCol), col("pos"))
+    // islands: a position opens a new span iff it starts past every earlier
+    // span end (running max of pos + k over the preceding rows)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn(
+        "flag",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0)
+      )
+      .withColumn("island", sum(col("flag")).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_grams")
+      )
+      .drop("island")
+  }
+
   /** SimHash sketch per document: (id, simhash). Sketched over 2-gram
     * shingles rather than single tokens: on homogeneous corpora (shared
     * vocabulary) token-level sketches collapse into a few values, which makes
@@ -308,6 +371,73 @@ object Dedup {
       )
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.hamming").as("hamming"))
       .distinct()
+  }
+
+  /** Semantic deduplication (the SemDeDup shape: cluster, then prune
+    * within-cluster semantic duplicates): k-means-cluster the embeddings
+    * ([[KMeans]]: deterministic lowest-id seeds + one Lloyd iteration), then
+    * inside each cluster drop every vector that has a LOWER-id cluster-mate
+    * with cosine >= `threshold` — a deterministic one-pass keep-first rule.
+    * Output: (id, cluster, kept) for every input vector.
+    *
+    * Scale shape: the clustering is [[KMeans]] (broadcast centroids, shuffle
+    * volume k×dim); the prune is one keyed shuffle on cluster id with the
+    * cosine predicate INSIDE the in-cluster pair lambda (same bounded shape
+    * as [[simhashPairs]]). Cluster population is corpus_size / k — SemDeDup
+    * scales k with the corpus precisely so clusters stay bounded; if a
+    * degenerate cluster still outgrows memory, the production move is to
+    * re-cluster it recursively, not to compare across clusters. Zero-norm
+    * vectors have cosine 0 to everything (kernel convention) and are always
+    * kept. */
+  def semanticDedup(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 8
+  ): DataFrame = {
+    val e = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")
+    )
+    val c0 = KMeans.seeds(e, "v", "id", k)
+    val a1 = KMeans.assign(e, c0, "v", "id")
+    val c1 = KMeans.updateCentroids(e, a1, "v", "id")
+    val a2 = KMeans.assign(e, c1, "v", "id")
+    val members = a2.join(
+      e.withColumn("nrm", expr("sqrt(aggregate(v, 0d, (s, z) -> s + z * z))")),
+      "id"
+    )
+    val dropped = members
+      .filter(col("nrm") > 0d)
+      .groupBy("cluster")
+      .agg(
+        sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
+          .as("xs")
+      )
+      .filter(size(col("xs")) >= 2)
+      .select(
+        explode(
+          expr(
+            "flatten(transform(xs, (x, i) -> " +
+              "filter(transform(slice(xs, i + 2, size(xs)), " +
+              "y -> struct(y.id AS b_id, " +
+              "round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0d, (s, z) -> s + z) " +
+              "/ (x.nrm * y.nrm), 4) AS cos)), " +
+              s"p -> p.cos >= $threshold)))"
+          )
+        ).as("p")
+      )
+      .select(col("p.b_id").as("id"))
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    members
+      .join(dropped, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("cluster"),
+        col("is_dropped").isNull.as("kept")
+      )
   }
 
   /** Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed by

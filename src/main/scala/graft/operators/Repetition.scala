@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Repetition-based document quality signals, the Gopher/MassiveText filter
+  * family (repeated-line fraction, repeated n-gram fraction, longest token
+  * run): the standard pre-training corpus gate that catches boilerplate,
+  * keyword stuffing and degenerate generations that length/stopword filters
+  * (see [[graft.functions.TextFunctions.qualityScore]]) miss.
+  *
+  * Scale design (100 TB): every signal is a per-row projection over the
+  * token array — higher-order functions only (`aggregate`/`transform`/
+  * `filter`), zero shuffles, fully whole-stage-codegen, embarrassingly
+  * parallel with the scan. The top-bigram count is O(distinct·n) per row,
+  * bounded by document length, never by corpus size.
+  *
+  * Reference analog: the reference exposes the table scan this filter runs
+  * over (src/catalog_provider/glue.rs:300-340 registers the listing table);
+  * the signal set follows the published Gopher data-quality rules.
+  */
+object Repetition {
+
+  /** Longest run of consecutive identical tokens, as a single left fold —
+    * no explode, no window, no shuffle. */
+  def maxRun(tokens: Column): Column =
+    aggregate(
+      tokens,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, t) => {
+        val nr = when(t === s.getField("prev"), s.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(
+          t.as("prev"),
+          nr.as("run"),
+          greatest(s.getField("best"), nr).as("best")
+        )
+      },
+      s => s.getField("best")
+    )
+
+  /** Count of the most frequent element of an array column. */
+  def topCount(xs: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(xs), d => size(filter(xs, _ === d)))),
+      lit(0)
+    )
+
+  /** Space-joined k-grams of an already-tokenized array column (the
+    * token-array twin of [[TF.wordShingles]], which starts from raw text). */
+  def tokenShingles(w: Column, k: Int): Column =
+    when(size(w) < k, array()).otherwise(
+      transform(
+        sequence(lit(1), size(w) - lit(k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))
+      )
+    )
+
+  /** Per-document repetition signals over whitespace tokens:
+    * (id, n_tokens, max_run, top_bigram_frac, dup_trigram_frac).
+    * - max_run: longest consecutive identical-token run
+    * - top_bigram_frac: occurrences of the most frequent word bigram over
+    *   total bigrams (rounded 6)
+    * - dup_trigram_frac: fraction of trigram instances that are repeats of
+    *   an earlier trigram in the same document, i.e. (total − distinct) /
+    *   total (rounded 6)
+    * Ratios are 0.0 when a document is too short to form the n-gram. */
+  def signals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withToks = docs.select(
+      col(idCol),
+      TF.wsTokens(col(textCol)).as("w")
+    )
+    val bg = tokenShingles(col("w"), 2)
+    val tg = tokenShingles(col("w"), 3)
+    withToks
+      .select(
+        col(idCol),
+        size(col("w")).as("n_tokens"),
+        maxRun(col("w")).as("max_run"),
+        bg.as("bg"),
+        tg.as("tg")
+      )
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("max_run"),
+        when(size(col("bg")) === 0, 0.0)
+          .otherwise(
+            round(topCount(col("bg")).cast("double") / size(col("bg")), 6)
+          )
+          .as("top_bigram_frac"),
+        when(size(col("tg")) === 0, 0.0)
+          .otherwise(
+            round(
+              (size(col("tg")) - size(array_distinct(col("tg"))))
+                .cast("double") / size(col("tg")),
+              6
+            )
+          )
+          .as("dup_trigram_frac")
+      )
+  }
+}

@@ -181,4 +181,57 @@ class DedupSpec extends AnyFunSuite {
     val uncapped = Dedup.minhashCandidatePairs(many, "text", "doc_id")
     assert(uncapped.count() == 60L * 59L / 2L)
   }
+
+  test("duplicate substring spans: shared k-gram found, overlaps merged") {
+    val phrase = (1 to 11).map(i => s"p$i").mkString(" ") // 11 shared tokens
+    val docs = Seq(
+      (1L, s"$phrase tail1 tail2 tail3"),
+      (2L, s"lead1 lead2 $phrase"),
+      (3L, "entirely different words with no shared ten gram at all right")
+    ).toDF("doc_id", "text")
+    val spans = Dedup
+      .duplicateSpans(docs, "text", "doc_id", k = 10)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // 11 shared tokens -> two overlapping 10-grams -> ONE merged span of 11
+    // tokens (2 grams) per document, at each document's phrase offset
+    assert(spans.toSeq == Seq((1L, 0, 11, 2L), (2L, 2, 13, 2L)))
+  }
+
+  test("duplicate substring spans: within-document repetition counts too") {
+    val phrase = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$phrase mid1 mid2 $phrase"),
+      (2L, "nothing shared here with anybody else in this corpus at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup
+      .duplicateSpans(docs, "text", "doc_id", k = 10)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 0, 10, 1L), (1L, 12, 22, 1L)))
+    // short documents (< k tokens) produce no grams and no spans
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(short, "text", "doc_id", k = 10).count() == 0)
+  }
+
+  test("semantic dedup: within-cluster near-dups dropped, keep-first by id") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.001f, 0f, 0f)), // near dup of 1 -> dropped
+      (3L, Array(0.998f, 0.002f, 0f, 0f)), // near dup of 1 -> dropped
+      (10L, Array(0f, 1f, 0f, 0f)),
+      (11L, Array(0f, 0.999f, 0.001f, 0f)), // near dup of 10 -> dropped
+      (12L, Array(0f, 0f, 0f, 1f)),         // same cluster as 10, not near
+      (13L, Array(0f, 0f, 0f, 0f))          // zero norm -> always kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup
+      .semanticDedup(vecs, "embedding", "vec_id", threshold = 0.99, k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    assert(out.size == 7)
+    assert(out.filter(!_._2).keySet == Set(2L, 3L, 11L), out.toString)
+  }
 }

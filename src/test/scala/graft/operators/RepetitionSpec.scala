@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class RepetitionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("repetition signals: hand-computed values on a planted document") {
+    // tokens: a a a b c b c b c
+    //   n_tokens = 9, max_run = 3 ("a a a")
+    //   bigrams (8): [a a, a a, a b, b c, c b, b c, c b, b c]
+    //     -> top "b c" x3 -> 3/8 = 0.375
+    //   trigrams (7): [a a a, a a b, a b c, b c b, c b c, b c b, c b c]
+    //     -> 5 distinct -> dup frac (7-5)/7 = 0.285714
+    val docs = Seq((1L, "a a a b c b c b c")).toDF("doc_id", "text")
+    val r = Repetition.signals(docs, "text", "doc_id").head()
+    assert(r.getInt(1) == 9)
+    assert(r.getInt(2) == 3)
+    assert(r.getDouble(3) == 0.375)
+    assert(r.getDouble(4) == 0.285714)
+  }
+
+  test("repetition signals: no-repeat and too-short documents") {
+    val docs = Seq(
+      (1L, "one two three four"), // no repeated bigram: top frac 1/3
+      (2L, "word")                // too short for any n-gram
+    ).toDF("doc_id", "text")
+    val rows = Repetition
+      .signals(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+    assert(rows(0).getInt(2) == 1) // max_run 1
+    assert(rows(0).getDouble(3) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(rows(0).getDouble(4) == 0.0)
+    assert(rows(1).getInt(1) == 1)
+    assert(rows(1).getInt(2) == 1)
+    assert(rows(1).getDouble(3) == 0.0 && rows(1).getDouble(4) == 0.0)
+  }
+
+  test("repetition signals: a degenerate all-same-token document maxes out") {
+    val docs = Seq((1L, ("spam " * 50).trim)).toDF("doc_id", "text")
+    val r = Repetition.signals(docs, "text", "doc_id").head()
+    assert(r.getInt(1) == 50)
+    assert(r.getInt(2) == 50)
+    assert(r.getDouble(3) == 1.0) // every bigram is "spam spam"
+    assert(r.getDouble(4) == math.rint((48.0 - 1) / 48 * 1e6) / 1e6)
+  }
+}
