@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout maintenance for parquet table directories — the jobs a
@@ -82,6 +82,70 @@ object FileLayout {
       .write
       .mode("overwrite")
       .parquet(dir)
+
+  /** 16-bit Morton spread: the classic shift-or-mask ladder that moves bit i
+    * of a 16-bit value to bit 2i. Pure bitwise builtins — whole-stage
+    * codegen, no UDF. */
+  private def spread16(x: Column): Column = {
+    val a = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (z-order) interleave of two 16-bit bucket ids into one 32-bit
+    * z-value: z = spread(a) | spread(b) << 1. */
+  def mortonInterleave(bucketA: Column, bucketB: Column): Column =
+    spread16(bucketA).bitwiseOR(shiftleft(spread16(bucketB), 1))
+
+  /** Write `df` z-order-clustered on TWO numeric columns: each column is
+    * uniformly bucketed into 2^16 cells between its min and max (one tiny
+    * min/max aggregation, broadcast as literals), the bucket ids are
+    * Morton-interleaved, and the data is range-partitioned + sorted on the
+    * z-value. The result: per-file min/max bounding boxes are tight on BOTH
+    * columns, so a conjunctive range predicate on either or both columns
+    * skips most files/row groups — the multi-column data-skipping layout a
+    * single-key sort cannot provide (sorting on A leaves B's per-file range
+    * near-full).
+    *
+    * Scale shape: one scalar aggregation + one range shuffle, identical cost
+    * to [[sortedWrite]]. Uniform bucketing keeps the z-map a pure per-row
+    * expression; under heavy value skew substitute quantile boundaries for
+    * the min/max scaling (the interleave is unchanged). */
+  def zorderWrite(
+      df: DataFrame,
+      dir: String,
+      numFiles: Int,
+      colA: String,
+      colB: String
+  ): Unit = {
+    val r = df
+      .agg(
+        min(col(colA)).cast("double").as("amin"),
+        max(col(colA)).cast("double").as("amax"),
+        min(col(colB)).cast("double").as("bmin"),
+        max(col(colB)).cast("double").as("bmax")
+      )
+      .head()
+    val (amin, amax, bmin, bmax) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else
+        least(
+          lit(65535L),
+          floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long")
+        )
+    df.withColumn(
+      "__z",
+      mortonInterleave(bucket(col(colA), amin, amax), bucket(col(colB), bmin, bmax))
+    ).repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+  }
 
   /** Per-row-group (min, max) footer statistics of an INT64 column across
     * the data files of `dir`: (file name, row group index, min, max).

@@ -79,4 +79,53 @@ class FileLayoutSpec extends AnyFunSuite {
       q.count() == li.filter(col("l_orderkey") === 42L).count()
     )
   }
+
+  test("zorderWrite: bounding boxes tight on BOTH columns, 2-D skipping beats 1-D sort") {
+    val root = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    val zdir = s"$root/z"
+    val sdir = s"$root/s"
+    val li = Tables
+      .t(spark, SparkFixture.sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val nFiles = 32
+    FileLayout.zorderWrite(li, zdir, nFiles, "l_orderkey", "l_partkey")
+    FileLayout.sortedWrite(li, sdir, nFiles, "l_orderkey")
+    assert(spark.read.parquet(zdir).count() == li.count())
+
+    // per-FILE bounding box (min/max over that file's row groups), per column
+    def boxes(dir: String): Seq[((Long, Long), (Long, Long))] = {
+      def perFile(colName: String): Map[String, (Long, Long)] =
+        FileLayout
+          .fileColumnStats(spark, dir, colName)
+          .groupBy(_._1)
+          .map { case (f, xs) => f -> (xs.map(_._3).min, xs.map(_._4).max) }
+      val a = perFile("l_orderkey")
+      val b = perFile("l_partkey")
+      a.keys.toSeq.sorted.map(f => (a(f), b(f)))
+    }
+    val zb = boxes(zdir)
+    val sb = boxes(sdir)
+    assert(zb.size == nFiles && sb.size == nFiles)
+
+    val bLo = sb.map(_._2._1).min.toDouble
+    val bHi = sb.map(_._2._2).max.toDouble
+    def avgBSpan(bs: Seq[((Long, Long), (Long, Long))]): Double =
+      bs.map { case (_, (b1, b2)) => (b2 - b1) / (bHi - bLo) }.sum / bs.size
+    // the 1-D orderkey sort leaves l_partkey near-full-range in every file;
+    // z-order must keep per-file partkey spans substantially tighter
+    // (total box AREA is conserved by interleaving — the win is box SHAPE)
+    assert(avgBSpan(sb) > 0.9, s"sorted avg b-span=${avgBSpan(sb)}")
+    assert(avgBSpan(zb) < 0.6, s"zorder avg b-span=${avgBSpan(zb)}")
+
+    // a selective l_partkey-only range predicate: the orderkey-sorted layout
+    // cannot skip any file for it; the z-order layout must skip most
+    val (qLo, qHi) = (bLo.toLong, (bLo + (bHi - bLo) * 0.08).toLong)
+    def touched(bs: Seq[((Long, Long), (Long, Long))]): Int =
+      bs.count { case (_, (b1, b2)) => b1 <= qHi && b2 >= qLo }
+    assert(touched(sb) == nFiles, s"sorted layout unexpectedly pruned: ${touched(sb)}")
+    assert(
+      touched(zb) <= nFiles / 2,
+      s"z=${touched(zb)} sorted=${touched(sb)}"
+    )
+  }
 }
