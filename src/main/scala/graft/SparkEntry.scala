@@ -1840,6 +1840,30 @@ object SparkEntry {
         .semanticDedup(T(s, dir, "embeddings"), "embedding", "vec_id",
           threshold = 0.4, k = 8)
         .orderBy("vec_id")
+    },
+
+    // ---- C16 under the gate: PII scrubbing. The corpus has no natural
+    // PII, so both engines append the SAME deterministic contact string
+    // (email + phone + IPv4 derived from doc_id) and must scrub it
+    // identically — the patterns live in the Java-regex ∩ RE2 intersection
+    // precisely so this oracle is possible.
+    "q_pii_scrub" -> { (s, dir) =>
+      val raw = concat(
+        col("text"),
+        lit(" reach user"),
+        col("doc_id").cast("string"),
+        lit("@mail.example.org, call +49 (30) 1234"),
+        col("doc_id").cast("string"),
+        lit(", server 192.168."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".42")
+      )
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          functions.TextFunctions.piiScrub(raw).as("scrubbed")
+        )
+        .orderBy("doc_id")
     }
   )
 
@@ -3046,6 +3070,24 @@ object SparkEntry {
         |  CAST(max(pos) + 10 AS INTEGER) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.org, call +49 (30) 1234'
+        |      || CAST(doc_id AS VARCHAR)
+        |      || ', server 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.42' AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "dedup_semantic" ->
       """WITH e AS (

@@ -184,11 +184,96 @@ object DeltaRead {
     reader.parquet(paths: _*)
   }
 
+  /** Append `df` to an existing delta table as one new commit: the new rows
+    * are written as parquet parts into the table directory, then a single
+    * `<latest+1>.json` commit adds exactly those files. Single-writer only —
+    * real concurrent commits need a coordinator (the reference gets one from
+    * the deltalake crate's LogStore); this covers the ingest-append shape so
+    * log replay, time travel and checkpointing can be exercised end-to-end.
+    * Returns the new version. */
+  def append(df: DataFrame, dir: String): Long = {
+    val root = new File(dir)
+    val before = dataFileNames(root)
+    val snap = snapshot(df.sparkSession, dir)
+    val writer = df.write.mode("append")
+    writer.parquet(dir)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("_"))
+      .foreach(_.delete()) // _SUCCESS markers; delta lists files in the log
+    val added = (dataFileNames(root) -- before).toSeq.sorted
+    val version = snap.version + 1
+    val lines = added.map { name =>
+      val f = new File(root, name)
+      s"""{"add":{"path":"$name","partitionValues":{},"size":${f.length()},""" +
+        s""""modificationTime":${f.lastModified()},"dataChange":true}}"""
+    }
+    Files.write(
+      new File(new File(root, "_delta_log"), f"$version%020d.json").toPath,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    )
+    version
+  }
+
+  /** Fold the snapshot at the latest version into a single-file parquet
+    * checkpoint plus `_last_checkpoint`, so later reads replay only commits
+    * past it — the log-compaction step that keeps replay O(checkpoint
+    * interval), not O(table age). Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val snap = snapshot(spark, dir)
+    val schemaJson = snap.schema.map(_.json)
+    val cpSchema = StructType(
+      Seq(
+        StructField(
+          "add",
+          StructType(Seq(StructField("path", StringType))),
+          nullable = true
+        ),
+        StructField(
+          "metaData",
+          StructType(Seq(StructField("schemaString", StringType))),
+          nullable = true
+        )
+      )
+    )
+    val rows =
+      snap.files.map(p => Row(Row(p), null)) ++
+        schemaJson.map(s => Row(null, Row(s))).toSeq
+    val tmp = Files.createTempDirectory("graft_delta_cp").toString
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(tmp)
+    val part = Option(new File(tmp).listFiles()).toSeq.flatten
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
+    val logDir = new File(dir, "_delta_log")
+    Files.copy(
+      part.toPath,
+      new File(logDir, f"${snap.version}%020d.checkpoint.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING
+    )
+    Files.write(
+      new File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":${snap.version},"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8)
+    )
+    snap.version
+  }
+
+  private def dataFileNames(root: File): Set[String] =
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName)
+      .toSet
+
   /** Bootstrap a delta table from `df` at `dir`: distributed parquet write,
     * then a version-0 commit (protocol + metaData + one add per data file).
-    * Create-only — no appends, no concurrent-writer coordination (those
-    * need a real transaction coordinator; this exists so delta READS can be
-    * exercised and tested without the delta-spark jar). */
+    * Single-writer create; [[append]] adds commits, [[checkpoint]] folds
+    * them. */
   def create(df: DataFrame, dir: String): Unit = {
     val root = new File(dir)
     if (root.exists()) {

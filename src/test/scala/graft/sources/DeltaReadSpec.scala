@@ -134,6 +134,37 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("_delta_log"))
   }
 
+  test("append commits new files; checkpoint folds the log for later reads") {
+    val dir = Files.createTempDirectory("graft_delta_app").toString
+    DeltaRead.create(spark.range(0, 10).toDF("id"), dir)
+    val v1 = DeltaRead.append(spark.range(10, 25).toDF("id"), dir)
+    assert(v1 == 1L)
+    val v2 = DeltaRead.append(spark.range(25, 30).toDF("id"), dir)
+    assert(v2 == 2L)
+    assert(DeltaRead.read(spark, dir).count() == 30)
+    // time travel still sees each append boundary
+    assert(DeltaRead.read(spark, dir, versionAsOf = Some(0L)).count() == 10)
+    assert(DeltaRead.read(spark, dir, versionAsOf = Some(1L)).count() == 25)
+
+    // checkpoint at v2, then append v3: replay = checkpoint + v3 only
+    assert(DeltaRead.checkpoint(spark, dir) == 2L)
+    val v3 = DeltaRead.append(spark.range(30, 32).toDF("id"), dir)
+    assert(v3 == 3L)
+    // poison pre-checkpoint commits: a reader that replays them would throw
+    writeCommit(dir, 0L, Seq("""{"protocol":{"minReaderVersion":9}}"""))
+    writeCommit(dir, 1L, Seq("""{"protocol":{"minReaderVersion":9}}"""))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.version == 3L)
+    assert(
+      spark.read
+        .parquet(snap.files.map(p => new java.io.File(dir, p).getPath): _*)
+        .count() == 32
+    )
+    assert(DeltaRead.read(spark, dir).count() == 32)
+    // schema survives via the checkpoint's metaData row
+    assert(DeltaRead.read(spark, dir).schema.fieldNames.toSeq == Seq("id"))
+  }
+
   test("glue table_type=delta registers and reads through the provider") {
     val dir = Files.createTempDirectory("graft_delta_glue").toString
     DeltaRead.create(
