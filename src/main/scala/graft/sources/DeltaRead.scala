@@ -214,6 +214,53 @@ object DeltaRead {
     version
   }
 
+  /** Highest committed `txn` action version for `appId`, or None — the
+    * delta protocol's application-transaction marker that makes retried
+    * writes detectable. Scans every commit file (our [[checkpoint]] does not
+    * fold txn actions, and commit files are never deleted here), so the
+    * answer is exact regardless of checkpointing. */
+  def lastTxnVersion(dir: String, appId: String): Option[Long] = {
+    val logDir = new File(dir, "_delta_log")
+    if (!logDir.isDirectory) return None
+    val versions = for {
+      f <- Option(logDir.listFiles()).toSeq.flatten
+      if f.getName.matches("\\d{20}\\.json")
+      line <- Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+      if line.nonEmpty
+      node = mapper.readTree(line)
+      txn <- Option(node.get("txn"))
+      if txn.path("appId").asText() == appId
+    } yield txn.path("version").asLong()
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** Exactly-once append: commit `df` together with a `txn` marker
+    * (appId, txnVersion); if a commit with `txnVersion` (or later) for
+    * `appId` already exists, do nothing. This is the delta idempotence
+    * contract a replayed streaming micro-batch needs. Returns true when the
+    * append actually committed. */
+  def appendIdempotent(
+      df: DataFrame,
+      dir: String,
+      appId: String,
+      txnVersion: Long
+  ): Boolean = {
+    if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) return false
+    // first batch bootstraps the table; later batches append a commit
+    val version =
+      if (!new File(dir, "_delta_log").isDirectory) { create(df, dir); 0L }
+      else append(df, dir)
+    val logFile = new File(new File(dir, "_delta_log"), f"$version%020d.json")
+    val txnLine =
+      s"""{"txn":{"appId":"$appId","version":$txnVersion}}"""
+    val existing = Files.readString(logFile.toPath)
+    Files.write(
+      logFile.toPath,
+      (txnLine + "\n" + existing).getBytes(StandardCharsets.UTF_8)
+    )
+    true
+  }
+
   /** Fold the snapshot at the latest version into a single-file parquet
     * checkpoint plus `_last_checkpoint`, so later reads replay only commits
     * past it — the log-compaction step that keeps replay O(checkpoint

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.sources.DeltaRead
+
+/** Exactly-once streaming ingest into a graft delta table.
+  *
+  * Structured Streaming's foreachBatch gives at-least-once delivery: after a
+  * crash the last micro-batch is REPLAYED with the same batchId. The delta
+  * protocol's answer is the `txn` action — a (appId, version) marker
+  * committed atomically with the data — so a replayed batch is detected and
+  * skipped ([[DeltaRead.appendIdempotent]]). batchId is the txn version;
+  * Spark guarantees it is monotonically increasing per checkpoint location.
+  *
+  * Scale shape: the data write is a normal distributed parquet append; only
+  * the commit-marker bookkeeping is driver-side (one tiny JSON per batch) —
+  * exactly how delta-spark's own streaming sink coordinates.
+  */
+object DeltaSink {
+
+  /** Writer that appends each micro-batch to the delta table at `dir`
+    * exactly once under `appId`. Caller sets checkpointLocation and
+    * start()s. */
+  def exactlyOnce(
+      stream: DataFrame,
+      dir: String,
+      appId: String
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DeltaRead.appendIdempotent(batch, dir, appId, batchId)
+        ()
+      }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.DeltaRead
+
+class DeltaSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("appendIdempotent: a replayed txn version is a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_delta_txn").toString
+    // batch 0 bootstraps the table
+    assert(DeltaRead.appendIdempotent(
+      Seq(1L, 2L).toDF("id"), dir, "appA", txnVersion = 0L))
+    assert(DeltaRead.appendIdempotent(
+      Seq(3L).toDF("id"), dir, "appA", txnVersion = 1L))
+    assert(DeltaRead.read(spark, dir).count() == 3)
+    // replay of batch 1 (crash between data commit and offset commit)
+    assert(!DeltaRead.appendIdempotent(
+      Seq(3L).toDF("id"), dir, "appA", txnVersion = 1L))
+    assert(DeltaRead.read(spark, dir).count() == 3)
+    assert(DeltaRead.lastTxnVersion(dir, "appA").contains(1L))
+    // a DIFFERENT app's versions are tracked independently
+    assert(DeltaRead.appendIdempotent(
+      Seq(9L).toDF("id"), dir, "appB", txnVersion = 0L))
+    assert(DeltaRead.read(spark, dir).count() == 4)
+  }
+
+  test("streaming ingest lands every micro-batch exactly once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_delta_stream").toString
+    val ckpt = Files.createTempDirectory("graft_delta_stream_ck").toString
+    val input = MemoryStream[Long]
+    input.addData(1L, 2L, 3L)
+
+    def runOnce(): Unit = {
+      val q = DeltaSink
+        .exactlyOnce(input.toDF(), dir, "ingest")
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(DeltaRead.read(spark, dir).count() == 3)
+
+    input.addData(4L, 5L)
+    runOnce()
+    val ids = DeltaRead
+      .read(spark, dir)
+      .as[Long]
+      .collect()
+      .sorted
+      .toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
+
+    // restart with NO new data: nothing is re-appended
+    runOnce()
+    assert(DeltaRead.read(spark, dir).count() == 5)
+  }
+}
