@@ -1842,6 +1842,37 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // ---- C25+C26 composed: the repetition gate a corpus-prep pipeline
+    // applies — per-doc repetition signals joined with the fraction of
+    // tokens covered by corpus-duplicated substring spans, folded into a
+    // deterministic pass/fail verdict.
+    "docs_repetition_gate" -> { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val sig = operators.Repetition.signals(d, "text", "doc_id")
+      val spans = operators.Dedup
+        .duplicateSpans(d, "text", "doc_id", k = 10)
+        .groupBy("doc_id")
+        .agg(sum(col("span_end") - col("span_start")).as("dup_toks"))
+      sig
+        .join(spans, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("max_run"),
+          col("top_bigram_frac"),
+          round(
+            coalesce(col("dup_toks"), lit(0L)).cast("double") / col("n_tokens"),
+            6
+          ).as("dup_span_frac")
+        )
+        .withColumn(
+          "pass",
+          col("max_run") <= 5 && col("top_bigram_frac") <= 0.2 &&
+            col("dup_span_frac") <= 0.5
+        )
+        .orderBy("doc_id")
+    },
+
     // ---- C16 under the gate: PII scrubbing. The corpus has no natural
     // PII, so both engines append the SAME deterministic contact string
     // (email + phone + IPv4 derived from doc_id) and must scrub it
@@ -3070,6 +3101,70 @@ object SparkEntry {
         |  CAST(max(pos) + 10 AS INTEGER) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "docs_repetition_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok FROM t
+        |), runs AS (
+        |  SELECT doc_id, count(*) AS run
+        |  FROM (SELECT doc_id, tok,
+        |          pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        |        FROM tok)
+        |  GROUP BY doc_id, tok, grp
+        |), mr AS (
+        |  SELECT doc_id, CAST(max(run) AS INTEGER) AS max_run FROM runs GROUP BY doc_id
+        |), ng AS (
+        |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg
+        |  FROM t
+        |), sig AS (
+        |  SELECT ng.doc_id, ng.n_tokens, mr.max_run,
+        |    CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+        |      round(CAST(list_max([len(list_filter(bg, x -> x = d)) for d in list_distinct(bg)]) AS DOUBLE) / len(bg), 6)
+        |    END AS top_bigram_frac
+        |  FROM ng JOIN mr USING (doc_id)
+        |), g AS (
+        |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS INTEGER) AS pos,
+        |         unnest(gs) AS gram
+        |  FROM (SELECT doc_id,
+        |          [array_to_string(w[i:i+9], ' ') for i in range(1, len(w)-8)] AS gs
+        |        FROM t WHERE len(w) >= 10)
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), p AS (
+        |  SELECT doc_id, pos FROM g JOIN dup USING (gram)
+        |), w2 AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS flag
+        |  FROM w2
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM f
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
+        |  FROM isl GROUP BY doc_id, island
+        |), cover AS (
+        |  SELECT doc_id, sum(span_end - span_start) AS dup_toks
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT sig.doc_id, sig.n_tokens, sig.max_run, sig.top_bigram_frac,
+        |  round(CAST(coalesce(cover.dup_toks, 0) AS DOUBLE) / sig.n_tokens, 6)
+        |    AS dup_span_frac,
+        |  (sig.max_run <= 5 AND sig.top_bigram_frac <= 0.2 AND
+        |   round(CAST(coalesce(cover.dup_toks, 0) AS DOUBLE) / sig.n_tokens, 6) <= 0.5)
+        |    AS pass
+        |FROM sig LEFT JOIN cover USING (doc_id)
+        |ORDER BY sig.doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH s AS (
