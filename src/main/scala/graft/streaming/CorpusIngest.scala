@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.{Dedup, Repetition}
+import graft.sources.DeltaRead
+
+/** The composed streaming ingestion pipeline a training-data corpus runs
+  * continuously: every micro-batch of incoming documents is
+  *
+  *   1. repetition-quality gated ([[Repetition.signals]] — degenerate
+  *      spam/boilerplate never enters the corpus),
+  *   2. exact-deduplicated within the batch,
+  *   3. near-dup-deduplicated AGAINST THE CURRENT CORPUS
+  *      ([[Dedup.dedupAgainstCorpus]] — MinHash-LSH cross-corpus candidates,
+  *      cost ∝ batch, never ∝ corpus),
+  *   4. appended to the delta corpus exactly once
+  *      ([[DeltaRead.appendIdempotent]] with batchId as txn version — a
+  *      replayed batch after a crash cannot double-ingest).
+  *
+  * Scale shape: per batch, the corpus side contributes one sketch pass
+  * (in production the corpus band table is maintained incrementally; here it
+  * is recomputed, which the gate-scale data affords) and the batch side is
+  * small; the append is a distributed parquet write plus one commit file.
+  */
+object CorpusIngest {
+
+  /** Quality-gate thresholds (see docs_repetition_gate): documents with
+    * longer same-token runs or heavier top-bigram dominance are dropped. */
+  final case class Gate(maxRun: Int = 5, maxTopBigramFrac: Double = 0.2)
+
+  /** One micro-batch of the pipeline (also usable in batch jobs). Returns
+    * the rows that survived gating and dedup. */
+  def prepareBatch(
+      batch: DataFrame,
+      corpusDir: String,
+      textCol: String,
+      idCol: String,
+      jaccardThreshold: Double,
+      gate: Gate
+  ): DataFrame = {
+    val sig = Repetition.signals(batch, textCol, idCol)
+    val passing = sig
+      .filter(
+        col("max_run") <= gate.maxRun &&
+          col("top_bigram_frac") <= gate.maxTopBigramFrac
+      )
+      .select(col(idCol))
+    val gated = batch.join(passing, idCol)
+    val selfDeduped = Dedup.exactDedup(gated, textCol, idCol)
+    if (new File(corpusDir, "_delta_log").isDirectory) {
+      val corpus = DeltaRead.read(batch.sparkSession, corpusDir)
+        .select(col(idCol), col(textCol))
+      Dedup.dedupAgainstCorpus(
+        selfDeduped,
+        corpus,
+        textCol,
+        idCol,
+        jaccardThreshold
+      )
+    } else selfDeduped
+  }
+
+  /** Streaming writer running [[prepareBatch]] + exactly-once append per
+    * micro-batch. Caller sets checkpointLocation and start()s. */
+  def ingest(
+      stream: DataFrame,
+      corpusDir: String,
+      appId: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      jaccardThreshold: Double = 0.5,
+      gate: Gate = Gate()
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard FIRST: a replayed batch must not re-dedup against a
+        // corpus that already contains its own rows
+        if (!DeltaRead.lastTxnVersion(corpusDir, appId).exists(_ >= batchId)) {
+          val prepared = prepareBatch(
+            batch,
+            corpusDir,
+            textCol,
+            idCol,
+            jaccardThreshold,
+            gate
+          )
+          DeltaRead.appendIdempotent(prepared, corpusDir, appId, batchId)
+        }
+        ()
+      }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.DeltaRead
+
+class CorpusIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("streaming corpus ingestion: gate, dedup vs live corpus, exactly-once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_corpus").toString
+    val ckpt = Files.createTempDirectory("graft_corpus_ck").toString
+    val input = MemoryStream[(Long, String)]
+
+    def runOnce(): Unit = {
+      val q = CorpusIngest
+        .ingest(input.toDF().toDF("doc_id", "text"), dir, "corpus-ingest")
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 0: two clean docs + one spam doc (long same-token run -> gated)
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam")
+    )
+    runOnce()
+    val afterB0 = DeltaRead.read(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(afterB0 == Seq(1L, 2L), s"batch 0 kept $afterB0")
+
+    // batch 1: near-dup of doc 1 (dropped vs corpus), exact in-batch dup
+    // pair (one kept), and one genuinely new doc
+    input.addData(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (12L, "totally new content about completely different things here"),
+      (13L, "totally new content about completely different things here"),
+      (14L, "carrots peas onions leeks beans corn kale chard basil mint")
+    )
+    runOnce()
+    val afterB1 = DeltaRead.read(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(afterB1 == Seq(1L, 2L, 12L, 14L), s"batch 1 kept $afterB1")
+
+    // restart with no new data: replay guard keeps the corpus unchanged
+    runOnce()
+    assert(DeltaRead.read(spark, dir).count() == 4)
+    assert(DeltaRead.lastTxnVersion(dir, "corpus-ingest").contains(1L))
+  }
+}
