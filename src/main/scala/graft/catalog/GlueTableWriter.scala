@@ -33,6 +33,48 @@ object GlueTableWriter {
       options: Map[String, String] = Map.empty,
       statsColumns: Seq[String] = Seq.empty
   ): GlueTable = {
+    // delta is log-committed, not serde-dispatched: Overwrite bootstraps a
+    // fresh table (graft.sources.DeltaRead.create), Append adds a commit.
+    // The Glue entry carries table_type=delta — exactly the marker the read
+    // path's format dispatch routes back to the log-replay reader.
+    if (format == "delta") {
+      if (partitionBy.nonEmpty)
+        throw new GlueNotImplementedException(
+          s"$database.$table: partitioned delta writes are not supported"
+        )
+      val logExists =
+        new java.io.File(location, "_delta_log").isDirectory
+      mode match {
+        case SaveMode.Overwrite => graft.sources.DeltaRead.create(df, location)
+        case SaveMode.Append if logExists =>
+          graft.sources.DeltaRead.append(df, location)
+        case SaveMode.Append => graft.sources.DeltaRead.create(df, location)
+        case other =>
+          throw new GlueNotImplementedException(
+            s"$database.$table: delta write mode $other is not supported"
+          )
+      }
+      val statsParams =
+        if (statsColumns.isEmpty) Map.empty[String, String]
+        else
+          TableStatistics.asParameters(
+            TableStatistics.collect(df, statsColumns)
+          ) + (TableStatistics.TotalSizeParam -> bytesUnder(location).toString)
+      return GlueTable(
+        databaseName = database,
+        name = table,
+        storageDescriptor = GlueStorageDescriptor(
+          location = location,
+          inputFormat = "",
+          outputFormat = "",
+          serdeInfo = GlueSerDeInfo(""),
+          columns = df.schema.fields.toSeq
+            .map(f => GlueColumn(f.name, GlueTypeParser.toGlueType(f.dataType)))
+        ),
+        parameters = statsParams + ("table_type" -> "delta")
+      )
+    }
+
     val writer = df.write.format(format).mode(mode).options(options)
     val partitioned =
       if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
