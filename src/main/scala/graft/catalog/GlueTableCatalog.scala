@@ -154,6 +154,29 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
         CSVTable(fullName, spark, opts, paths, schema, classOf[CSVFileFormat])
       case "json" =>
         JsonTable(fullName, spark, opts, paths, schema, classOf[JsonFileFormat])
+      case GlueFormats.GraftDelta =>
+        // delta data files ARE parquet: replay the log (driver-side
+        // metadata, same as delta-spark's Snapshot) and serve the ACTIVE
+        // files through the native ParquetTable, so pushdown/pruning/
+        // vectorization apply unchanged
+        val snap = graft.sources.DeltaRead.snapshot(spark, location)
+        val active =
+          snap.files.map(p => new java.io.File(location, p).getPath)
+        val deltaSchema = schema.orElse(snap.schema)
+        ParquetTable(
+          fullName,
+          spark,
+          opts,
+          active,
+          deltaSchema,
+          classOf[ParquetFileFormat]
+        )
+      case GlueFormats.GraftAvro =>
+        throw new GlueNotImplementedException(
+          s"$fullName: avro tables are readable via " +
+            "GlueCatalogProvider.registerTable (container-file reader); " +
+            "a DSv2 file table needs the spark-avro module"
+        )
       case other =>
         throw new GlueNotImplementedException(s"$fullName: no v2 table for $other")
     }

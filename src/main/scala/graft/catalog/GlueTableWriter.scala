@@ -56,10 +56,17 @@ object GlueTableWriter {
       }
       val statsParams =
         if (statsColumns.isEmpty) Map.empty[String, String]
-        else
+        else {
+          // after an Append the batch is not the table — ANALYZE the full
+          // snapshot so numRows/colStats describe what readers will see
+          val statsDf =
+            if (mode == SaveMode.Append)
+              graft.sources.DeltaRead.read(df.sparkSession, location)
+            else df
           TableStatistics.asParameters(
-            TableStatistics.collect(df, statsColumns)
+            TableStatistics.collect(statsDf, statsColumns)
           ) + (TableStatistics.TotalSizeParam -> bytesUnder(location).toString)
+        }
       return GlueTable(
         databaseName = database,
         name = table,
@@ -127,9 +134,19 @@ object GlueTableWriter {
 
     val statsParams =
       if (statsColumns.isEmpty) Map.empty[String, String]
-      else
-        TableStatistics.asParameters(TableStatistics.collect(df, statsColumns)) +
+      else {
+        // Append: ANALYZE the whole table on disk, not just this batch
+        val statsDf =
+          if (mode == SaveMode.Append)
+            df.sparkSession.read
+              .format(format)
+              .options(options)
+              .schema(df.schema)
+              .load(location)
+          else df
+        TableStatistics.asParameters(TableStatistics.collect(statsDf, statsColumns)) +
           (TableStatistics.TotalSizeParam -> bytesUnder(location).toString)
+      }
 
     GlueTable(
       databaseName = database,
@@ -147,12 +164,16 @@ object GlueTableWriter {
     )
   }
 
-  /** Total data bytes under `location` (recursive, commit markers excluded). */
+  /** Total data bytes under `location` (recursive; commit markers, hidden
+    * files AND metadata directories like `_delta_log` excluded — the
+    * number feeds broadcast-size estimates, so log/checkpoint bytes must
+    * not inflate it). */
   private def bytesUnder(location: String): Long = {
     def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
-      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      else if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
       else f.length()
-    walk(new java.io.File(location))
+    // the root itself may legitimately be named with a leading underscore
+    Option(new java.io.File(location).listFiles()).toSeq.flatten.map(walk).sum
   }
 }

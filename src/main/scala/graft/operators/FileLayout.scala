@@ -127,6 +127,12 @@ object FileLayout {
         max(col(colB)).cast("double").as("bmax")
       )
       .head()
+    // empty input / all-null cluster column: no z-map exists — write as-is
+    // rather than NPE on the null aggregate
+    if ((0 to 3).exists(r.isNullAt)) {
+      df.write.mode("overwrite").parquet(dir)
+      return
+    }
     val (amin, amax, bmin, bmax) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     def bucket(c: Column, lo: Double, hi: Double): Column =

@@ -128,7 +128,10 @@ object AvroRead {
           case _ => l
         }
       case cs: CharSequence => cs.toString
-      case other            => other
+      // EnumSymbol implements neither CharSequence nor GenericRecord; its
+      // Spark type is StringType, so stringify explicitly
+      case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+      case other                                           => other
     }
   }
 

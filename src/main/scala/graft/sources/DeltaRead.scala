@@ -109,6 +109,42 @@ object DeltaRead {
       // a checkpoint is a parquet table of the same actions, one per row
       val cp = spark.read.parquet(cpFile.getPath)
       val cpCols = cp.columns.toSet
+      // the same protocol-feature guards applied to JSON commits — a table
+      // whose only protocol/metaData/deletionVector records live in the
+      // checkpoint must fail just as clearly, not return wrong rows
+      def hasSubField(struct: String, field: String): Boolean =
+        cp.schema
+          .find(_.name == struct)
+          .map(_.dataType)
+          .collect { case s: StructType => s.fieldNames.contains(field) }
+          .getOrElse(false)
+      if (hasSubField("protocol", "minReaderVersion")) {
+        val mx = cp
+          .select(
+            org.apache.spark.sql.functions
+              .max(col("protocol.minReaderVersion").cast("long"))
+          )
+          .head()
+        if (!mx.isNullAt(0) && mx.getLong(0) > 2)
+          throw new IllegalArgumentException(
+            s"delta minReaderVersion ${mx.getLong(0)} exceeds supported reader version 2"
+          )
+      }
+      if (hasSubField("metaData", "columnMappingMode")) {
+        val modes = cp
+          .select(col("metaData.columnMappingMode"))
+          .na
+          .drop()
+          .collect()
+          .map(_.getString(0))
+        if (modes.exists(m => m.nonEmpty && m != "none"))
+          throw new IllegalArgumentException("delta column mapping is not supported")
+      }
+      if (
+        hasSubField("add", "deletionVector") &&
+        cp.filter(col("add.deletionVector").isNotNull).limit(1).count() > 0
+      )
+        throw new IllegalArgumentException("delta deletion vectors are not supported")
       if (cpCols.contains("add"))
         cp.select(col("add.path"))
           .na
@@ -191,7 +227,11 @@ object DeltaRead {
     * the deltalake crate's LogStore); this covers the ingest-append shape so
     * log replay, time travel and checkpointing can be exercised end-to-end.
     * Returns the new version. */
-  def append(df: DataFrame, dir: String): Long = {
+  def append(
+      df: DataFrame,
+      dir: String,
+      extraActions: Seq[String] = Seq.empty
+  ): Long = {
     val root = new File(dir)
     val before = dataFileNames(root)
     val snap = snapshot(df.sparkSession, dir)
@@ -202,16 +242,41 @@ object DeltaRead {
       .foreach(_.delete()) // _SUCCESS markers; delta lists files in the log
     val added = (dataFileNames(root) -- before).toSeq.sorted
     val version = snap.version + 1
-    val lines = added.map { name =>
+    val lines = extraActions ++ added.map { name =>
       val f = new File(root, name)
       s"""{"add":{"path":"$name","partitionValues":{},"size":${f.length()},""" +
         s""""modificationTime":${f.lastModified()},"dataChange":true}}"""
     }
-    Files.write(
-      new File(new File(root, "_delta_log"), f"$version%020d.json").toPath,
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-    )
+    writeCommitAtomic(new File(root, "_delta_log"), version, lines)
     version
+  }
+
+  /** One commit = one atomic file: content lands in a temp file first, then
+    * moves into place. A crash mid-commit leaves either no commit (replay
+    * redoes the batch; any parquet parts it wrote are unreferenced and
+    * invisible to readers) or the complete commit — never a truncated one. */
+  private def writeCommitAtomic(
+      logDir: File,
+      version: Long,
+      lines: Seq[String]
+  ): Unit = {
+    val target = new File(logDir, f"$version%020d.json").toPath
+    val tmp = Files.createTempFile(logDir.toPath, ".commit", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try
+      Files.move(
+        tmp,
+        target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE
+      )
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(
+          tmp,
+          target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING
+        )
+    }
   }
 
   /** Highest committed `txn` action version for `appId`, or None — the
@@ -235,10 +300,12 @@ object DeltaRead {
   }
 
   /** Exactly-once append: commit `df` together with a `txn` marker
-    * (appId, txnVersion); if a commit with `txnVersion` (or later) for
-    * `appId` already exists, do nothing. This is the delta idempotence
-    * contract a replayed streaming micro-batch needs. Returns true when the
-    * append actually committed. */
+    * (appId, txnVersion) in the SAME atomic commit file; if a commit with
+    * `txnVersion` (or later) for `appId` already exists, do nothing. A crash
+    * before the commit move leaves no commit at all — the replayed batch
+    * then re-appends cleanly (its orphaned parquet parts are never
+    * referenced by any commit and stay invisible to readers). Returns true
+    * when the append actually committed. */
   def appendIdempotent(
       df: DataFrame,
       dir: String,
@@ -246,18 +313,11 @@ object DeltaRead {
       txnVersion: Long
   ): Boolean = {
     if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) return false
+    val txnLine = s"""{"txn":{"appId":"$appId","version":$txnVersion}}"""
     // first batch bootstraps the table; later batches append a commit
-    val version =
-      if (!new File(dir, "_delta_log").isDirectory) { create(df, dir); 0L }
-      else append(df, dir)
-    val logFile = new File(new File(dir, "_delta_log"), f"$version%020d.json")
-    val txnLine =
-      s"""{"txn":{"appId":"$appId","version":$txnVersion}}"""
-    val existing = Files.readString(logFile.toPath)
-    Files.write(
-      logFile.toPath,
-      (txnLine + "\n" + existing).getBytes(StandardCharsets.UTF_8)
-    )
+    if (!new File(dir, "_delta_log").isDirectory)
+      create(df, dir, extraActions = Seq(txnLine))
+    else append(df, dir, extraActions = Seq(txnLine))
     true
   }
 
@@ -303,6 +363,12 @@ object DeltaRead {
       new File(logDir, f"${snap.version}%020d.checkpoint.parquet").toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING
     )
+    // the temp write dir served its purpose — don't leak one per checkpoint
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    rm(new File(tmp))
     Files.write(
       new File(logDir, "_last_checkpoint").toPath,
       s"""{"version":${snap.version},"size":${rows.size}}"""
@@ -318,10 +384,14 @@ object DeltaRead {
       .toSet
 
   /** Bootstrap a delta table from `df` at `dir`: distributed parquet write,
-    * then a version-0 commit (protocol + metaData + one add per data file).
-    * Single-writer create; [[append]] adds commits, [[checkpoint]] folds
-    * them. */
-  def create(df: DataFrame, dir: String): Unit = {
+    * then a version-0 commit (protocol + metaData + one add per data file,
+    * plus any `extraActions`, all in one atomic commit file). Single-writer
+    * create; [[append]] adds commits, [[checkpoint]] folds them. */
+  def create(
+      df: DataFrame,
+      dir: String,
+      extraActions: Seq[String] = Seq.empty
+  ): Unit = {
     val root = new File(dir)
     if (root.exists()) {
       def rm(f: File): Unit = {
@@ -348,13 +418,10 @@ object DeltaRead {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}"""
-    ) ++ dataFiles.map { f =>
+    ) ++ extraActions ++ dataFiles.map { f =>
       s"""{"add":{"path":"${f.getName}","partitionValues":{},"size":${f.length()},""" +
         s""""modificationTime":${f.lastModified()},"dataChange":true}}"""
     }
-    Files.write(
-      new File(logDir, f"${0L}%020d.json").toPath,
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-    )
+    writeCommitAtomic(logDir, 0L, lines)
   }
 }

@@ -118,6 +118,18 @@ class TableStatisticsSpec extends AnyFunSuite {
         .join(withStats.registerTable("statsdb", "dim_s"), "k")
       assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
       assert(hinted.count() == 500)
+
+      // threshold "-1" (the standard broadcast-disable value) must suppress
+      // the hint, not crash registration with a byte-string parse error
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val disabled = new GlueCatalogProvider(
+        new InMemoryGlueClient(Seq(dimTable, factTable)),
+        spark
+      )
+      val unhinted = disabled
+        .registerTable("statsdb", "fact_s")
+        .join(disabled.registerTable("statsdb", "dim_s"), "k")
+      assert(!unhinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
       spark.conf.set("spark.sql.sources.fileCompressionFactor", oldFactor)

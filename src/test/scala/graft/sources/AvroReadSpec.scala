@@ -101,6 +101,34 @@ class AvroReadSpec extends AnyFunSuite {
     )
   }
 
+  test("enum fields read back as strings") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"color","type":{"type":"enum","name":"Color",
+        |  "symbols":["RED","GREEN","BLUE"]}}]}""".stripMargin
+    )
+    val dir = Files.createTempDirectory("graft_avro_enum").toFile
+    val f = new java.io.File(dir, "part-0.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    Seq(1L -> "RED", 2L -> "BLUE").foreach { case (id, c) =>
+      val r = new GenericData.Record(schema)
+      r.put("id", id)
+      r.put(
+        "color",
+        new GenericData.EnumSymbol(schema.getField("color").schema(), c)
+      )
+      w.append(r)
+    }
+    w.close()
+    val back = AvroRead.read(spark, dir.getPath).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("RED", "BLUE"))
+  }
+
   test("unsupported shapes fail fast with clear errors") {
     val multiUnion = org.apache.avro.SchemaBuilder
       .record("r").fields()

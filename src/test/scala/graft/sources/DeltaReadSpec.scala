@@ -165,6 +165,41 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir).schema.fieldNames.toSeq == Seq("id"))
   }
 
+  test("DSv2 three-part-name SQL over a delta table serves the live snapshot") {
+    val dir = Files.createTempDirectory("graft_delta_dsv2").toString
+    DeltaRead.create(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amount").repartition(1),
+      dir)
+    val table = GlueTable(
+      "ddb", "ledger",
+      GlueStorageDescriptor(
+        location = dir,
+        inputFormat = "", outputFormat = "",
+        serdeInfo = GlueSerDeInfo(""),
+        columns = Seq(GlueColumn("id", "bigint"), GlueColumn("amount", "double"))
+      ),
+      parameters = Map("table_type" -> "delta")
+    )
+    GlueTableCatalog.injectClient(new InMemoryGlueClient(Seq(table)))
+    try {
+      spark.conf.set("spark.sql.catalog.gdelta", classOf[GlueTableCatalog].getName)
+      val q = spark.sql("SELECT id FROM gdelta.ddb.ledger WHERE amount > 15.0")
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+      // pushdown reaches the parquet scan of the snapshot's active files
+      assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"))
+      // a remove commit is visible on the next (fresh) load of the table
+      val files = dataFiles(dir)
+      writeCommit(dir, 1L, Seq(
+        s"""{"remove":{"path":"${files.head}","dataChange":true}}"""
+      ))
+      spark.sql("REFRESH TABLE gdelta.ddb.ledger")
+      assert(spark.sql("SELECT count(*) AS n FROM gdelta.ddb.ledger").head.getLong(0) == 0L)
+    } finally {
+      GlueTableCatalog.clearInjectedClient()
+      spark.conf.unset("spark.sql.catalog.gdelta")
+    }
+  }
+
   test("glue table_type=delta registers and reads through the provider") {
     val dir = Files.createTempDirectory("graft_delta_glue").toString
     DeltaRead.create(
