@@ -81,7 +81,10 @@ final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
           graft.sources.DeltaRead.read(spark, table.storageDescriptor.location)
       val shaped = options match {
         case DeriveSchemaFromGlueTable =>
-          val declared = GlueTypeParser.toSchema(table.storageDescriptor.columns)
+          // partitioned delta: partition keys surface as columns too
+          val declared = GlueTypeParser.toSchema(
+            table.storageDescriptor.columns ++ table.partitionKeys
+          )
           raw.select(declared.map(f => col(f.name).cast(f.dataType)): _*)
         case InferSchemaFromData => raw
       }

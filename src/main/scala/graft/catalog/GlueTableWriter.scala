@@ -38,17 +38,18 @@ object GlueTableWriter {
     // The Glue entry carries table_type=delta — exactly the marker the read
     // path's format dispatch routes back to the log-replay reader.
     if (format == "delta") {
-      if (partitionBy.nonEmpty)
-        throw new GlueNotImplementedException(
-          s"$database.$table: partitioned delta writes are not supported"
-        )
       val logExists =
         new java.io.File(location, "_delta_log").isDirectory
       mode match {
-        case SaveMode.Overwrite => graft.sources.DeltaRead.create(df, location)
+        case SaveMode.Overwrite =>
+          graft.sources.DeltaRead
+            .create(df, location, partitionBy = partitionBy)
         case SaveMode.Append if logExists =>
-          graft.sources.DeltaRead.append(df, location)
-        case SaveMode.Append => graft.sources.DeltaRead.create(df, location)
+          graft.sources.DeltaRead
+            .append(df, location, partitionBy = partitionBy)
+        case SaveMode.Append =>
+          graft.sources.DeltaRead
+            .create(df, location, partitionBy = partitionBy)
         case other =>
           throw new GlueNotImplementedException(
             s"$database.$table: delta write mode $other is not supported"
@@ -67,6 +68,7 @@ object GlueTableWriter {
             TableStatistics.collect(statsDf, statsColumns)
           ) + (TableStatistics.TotalSizeParam -> bytesUnder(location).toString)
         }
+      val partSetD = partitionBy.toSet
       return GlueTable(
         databaseName = database,
         name = table,
@@ -76,7 +78,11 @@ object GlueTableWriter {
           outputFormat = "",
           serdeInfo = GlueSerDeInfo(""),
           columns = df.schema.fields.toSeq
+            .filterNot(f => partSetD.contains(f.name))
             .map(f => GlueColumn(f.name, GlueTypeParser.toGlueType(f.dataType)))
+        ),
+        partitionKeys = partitionBy.map(name =>
+          GlueColumn(name, GlueTypeParser.toGlueType(df.schema(name).dataType))
         ),
         parameters = statsParams + ("table_type" -> "delta")
       )

@@ -230,13 +230,16 @@ object DeltaRead {
   def append(
       df: DataFrame,
       dir: String,
-      extraActions: Seq[String] = Seq.empty
+      extraActions: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty
   ): Long = {
     val root = new File(dir)
     val before = dataFileNames(root)
     val snap = snapshot(df.sparkSession, dir)
     val writer = df.write.mode("append")
-    writer.parquet(dir)
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    partitioned.parquet(dir)
     Option(root.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.startsWith("_"))
       .foreach(_.delete()) // _SUCCESS markers; delta lists files in the log
@@ -244,8 +247,9 @@ object DeltaRead {
     val version = snap.version + 1
     val lines = extraActions ++ added.map { name =>
       val f = new File(root, name)
-      s"""{"add":{"path":"$name","partitionValues":{},"size":${f.length()},""" +
-        s""""modificationTime":${f.lastModified()},"dataChange":true}}"""
+      s"""{"add":{"path":"$name","partitionValues":${partitionValuesJson(name)},""" +
+        s""""size":${f.length()},"modificationTime":${f.lastModified()},""" +
+        s""""dataChange":true}}"""
     }
     writeCommitAtomic(new File(root, "_delta_log"), version, lines)
     version
@@ -377,20 +381,44 @@ object DeltaRead {
     snap.version
   }
 
-  private def dataFileNames(root: File): Set[String] =
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getName)
-      .toSet
+  /** Relative paths of all parquet data files under `root`, recursing into
+    * hive-layout `key=value` partition directories, `_delta_log` excluded. */
+  private def dataFileNames(root: File): Set[String] = {
+    def walk(f: File, prefix: String): Seq[String] =
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Seq.empty
+      else if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .flatMap(c => walk(c, prefix + f.getName + "/"))
+      else if (f.getName.endsWith(".parquet")) Seq(prefix + f.getName)
+      else Seq.empty
+    Option(root.listFiles()).toSeq.flatten.flatMap(walk(_, "")).toSet
+  }
 
-  /** Bootstrap a delta table from `df` at `dir`: distributed parquet write,
-    * then a version-0 commit (protocol + metaData + one add per data file,
+  /** The `partitionValues` JSON for a relative data-file path: one entry per
+    * `key=value` directory segment. */
+  private def partitionValuesJson(relPath: String): String = {
+    val kvs = relPath
+      .split("/")
+      .dropRight(1)
+      .toSeq
+      .filter(_.contains("="))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        s""""$k":"$v""""
+      }
+    s"{${kvs.mkString(",")}}"
+  }
+
+  /** Bootstrap a delta table from `df` at `dir`: distributed parquet write
+    * (hive-layout when `partitionBy` is set), then a version-0 commit
+    * (protocol + metaData + one add per data file with its partitionValues,
     * plus any `extraActions`, all in one atomic commit file). Single-writer
     * create; [[append]] adds commits, [[checkpoint]] folds them. */
   def create(
       df: DataFrame,
       dir: String,
-      extraActions: Seq[String] = Seq.empty
+      extraActions: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty
   ): Unit = {
     val root = new File(dir)
     if (root.exists()) {
@@ -400,13 +428,13 @@ object DeltaRead {
       }
       rm(root)
     }
-    df.write.parquet(dir)
+    val writer = df.write
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    partitioned.parquet(dir)
     Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("_") && !f.getName.contains("delta_log"))
+      .filter(f => f.isFile && f.getName.startsWith("_"))
       .foreach(_.delete()) // drop _SUCCESS markers; delta lists files in the log
-    val dataFiles = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
     val logDir = new File(root, "_delta_log")
     logDir.mkdirs()
     // table id must be stable for a given location (no wall-clock / RNG)
@@ -414,13 +442,16 @@ object DeltaRead {
       .nameUUIDFromBytes(dir.getBytes(StandardCharsets.UTF_8))
       .toString
     val schemaJson = mapper.writeValueAsString(df.schema.json)
+    val partCols = partitionBy.map(c => s""""$c"""").mkString(",")
     val lines = Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}"""
-    ) ++ extraActions ++ dataFiles.map { f =>
-      s"""{"add":{"path":"${f.getName}","partitionValues":{},"size":${f.length()},""" +
-        s""""modificationTime":${f.lastModified()},"dataChange":true}}"""
+        s""""schemaString":$schemaJson,"partitionColumns":[$partCols],"configuration":{}}}"""
+    ) ++ extraActions ++ dataFileNames(root).toSeq.sorted.map { name =>
+      val f = new File(root, name)
+      s"""{"add":{"path":"$name","partitionValues":${partitionValuesJson(name)},""" +
+        s""""size":${f.length()},"modificationTime":${f.lastModified()},""" +
+        s""""dataChange":true}}"""
     }
     writeCommitAtomic(logDir, 0L, lines)
   }

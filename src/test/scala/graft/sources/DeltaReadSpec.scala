@@ -165,6 +165,51 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir).schema.fieldNames.toSeq == Seq("id"))
   }
 
+  test("partitioned delta: hive-layout files, partitionValues in the log, pruning") {
+    val dir = Files.createTempDirectory("graft_delta_part").toString
+    val df = Seq(
+      (1L, "a", "2024-01-01"),
+      (2L, "b", "2024-01-01"),
+      (3L, "c", "2024-01-02")
+    ).toDF("id", "v", "ds")
+    DeltaRead.create(df, dir, partitionBy = Seq("ds"))
+
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.files.forall(_.startsWith("ds=")), snap.files.toString)
+
+    val back = DeltaRead.read(spark, dir)
+    assert(back.columns.toSet == Set("id", "v", "ds"))
+    assert(back.filter($"ds" === "2024-01-02").count() == 1)
+    // the partition predicate prunes at the file level, not post-scan
+    val plan = back
+      .filter($"ds" === "2024-01-02")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PartitionFilters"), plan)
+
+    // append into one partition; time travel still sees the create snapshot
+    DeltaRead.append(
+      Seq((4L, "d", "2024-01-02")).toDF("id", "v", "ds"),
+      dir,
+      partitionBy = Seq("ds")
+    )
+    assert(DeltaRead.read(spark, dir).count() == 4)
+    assert(DeltaRead.read(spark, dir, versionAsOf = Some(0L)).count() == 3)
+
+    // the writer round-trips the same shape through the catalog
+    val root2 = Files.createTempDirectory("graft_delta_part_w").toString
+    val glueTable = graft.catalog.GlueTableWriter.write(
+      df, "dbp", "pdelta", s"$root2/pdelta",
+      format = "delta", partitionBy = Seq("ds")
+    )
+    assert(glueTable.partitionKeys.map(_.name) == Seq("ds"))
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(glueTable)), spark)
+    val reg = p.registerTable("dbp", "pdelta")
+    assert(reg.columns.toSet == Set("id", "v", "ds"))
+    assert(reg.filter($"ds" === "2024-01-01").count() == 2)
+  }
+
   test("DSv2 three-part-name SQL over a delta table serves the live snapshot") {
     val dir = Files.createTempDirectory("graft_delta_dsv2").toString
     DeltaRead.create(
