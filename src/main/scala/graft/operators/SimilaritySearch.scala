@@ -123,9 +123,65 @@ object SimilaritySearch {
       nProbe: Int = 4,
       refineIterations: Int = 0
   ): DataFrame = {
-    implicit val spark: SparkSession = corpus.sparkSession
     val centroids = ivfCentroids(corpus, vecCol, idCol, numCentroids, refineIterations)
     val index = assign(corpus, centroids, vecCol, idCol).join(corpus, idCol)
+    ivfTopKIndexed(index, centroids, queries, vecCol, idCol, k, nProbe)
+  }
+
+  /** Persist an IVF index for reuse across query batches — the production
+    * shape (FAISS-style build-once): `dir/centroids` holds (centroid_id,
+    * cv); `dir/assignments` holds every corpus vector keyed by its
+    * centroid, PARTITIONED BY centroid_id so a probe of nProbe centroids
+    * prunes the scan to exactly those inverted lists at the file level. */
+  def saveIvfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dir: String,
+      numCentroids: Int = 16,
+      refineIterations: Int = 0
+  ): Unit = {
+    val centroids =
+      ivfCentroids(corpus, vecCol, idCol, numCentroids, refineIterations)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assign(corpus, centroids, vecCol, idCol)
+      .join(corpus, idCol)
+      .write
+      .mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** ANN over a prebuilt [[saveIvfIndex]] index: no clustering work at
+    * query time; the candidate read is partition-pruned to the probed
+    * inverted lists. Output shape matches [[bruteForceTopK]]. */
+  def ivfTopKPrebuilt(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val index = spark.read.parquet(s"$indexDir/assignments")
+    ivfTopKIndexed(index, centroids, queries, vecCol, idCol, k, nProbe)
+  }
+
+  /** The probe phase shared by [[ivfTopK]] (inline index) and
+    * [[ivfTopKPrebuilt]] (parquet index): broadcast the centroids, pick
+    * nProbe per query, equi-join the inverted lists, heap top-k. */
+  private def ivfTopKIndexed(
+      index: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    implicit val spark: SparkSession = queries.sparkSession
     val cents = broadcast(
       centroids.select(col("centroid_id").as("cid"), col("cv"))
     )

@@ -104,4 +104,40 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .toString
     assert(plan.contains("Broadcast"))
   }
+
+  test("prebuilt IVF index: saved index matches inline results, scan prunes") {
+    val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+
+    SimilaritySearch.saveIvfIndex(emb, "embedding", "vec_id", dir, numCentroids = 8)
+    // inverted lists land as one partition directory per centroid
+    val partDirs = new java.io.File(s"$dir/assignments")
+      .listFiles()
+      .filter(_.isDirectory)
+      .map(_.getName)
+    assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("centroid_id=")))
+
+    val inline = SimilaritySearch
+      .ivfTopK(emb, queries, "embedding", "vec_id", k = 5, numCentroids = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4))
+    val prebuilt = SimilaritySearch
+      .ivfTopKPrebuilt(spark, dir, queries, "embedding", "vec_id", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(prebuilt.toSeq == inline.toSeq)
+
+    // the probed join filters the partitioned index on its partition column
+    // (static or dynamic partition pruning — either way, not a full scan
+    // promise-free read: the partition column must reach the scan)
+    val plan = SimilaritySearch
+      .ivfTopKPrebuilt(spark, dir, queries, "embedding", "vec_id", k = 5)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("centroid_id"), plan)
+  }
 }
