@@ -1722,14 +1722,18 @@ object SparkEntry {
     "q_avro_scan" -> { (s, dir) =>
       // deterministic fixture: build once, reuse on repeat invocations so
       // bench medians time the avro READ path, not fixture I/O; the source
-      // file size keys the path so regenerated testdata invalidates it
+      // file size keys the path so regenerated testdata invalidates it,
+      // and a sentinel written LAST guards against reusing a partial build
       val srcLen = new java.io.File(dir, "nation.parquet").length()
       val tmp = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft_avro_scan_${math.abs(dir.hashCode)}_$srcLen"
       ).getPath
-      if (!new java.io.File(tmp).isDirectory)
+      val done = new java.io.File(tmp, ".graft_fixture_complete")
+      if (!done.isFile) {
         sources.AvroRead.write(T(s, dir, "nation"), tmp)
+        done.createNewFile()
+      }
       val table = catalog.GlueTable(
         "avrodb",
         "nation_avro",
@@ -1796,14 +1800,21 @@ object SparkEntry {
     "q_delta_scan" -> { (s, dir) =>
       // deterministic fixture: build once, reuse on repeat invocations so
       // bench medians time the log-replay READ path, not fixture I/O; the
-      // source file size keys the path so regenerated testdata invalidates it
+      // source file size keys the path so regenerated testdata invalidates
+      // it, and a sentinel written LAST guards against a partial build
       val srcLen = new java.io.File(dir, "supplier.parquet").length()
       val tmp = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft_delta_scan_${math.abs(dir.hashCode)}_$srcLen"
       ).getPath
-      if (!new java.io.File(tmp, "_delta_log").isDirectory)
+      val done = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s".graft_delta_scan_${math.abs(dir.hashCode)}_${srcLen}_complete"
+      )
+      if (!done.isFile) {
         sources.DeltaRead.create(T(s, dir, "supplier"), tmp)
+        done.createNewFile()
+      }
       val table = catalog.GlueTable(
         "deltadb",
         "supplier_delta",

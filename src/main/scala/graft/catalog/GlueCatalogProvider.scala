@@ -81,10 +81,14 @@ final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
           graft.sources.DeltaRead.read(spark, table.storageDescriptor.location)
       val shaped = options match {
         case DeriveSchemaFromGlueTable =>
-          // partitioned delta: partition keys surface as columns too
-          val declared = GlueTypeParser.toSchema(
-            table.storageDescriptor.columns ++ table.partitionKeys
-          )
+          // partitioned delta: partition keys surface as columns too. Avro
+          // stays flat — its reader does not materialize hive partition
+          // dirs, so declared partition keys would name missing columns.
+          val declaredCols =
+            if (fmt.source == GlueFormats.GraftDelta)
+              table.storageDescriptor.columns ++ table.partitionKeys
+            else table.storageDescriptor.columns
+          val declared = GlueTypeParser.toSchema(declaredCols)
           raw.select(declared.map(f => col(f.name).cast(f.dataType)): _*)
         case InferSchemaFromData => raw
       }

@@ -158,11 +158,21 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
         // delta data files ARE parquet: replay the log (driver-side
         // metadata, same as delta-spark's Snapshot) and serve the ACTIVE
         // files through the native ParquetTable, so pushdown/pruning/
-        // vectorization apply unchanged
+        // vectorization apply unchanged. Partition keys belong in the
+        // declared schema here — otherwise Spark re-infers their types
+        // from directory names, diverging from the catalog's declaration.
         val snap = graft.sources.DeltaRead.snapshot(spark, location)
         val active =
           snap.files.map(p => new java.io.File(location, p).getPath)
-        val deltaSchema = schema.orElse(snap.schema)
+        val deltaSchema = schema
+          .map(s =>
+            StructType(
+              s ++ GlueTypeParser
+                .toSchema(glueTable.partitionKeys)
+                .filterNot(f => s.fieldNames.contains(f.name))
+            )
+          )
+          .orElse(snap.schema)
         ParquetTable(
           fullName,
           spark,

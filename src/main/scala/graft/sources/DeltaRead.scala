@@ -7,7 +7,7 @@ import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -38,20 +38,33 @@ object DeltaRead {
   private val mapper = new ObjectMapper()
 
   /** The table state at a version: (version, active file paths relative to
-    * the table root, declared schema if any metaData action carried one). */
+    * the table root, declared schema if any metaData action carried one,
+    * the table's declared partition columns). */
   final case class Snapshot(
       version: Long,
       files: Seq[String],
-      schema: Option[StructType]
+      schema: Option[StructType],
+      partitionColumns: Seq[String] = Seq.empty
   )
 
   private def commitVersion(name: String): Long =
     name.stripSuffix(".json").toLong
 
+  private def columnMappingEnabled(mode: String): Boolean =
+    mode != null && mode.nonEmpty && mode != "none"
+
   private def requireSupported(node: JsonNode): Unit = {
     val meta = node.get("metaData")
-    if (meta != null && meta.hasNonNull("columnMappingMode"))
-      throw new IllegalArgumentException("delta column mapping is not supported")
+    if (meta != null) {
+      // column mapping lives in configuration['delta.columnMapping.mode']
+      // (delta protocol); the flat columnMappingMode spelling is also
+      // checked for defensiveness
+      val cfgMode =
+        meta.path("configuration").path("delta.columnMapping.mode").asText("")
+      val flatMode = meta.path("columnMappingMode").asText("")
+      if (columnMappingEnabled(cfgMode) || columnMappingEnabled(flatMode))
+        throw new IllegalArgumentException("delta column mapping is not supported")
+    }
     val protocol = node.get("protocol")
     if (protocol != null) {
       val minReader = protocol.path("minReaderVersion").asInt(1)
@@ -102,64 +115,66 @@ object DeltaRead {
 
     val active = scala.collection.mutable.LinkedHashSet.empty[String]
     var schema: Option[StructType] = None
+    var partitionColumns: Seq[String] = Seq.empty
 
     checkpoint.foreach { cv =>
       val cpFile = new File(logDir, f"$cv%020d.checkpoint.parquet")
       require(cpFile.isFile, s"missing checkpoint file $cpFile")
-      // a checkpoint is a parquet table of the same actions, one per row
+      // a checkpoint is a parquet table of the same actions, one per row —
+      // project every column this replay needs and collect ONCE (snapshot()
+      // runs on every read/append, so each extra Spark job here is hot-path
+      // driver latency), applying the same protocol-feature guards as JSON
+      // commits: a table whose only protocol/metaData/deletionVector records
+      // live in the checkpoint must fail just as clearly, not return wrong
+      // rows
       val cp = spark.read.parquet(cpFile.getPath)
-      val cpCols = cp.columns.toSet
-      // the same protocol-feature guards applied to JSON commits — a table
-      // whose only protocol/metaData/deletionVector records live in the
-      // checkpoint must fail just as clearly, not return wrong rows
       def hasSubField(struct: String, field: String): Boolean =
         cp.schema
           .find(_.name == struct)
           .map(_.dataType)
           .collect { case s: StructType => s.fieldNames.contains(field) }
           .getOrElse(false)
-      if (hasSubField("protocol", "minReaderVersion")) {
-        val mx = cp
-          .select(
-            org.apache.spark.sql.functions
-              .max(col("protocol.minReaderVersion").cast("long"))
-          )
-          .head()
-        if (!mx.isNullAt(0) && mx.getLong(0) > 2)
+      def optCol(struct: String, field: String, as: String): Column =
+        (if (hasSubField(struct, field)) col(s"$struct.$field").cast("string")
+         else org.apache.spark.sql.functions.lit(null).cast("string")).as(as)
+      val rows = cp
+        .select(
+          optCol("add", "path", "path"),
+          optCol("add", "deletionVector", "dv"),
+          optCol("metaData", "schemaString", "schemaStr"),
+          (if (hasSubField("metaData", "partitionColumns"))
+             col("metaData.partitionColumns").cast("array<string>")
+           else
+             org.apache.spark.sql.functions
+               .lit(null)
+               .cast("array<string>")).as("partCols"),
+          optCol("metaData", "columnMappingMode", "cmFlat"),
+          (if (hasSubField("metaData", "configuration"))
+             col("metaData.configuration").getItem("delta.columnMapping.mode")
+           else org.apache.spark.sql.functions.lit(null).cast("string"))
+            .as("cmCfg"),
+          optCol("protocol", "minReaderVersion", "minReader")
+        )
+        .collect()
+      rows.foreach { r =>
+        val minReader = Option(r.getAs[String]("minReader"))
+        if (minReader.exists(_.toLong > 2))
           throw new IllegalArgumentException(
-            s"delta minReaderVersion ${mx.getLong(0)} exceeds supported reader version 2"
+            s"delta minReaderVersion ${minReader.get} exceeds supported reader version 2"
           )
-      }
-      if (hasSubField("metaData", "columnMappingMode")) {
-        val modes = cp
-          .select(col("metaData.columnMappingMode"))
-          .na
-          .drop()
-          .collect()
-          .map(_.getString(0))
-        if (modes.exists(m => m.nonEmpty && m != "none"))
+        if (
+          columnMappingEnabled(r.getAs[String]("cmFlat")) ||
+          columnMappingEnabled(r.getAs[String]("cmCfg"))
+        )
           throw new IllegalArgumentException("delta column mapping is not supported")
+        if (r.getAs[String]("dv") != null)
+          throw new IllegalArgumentException("delta deletion vectors are not supported")
+        Option(r.getAs[String]("path")).foreach(active += _)
+        Option(r.getAs[String]("schemaStr")).foreach(s =>
+          schema = Some(DataType.fromJson(s).asInstanceOf[StructType])
+        )
+        Option(r.getAs[Seq[String]]("partCols")).foreach(partitionColumns = _)
       }
-      if (
-        hasSubField("add", "deletionVector") &&
-        cp.filter(col("add.deletionVector").isNotNull).limit(1).count() > 0
-      )
-        throw new IllegalArgumentException("delta deletion vectors are not supported")
-      if (cpCols.contains("add"))
-        cp.select(col("add.path"))
-          .na
-          .drop()
-          .collect()
-          .foreach(r => active += r.getString(0))
-      if (cpCols.contains("metaData"))
-        cp.select(col("metaData.schemaString"))
-          .na
-          .drop()
-          .collect()
-          .headOption
-          .foreach(r =>
-            schema = Some(DataType.fromJson(r.getString(0)).asInstanceOf[StructType])
-          )
     }
 
     commitFiles
@@ -186,10 +201,17 @@ object DeltaRead {
                   .fromJson(meta.get("schemaString").asText())
                   .asInstanceOf[StructType]
               )
+            if (meta != null && meta.hasNonNull("partitionColumns"))
+              partitionColumns = meta
+                .get("partitionColumns")
+                .elements()
+                .asScala
+                .map(_.asText())
+                .toSeq
           }
       }
 
-    Snapshot(version, active.toSeq, schema)
+    Snapshot(version, active.toSeq, schema, partitionColumns)
   }
 
   /** Read the table at `versionAsOf` (default latest) as a DataFrame: the
@@ -236,9 +258,23 @@ object DeltaRead {
     val root = new File(dir)
     val before = dataFileNames(root)
     val snap = snapshot(df.sparkSession, dir)
+    // an append MUST match the table's declared partitioning — a flat
+    // append into a hive-layout table (or vice versa) corrupts the
+    // directory structure for every later read. Defaults to the table's
+    // own partition columns so plain append(df, dir) does the right thing.
+    val effectivePartitionBy =
+      if (partitionBy.nonEmpty) {
+        require(
+          partitionBy == snap.partitionColumns,
+          s"append partitionBy $partitionBy != table partitionColumns ${snap.partitionColumns}"
+        )
+        partitionBy
+      } else snap.partitionColumns
     val writer = df.write.mode("append")
     val partitioned =
-      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+      if (effectivePartitionBy.nonEmpty)
+        writer.partitionBy(effectivePartitionBy: _*)
+      else writer
     partitioned.parquet(dir)
     Option(root.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.startsWith("_"))
@@ -368,17 +404,19 @@ object DeltaRead {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING
     )
     // the temp write dir served its purpose — don't leak one per checkpoint
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete()
-    }
-    rm(new File(tmp))
+    deleteRecursively(new File(tmp))
     Files.write(
       new File(logDir, "_last_checkpoint").toPath,
       s"""{"version":${snap.version},"size":${rows.size}}"""
         .getBytes(StandardCharsets.UTF_8)
     )
     snap.version
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Relative paths of all parquet data files under `root`, recursing into
@@ -395,8 +433,25 @@ object DeltaRead {
   }
 
   /** The `partitionValues` JSON for a relative data-file path: one entry per
-    * `key=value` directory segment. */
+    * `key=value` directory segment. Directory names carry Hive escaping —
+    * %-encoded special characters and the `__HIVE_DEFAULT_PARTITION__`
+    * null sentinel — but the delta protocol records the ACTUAL values
+    * (null as JSON null), so unescape before serializing. */
   private def partitionValuesJson(relPath: String): String = {
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length)
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     val kvs = relPath
       .split("/")
       .dropRight(1)
@@ -404,7 +459,11 @@ object DeltaRead {
       .filter(_.contains("="))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        s""""$k":"$v""""
+        val key = mapper.writeValueAsString(unescape(k))
+        val value =
+          if (v == "__HIVE_DEFAULT_PARTITION__") "null"
+          else mapper.writeValueAsString(unescape(v))
+        s"$key:$value"
       }
     s"{${kvs.mkString(",")}}"
   }
@@ -421,13 +480,7 @@ object DeltaRead {
       partitionBy: Seq[String] = Seq.empty
   ): Unit = {
     val root = new File(dir)
-    if (root.exists()) {
-      def rm(f: File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(root)
-    }
+    if (root.exists()) deleteRecursively(root)
     val writer = df.write
     val partitioned =
       if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer

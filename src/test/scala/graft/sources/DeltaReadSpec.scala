@@ -188,14 +188,29 @@ class DeltaReadSpec extends AnyFunSuite {
       .toString
     assert(plan.contains("PartitionFilters"), plan)
 
-    // append into one partition; time travel still sees the create snapshot
+    // append with NO partitionBy argument follows the table's declared
+    // partitioning (snapshot.partitionColumns); time travel still sees the
+    // create snapshot
+    assert(DeltaRead.snapshot(spark, dir).partitionColumns == Seq("ds"))
     DeltaRead.append(
       Seq((4L, "d", "2024-01-02")).toDF("id", "v", "ds"),
-      dir,
-      partitionBy = Seq("ds")
+      dir
     )
     assert(DeltaRead.read(spark, dir).count() == 4)
     assert(DeltaRead.read(spark, dir, versionAsOf = Some(0L)).count() == 3)
+    assert(
+      DeltaRead.snapshot(spark, dir).files.forall(_.startsWith("ds=")),
+      "append must land in hive-layout partition dirs"
+    )
+    // a CONFLICTING partitionBy is rejected before it can corrupt layout
+    val bad = intercept[IllegalArgumentException](
+      DeltaRead.append(
+        Seq((5L, "e", "2024-01-03")).toDF("id", "v", "ds"),
+        dir,
+        partitionBy = Seq("v")
+      )
+    )
+    assert(bad.getMessage.contains("partitionColumns"))
 
     // the writer round-trips the same shape through the catalog
     val root2 = Files.createTempDirectory("graft_delta_part_w").toString
