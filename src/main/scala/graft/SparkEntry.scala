@@ -1854,6 +1854,16 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     },
 
+    // ---- C26b: the actionable keep-first form — each duplicated gram's
+    // globally-first occurrence survives, later copies become removable
+    // spans (Lee et al.'s actual dedup semantics).
+    "dedup_substring_keep_first" -> { (s, dir) =>
+      operators.Dedup
+        .duplicateSpans(T(s, dir, "documents"), "text", "doc_id", k = 10,
+          keepFirst = true)
+        .orderBy("doc_id", "span_start")
+    },
+
     // ---- C27: semantic dedup (SemDeDup shape): k-means cluster, then drop
     // within-cluster vectors with a lower-id mate at cosine >= threshold.
     "dedup_semantic" -> { (s, dir) =>
@@ -3204,6 +3214,43 @@ object SparkEntry {
         |      '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_keep_first" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS INTEGER) AS pos,
+        |         unnest(gs) AS gram
+        |  FROM (SELECT doc_id,
+        |          [array_to_string(w[i:i+9], ' ') for i in range(1, len(w)-8)] AS gs
+        |        FROM t WHERE len(w) >= 10)
+        |), ranked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1
+        |), w2 AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS flag
+        |  FROM w2
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM f
+        |)
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(pos) + 10 AS INTEGER) AS span_end, count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_semantic" ->
       """WITH e AS (

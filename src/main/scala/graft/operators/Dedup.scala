@@ -261,7 +261,8 @@ object Dedup {
       textCol: String,
       idCol: String,
       k: Int = 10,
-      minOccurrences: Long = 2L
+      minOccurrences: Long = 2L,
+      keepFirst: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gramsOf = docs
@@ -277,12 +278,23 @@ object Dedup {
           )
         ).as(Seq("pos", "gh"))
       )
-    val dupGrams = gramsOf
-      .groupBy("gh")
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minOccurrences)
-      .select("gh")
-    val dupPos = gramsOf.join(dupGrams, "gh").select(col(idCol), col("pos"))
+    // ONE keyed shuffle on the gram hash yields both the occurrence count
+    // and (for keepFirst) the global occurrence rank — no second gram pass,
+    // no join. keepFirst excludes each gram's first (lowest doc_id, pos)
+    // occurrence, the actionable Lee-et-al. form: later copies are
+    // removable, the canonical first stays.
+    val byGram = Window.partitionBy("gh")
+    val ranked = gramsOf
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .withColumn(
+        "rn",
+        if (keepFirst)
+          row_number().over(byGram.orderBy(col(idCol), col("pos")))
+        else lit(2L)
+      )
+    val dupPos = ranked
+      .filter(col("cnt") >= minOccurrences && col("rn") > 1)
+      .select(col(idCol), col("pos"))
     // islands: a position opens a new span iff it starts past every earlier
     // span end (running max of pos + k over the preceding rows)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -216,6 +216,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpans(short, "text", "doc_id", k = 10).count() == 0)
   }
 
+  test("duplicate substring spans keepFirst: canonical first occurrence survives") {
+    val phrase = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$phrase tail1 tail2"),   // first occurrence (lowest doc, pos)
+      (2L, s"lead1 $phrase"),         // later copy -> removable
+      (3L, s"$phrase mid $phrase")    // hmm: within-doc later copy removable
+    ).toDF("doc_id", "text")
+    // global order of occurrences of the shared gram: (1,0) < (2,1) < (3,0) < (3,11)
+    val spans = Dedup
+      .duplicateSpans(docs, "text", "doc_id", k = 10, keepFirst = true)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq == Seq((2L, 1, 11), (3L, 0, 10), (3L, 11, 21)))
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, keep-first by id") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
