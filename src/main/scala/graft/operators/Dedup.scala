@@ -252,10 +252,16 @@ object Dedup {
     * k-gram start positions the span merged.
     *
     * Scale shape: the gram table is one 8-byte hash per token position
-    * (strings never shuffle); occurrence counting and the count join are
-    * keyed equi-shuffles on the gram hash (map-side partial counts,
-    * AQE-skew-splittable); span merging is a per-document window over only
-    * the duplicated positions, bounded by document length. */
+    * (strings never shuffle); occurrence counting is a partially-aggregating
+    * groupBy on the gram hash — map-side combine collapses a hot gram
+    * (boilerplate 10-grams recur 1e8–1e9 times in web corpora) to one row
+    * per input partition before the exchange, so no task ever materializes
+    * a hot gram's full occurrence list. The join back to positions is a
+    * keyed equi-join (AQE skew-splits it, and converts it to broadcast at
+    * runtime when few grams repeat). Keep-first needs no row_number: the
+    * canonical occurrence is min(struct(doc_id, pos)) from the same
+    * aggregate. Span merging is a per-document window over only the
+    * duplicated positions, bounded by document length. */
   def duplicateSpans(
       docs: DataFrame,
       textCol: String,
@@ -278,22 +284,28 @@ object Dedup {
           )
         ).as(Seq("pos", "gh"))
       )
-    // ONE keyed shuffle on the gram hash yields both the occurrence count
-    // and (for keepFirst) the global occurrence rank — no second gram pass,
-    // no join. keepFirst excludes each gram's first (lowest doc_id, pos)
-    // occurrence, the actionable Lee-et-al. form: later copies are
-    // removable, the canonical first stays.
-    val byGram = Window.partitionBy("gh")
-    val ranked = gramsOf
-      .withColumn("cnt", count(lit(1)).over(byGram))
-      .withColumn(
-        "rn",
-        if (keepFirst)
-          row_number().over(byGram.orderBy(col(idCol), col("pos")))
-        else lit(2L)
+    // Per-gram stats come from a partially-aggregating groupBy, NOT a
+    // window over the gram hash: a window partitioned by "gh" would pull
+    // every occurrence of a hot gram into one task's sort (AQE cannot
+    // split window partitions), whereas groupBy combines map-side first
+    // and its exchange is skew-splittable. keepFirst excludes each gram's
+    // first (lowest doc_id, pos) occurrence — the actionable Lee-et-al.
+    // form: later copies are removable, the canonical first stays — and
+    // that first occurrence is just min(struct(doc_id, pos)), aggregated
+    // in the same pass as the count.
+    val gramStats = gramsOf
+      .groupBy(col("gh"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col(idCol), col("pos"))).as("first_occ")
       )
-    val dupPos = ranked
-      .filter(col("cnt") >= minOccurrences && col("rn") > 1)
+      .filter(col("cnt") >= minOccurrences)
+    val joined = gramsOf.join(gramStats, Seq("gh"))
+    val dupPos = (if (keepFirst)
+                    joined.filter(
+                      struct(col(idCol), col("pos")) =!= col("first_occ")
+                    )
+                  else joined)
       .select(col(idCol), col("pos"))
     // islands: a position opens a new span iff it starts past every earlier
     // span end (running max of pos + k over the preceding rows)

@@ -232,6 +232,37 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((2L, 1, 11), (3L, 0, 10), (3L, 11, 21)))
   }
 
+  test("duplicate substring spans: hot gram with 1e5 occurrences, no gram-hash window") {
+    // One boilerplate 10-gram planted in 100k documents — the web-corpus
+    // skew case. The scale-safe plan aggregates gram counts with map-side
+    // partials and joins back; it must NOT sort all 1e5 occurrences of the
+    // hot gram inside a single window partition (AQE cannot split those).
+    val phrase = (1 to 10).map(i => s"hot$i").mkString(" ")
+    val docs = spark
+      .range(100000L)
+      .select(
+        col("id").as("doc_id"),
+        concat(lit(phrase + " tail"), col("id").cast("string")).as("text")
+      )
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", k = 10)
+    val planText = spans.queryExecution.executedPlan.toString
+    // the only window left is the per-document island merge
+    assert(
+      !planText.contains("windowspecdefinition(gh"),
+      "gram-hash window reintroduced — hot grams would serialize into one task"
+    )
+    // every doc carries exactly one duplicated gram (pos 0); the second gram
+    // ("hot2..hot10 tail<id>") is unique per doc and must not appear
+    assert(spans.count() == 100000L)
+    assert(
+      spans.filter(col("span_start") =!= 0 || col("span_end") =!= 10).count() == 0
+    )
+    // keepFirst: the canonical occurrence (doc 0, pos 0) survives
+    val kf = Dedup.duplicateSpans(docs, "text", "doc_id", k = 10, keepFirst = true)
+    assert(kf.count() == 99999L)
+    assert(kf.filter(col("doc_id") === 0L).count() == 0)
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, keep-first by id") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
