@@ -163,7 +163,7 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
         // from directory names, diverging from the catalog's declaration.
         val snap = graft.sources.DeltaRead.snapshot(spark, location)
         val active =
-          snap.files.map(p => new java.io.File(location, p).getPath)
+          snap.files.map(p => new org.apache.hadoop.fs.Path(location, p).toString)
         val deltaSchema = schema
           .map(s =>
             StructType(

@@ -1,23 +1,27 @@
 package graft.sources
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 
 import scala.jdk.CollectionConverters._
+import scala.util.Try
+import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
 
-/** Minimal Delta Lake table reader by transaction-log replay, built from the
-  * PUBLIC Delta protocol (delta.io PROTOCOL.md): a table is a directory of
-  * parquet data files plus `_delta_log/` holding ordered JSON commits
-  * (`<v>.json`, one action per line — add / remove / metaData / protocol)
-  * and periodic parquet checkpoints (`<v>.checkpoint.parquet` named by
-  * `_last_checkpoint`). The active snapshot at version V = replay of all
-  * actions `<= V`: last metaData wins, `add` paths minus `remove` paths.
+/** Minimal Delta Lake table reader/writer by transaction-log replay, built
+  * from the PUBLIC Delta protocol (delta.io PROTOCOL.md): a table is a
+  * directory of parquet data files plus `_delta_log/` holding ordered JSON
+  * commits (`<v>.json`, one action per line — add / remove / metaData /
+  * protocol / txn) and periodic parquet checkpoints (single-file
+  * `<v>.checkpoint.parquet` or multi-part
+  * `<v>.checkpoint.<i>.<n>.parquet`, named by `_last_checkpoint`). The
+  * active snapshot at version V = replay of all actions `<= V`: last
+  * metaData wins, `add` paths minus `remove` paths.
   *
   * The reference registers Glue `table_type=delta` tables through the
   * deltalake crate (reference: src/catalog_provider/glue.rs:195-237); this
@@ -27,28 +31,128 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * does); the DATA read is a normal distributed parquet scan over the
   * active files, so pushdown/pruning/vectorization all apply.
   *
-  * Supported: JSON commits, one parquet checkpoint generation, schema from
-  * `metaData.schemaString` (it is Spark DataType JSON), `versionAsOf` time
-  * travel, hive-layout partition directories (via basePath). Not supported
-  * (clear error instead): deletion vectors, column mapping, multi-part
-  * checkpoints.
+  * All filesystem access goes through the Hadoop [[FileSystem]] API, so the
+  * table directory may live on any registered scheme (`file://`, `hdfs://`,
+  * `s3a://`, …) — the same object-store posture the reference gets from its
+  * `ObjectStoreRegistry` (reference: src/catalog_provider/glue.rs:44-53).
+  *
+  * Supported: JSON commits, single-file AND multi-part parquet checkpoints,
+  * schema from `metaData.schemaString` (it is Spark DataType JSON),
+  * `versionAsOf` time travel, hive-layout partition directories (via
+  * basePath). Checkpoints written here carry the full protocol + metaData
+  * actions (id / format / schemaString / partitionColumns / configuration)
+  * and per-file partitionValues / size / modificationTime, so external
+  * protocol-compliant readers can consume them. Not supported (clear error
+  * instead): deletion vectors, column mapping.
   */
 object DeltaRead {
 
   private val mapper = new ObjectMapper()
 
-  /** The table state at a version: (version, active file paths relative to
-    * the table root, declared schema if any metaData action carried one,
-    * the table's declared partition columns). */
+  /** One active data file as replayed from the log: path relative to the
+    * table root plus the add-action metadata a protocol-compliant
+    * checkpoint must re-emit. */
+  final case class AddFile(
+      path: String,
+      size: Long,
+      modificationTime: Long,
+      partitionValues: Map[String, String]
+  )
+
+  /** The table state at a version: active files (with their add metadata,
+    * in replay order), declared schema if any metaData action carried one,
+    * the table's declared partition columns, plus the metaData identity
+    * fields a checkpoint re-emits. */
   final case class Snapshot(
       version: Long,
-      files: Seq[String],
+      adds: Seq[AddFile],
       schema: Option[StructType],
-      partitionColumns: Seq[String] = Seq.empty
-  )
+      partitionColumns: Seq[String] = Seq.empty,
+      tableId: Option[String] = None,
+      configuration: Map[String, String] = Map.empty
+  ) {
+
+    /** Active data file paths relative to the table root, in replay order. */
+    def files: Seq[String] = adds.map(_.path)
+  }
+
+  // ---------- Hadoop FS plumbing ----------
+
+  private def hadoopConf(spark: Option[SparkSession]): Configuration =
+    spark
+      .orElse(SparkSession.getActiveSession)
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(dir: Path, conf: Configuration): FileSystem =
+    dir.getFileSystem(conf)
+
+  private def readUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def isDir(fs: FileSystem, p: Path): Boolean =
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Write `content` to `target` via temp-file + rename. With
+    * `overwrite=false` an existing target makes the rename fail — the
+    * single-writer commit guard. With `overwrite=true` the target is
+    * deleted first; a crash between delete and rename leaves NO file,
+    * which every reader of the files written this way (only
+    * `_last_checkpoint`) treats as "fall back to full JSON replay" —
+    * commits are never deleted, so replay is always possible. */
+  private def writeAtomic(
+      fs: FileSystem,
+      target: Path,
+      content: String,
+      overwrite: Boolean
+  ): Unit = {
+    val tmp = new Path(
+      target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp"
+    )
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (overwrite && fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"atomic rename to $target failed (already exists?)"
+      )
+    }
+  }
+
+  /** One commit = one atomic file: content lands in a temp file first, then
+    * moves into place. A crash mid-commit leaves either no commit (replay
+    * redoes the batch; any parquet parts it wrote are unreferenced and
+    * invisible to readers) or the complete commit — never a truncated one. */
+  private def writeCommitAtomic(
+      fs: FileSystem,
+      logDir: Path,
+      version: Long,
+      lines: Seq[String]
+  ): Unit =
+    writeAtomic(
+      fs,
+      new Path(logDir, f"$version%020d.json"),
+      lines.mkString("\n"),
+      overwrite = false
+    )
 
   private def commitVersion(name: String): Long =
     name.stripSuffix(".json").toLong
+
+  // ---------- protocol feature guards ----------
 
   private def columnMappingEnabled(mode: String): Boolean =
     mode != null && mode.nonEmpty && mode != "none"
@@ -78,6 +182,37 @@ object DeltaRead {
       throw new IllegalArgumentException("delta deletion vectors are not supported")
   }
 
+  // ---------- snapshot (log replay) ----------
+
+  /** `_last_checkpoint` contents: (version, part count if multi-part). A
+    * missing or unparsable file yields None — full JSON replay, always
+    * correct because commits are never deleted. */
+  private def lastCheckpoint(
+      fs: FileSystem,
+      logDir: Path
+  ): Option[(Long, Option[Int])] = {
+    val p = new Path(logDir, "_last_checkpoint")
+    if (!fs.exists(p)) return None
+    Try {
+      val n = mapper.readTree(readUtf8(fs, p))
+      val parts =
+        if (n.hasNonNull("parts")) Some(n.get("parts").asInt()) else None
+      (n.get("version").asLong(), parts)
+    }.toOption
+  }
+
+  private def checkpointPaths(
+      logDir: Path,
+      version: Long,
+      parts: Option[Int]
+  ): Seq[Path] = parts match {
+    case Some(n) =>
+      (1 to n).map(i =>
+        new Path(logDir, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
+      )
+    case None => Seq(new Path(logDir, f"$version%020d.checkpoint.parquet"))
+  }
+
   /** Replay the log and return the snapshot at `versionAsOf` (default:
     * latest). */
   def snapshot(
@@ -85,15 +220,19 @@ object DeltaRead {
       tableDir: String,
       versionAsOf: Option[Long] = None
   ): Snapshot = {
-    val logDir = new File(tableDir, "_delta_log")
-    require(logDir.isDirectory, s"no _delta_log under $tableDir — not a delta table")
+    val root = new Path(tableDir)
+    val fs = fsOf(root, hadoopConf(Some(spark)))
+    val logDir = new Path(root, "_delta_log")
+    require(isDir(fs, logDir), s"no _delta_log under $tableDir — not a delta table")
 
-    val commitFiles = Option(logDir.listFiles()).toSeq.flatten
-      .filter(f => f.getName.matches("\\d{20}\\.json"))
-      .sortBy(_.getName)
+    val commitFiles = fs
+      .listStatus(logDir)
+      .toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getPath.getName)
     require(commitFiles.nonEmpty, s"empty delta log under $tableDir")
 
-    val latest = commitVersion(commitFiles.last.getName)
+    val latest = commitVersion(commitFiles.last.getPath.getName)
     val version = versionAsOf.getOrElse(latest)
     require(
       version >= 0 && version <= latest,
@@ -101,25 +240,17 @@ object DeltaRead {
     )
 
     // checkpoint start point, if one exists at or below the target version
-    val checkpoint = Option(new File(logDir, "_last_checkpoint"))
-      .filter(_.isFile)
-      .map(f => mapper.readTree(Files.readString(f.toPath)))
-      .map { n =>
-        require(
-          !n.hasNonNull("parts"),
-          "multi-part delta checkpoints are not supported"
-        )
-        n.get("version").asLong()
-      }
-      .filter(_ <= version)
+    val checkpoint = lastCheckpoint(fs, logDir).filter(_._1 <= version)
 
-    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var schema: Option[StructType] = None
     var partitionColumns: Seq[String] = Seq.empty
+    var tableId: Option[String] = None
+    var configuration: Map[String, String] = Map.empty
 
-    checkpoint.foreach { cv =>
-      val cpFile = new File(logDir, f"$cv%020d.checkpoint.parquet")
-      require(cpFile.isFile, s"missing checkpoint file $cpFile")
+    checkpoint.foreach { case (cv, parts) =>
+      val cpFiles = checkpointPaths(logDir, cv, parts)
+      cpFiles.foreach(p => require(fs.exists(p), s"missing checkpoint file $p"))
       // a checkpoint is a parquet table of the same actions, one per row —
       // project every column this replay needs and collect ONCE (snapshot()
       // runs on every read/append, so each extra Spark job here is hot-path
@@ -127,33 +258,29 @@ object DeltaRead {
       // commits: a table whose only protocol/metaData/deletionVector records
       // live in the checkpoint must fail just as clearly, not return wrong
       // rows
-      val cp = spark.read.parquet(cpFile.getPath)
+      val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
       def hasSubField(struct: String, field: String): Boolean =
         cp.schema
           .find(_.name == struct)
           .map(_.dataType)
           .collect { case s: StructType => s.fieldNames.contains(field) }
           .getOrElse(false)
-      def optCol(struct: String, field: String, as: String): Column =
-        (if (hasSubField(struct, field)) col(s"$struct.$field").cast("string")
-         else org.apache.spark.sql.functions.lit(null).cast("string")).as(as)
+      def subCol(struct: String, field: String, typ: String, as: String): Column =
+        (if (hasSubField(struct, field)) col(s"$struct.$field").cast(typ)
+         else lit(null).cast(typ)).as(as)
       val rows = cp
         .select(
-          optCol("add", "path", "path"),
-          optCol("add", "deletionVector", "dv"),
-          optCol("metaData", "schemaString", "schemaStr"),
-          (if (hasSubField("metaData", "partitionColumns"))
-             col("metaData.partitionColumns").cast("array<string>")
-           else
-             org.apache.spark.sql.functions
-               .lit(null)
-               .cast("array<string>")).as("partCols"),
-          optCol("metaData", "columnMappingMode", "cmFlat"),
-          (if (hasSubField("metaData", "configuration"))
-             col("metaData.configuration").getItem("delta.columnMapping.mode")
-           else org.apache.spark.sql.functions.lit(null).cast("string"))
-            .as("cmCfg"),
-          optCol("protocol", "minReaderVersion", "minReader")
+          subCol("add", "path", "string", "path"),
+          subCol("add", "size", "bigint", "size"),
+          subCol("add", "modificationTime", "bigint", "mtime"),
+          subCol("add", "partitionValues", "map<string,string>", "pv"),
+          subCol("add", "deletionVector", "string", "dv"),
+          subCol("metaData", "schemaString", "string", "schemaStr"),
+          subCol("metaData", "partitionColumns", "array<string>", "partCols"),
+          subCol("metaData", "id", "string", "metaId"),
+          subCol("metaData", "configuration", "map<string,string>", "metaCfg"),
+          subCol("metaData", "columnMappingMode", "string", "cmFlat"),
+          subCol("protocol", "minReaderVersion", "string", "minReader")
         )
         .collect()
       rows.foreach { r =>
@@ -162,36 +289,71 @@ object DeltaRead {
           throw new IllegalArgumentException(
             s"delta minReaderVersion ${minReader.get} exceeds supported reader version 2"
           )
+        // Row.getAs yields runtime collection types (mutable.ArraySeq,
+        // collection.Map) — widen then copy, never cast to immutable
+        val cfg =
+          Option(r.getAs[scala.collection.Map[String, String]]("metaCfg"))
+            .map(_.toMap)
+        val cmCfg = cfg.flatMap(_.get("delta.columnMapping.mode")).orNull
         if (
           columnMappingEnabled(r.getAs[String]("cmFlat")) ||
-          columnMappingEnabled(r.getAs[String]("cmCfg"))
+          columnMappingEnabled(cmCfg)
         )
           throw new IllegalArgumentException("delta column mapping is not supported")
         if (r.getAs[String]("dv") != null)
           throw new IllegalArgumentException("delta deletion vectors are not supported")
-        Option(r.getAs[String]("path")).foreach(active += _)
+        Option(r.getAs[String]("path")).foreach { p =>
+          active(p) = AddFile(
+            p,
+            Option(r.getAs[java.lang.Long]("size")).map(_.longValue).getOrElse(0L),
+            Option(r.getAs[java.lang.Long]("mtime")).map(_.longValue).getOrElse(0L),
+            Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+              .map(_.toMap)
+              .getOrElse(Map.empty)
+          )
+        }
         Option(r.getAs[String]("schemaStr")).foreach(s =>
           schema = Some(DataType.fromJson(s).asInstanceOf[StructType])
         )
-        Option(r.getAs[Seq[String]]("partCols")).foreach(partitionColumns = _)
+        Option(r.getAs[scala.collection.Seq[String]]("partCols"))
+          .foreach(pc => partitionColumns = pc.toSeq)
+        Option(r.getAs[String]("metaId")).foreach(id => tableId = Some(id))
+        cfg.foreach(configuration = _)
       }
     }
 
     commitFiles
-      .filter { f =>
-        val v = commitVersion(f.getName)
-        v <= version && checkpoint.forall(v > _)
+      .filter { s =>
+        val v = commitVersion(s.getPath.getName)
+        v <= version && checkpoint.forall(v > _._1)
       }
-      .foreach { f =>
-        Files
-          .readAllLines(f.toPath, StandardCharsets.UTF_8)
-          .asScala
+      .foreach { s =>
+        readUtf8(fs, s.getPath)
+          .split("\n")
+          .iterator
           .filter(_.nonEmpty)
           .foreach { line =>
             val node = mapper.readTree(line)
             requireSupported(node)
             val add = node.get("add")
-            if (add != null) active += add.get("path").asText()
+            if (add != null) {
+              val p = add.get("path").asText()
+              val pv = Option(add.get("partitionValues"))
+                .filter(_.isObject)
+                .map(
+                  _.properties().asScala.map { e =>
+                    e.getKey -> (if (e.getValue.isNull) null
+                                 else e.getValue.asText())
+                  }.toMap
+                )
+                .getOrElse(Map.empty[String, String])
+              active(p) = AddFile(
+                p,
+                add.path("size").asLong(0L),
+                add.path("modificationTime").asLong(0L),
+                pv
+              )
+            }
             val remove = node.get("remove")
             if (remove != null) active -= remove.get("path").asText()
             val meta = node.get("metaData")
@@ -208,11 +370,35 @@ object DeltaRead {
                 .asScala
                 .map(_.asText())
                 .toSeq
+            if (meta != null && meta.hasNonNull("id"))
+              tableId = Some(meta.get("id").asText())
+            if (meta != null && meta.hasNonNull("configuration"))
+              configuration = meta
+                .get("configuration")
+                .properties()
+                .asScala
+                .map(e => e.getKey -> e.getValue.asText())
+                .toMap
           }
       }
 
-    Snapshot(version, active.toSeq, schema, partitionColumns)
+    Snapshot(
+      version,
+      active.values.toSeq,
+      schema,
+      partitionColumns,
+      tableId,
+      configuration
+    )
   }
+
+  /** True when `dir` holds a delta table (`_delta_log/` exists, any
+    * scheme). */
+  def isDeltaTable(dir: String): Boolean =
+    try {
+      val p = new Path(dir, "_delta_log")
+      isDir(fsOf(p, hadoopConf(None)), p)
+    } catch { case NonFatal(_) => false }
 
   /** Read the table at `versionAsOf` (default latest) as a DataFrame: the
     * log replay is driver-side metadata; the data read is a distributed
@@ -223,7 +409,7 @@ object DeltaRead {
       versionAsOf: Option[Long] = None
   ): DataFrame = {
     val snap = snapshot(spark, tableDir, versionAsOf)
-    val paths = snap.files.map(p => new File(tableDir, p).getPath)
+    val paths = snap.files.map(p => new Path(tableDir, p).toString)
     if (paths.isEmpty) {
       val schema = snap.schema.getOrElse(
         throw new IllegalArgumentException(
@@ -255,8 +441,9 @@ object DeltaRead {
       extraActions: Seq[String] = Seq.empty,
       partitionBy: Seq[String] = Seq.empty
   ): Long = {
-    val root = new File(dir)
-    val before = dataFileNames(root)
+    val root = new Path(dir)
+    val fs = fsOf(root, hadoopConf(Some(df.sparkSession)))
+    val before = dataFileStatuses(fs, root).keySet
     val snap = snapshot(df.sparkSession, dir)
     // an append MUST match the table's declared partitioning — a flat
     // append into a hive-layout table (or vice versa) corrupts the
@@ -276,48 +463,21 @@ object DeltaRead {
         writer.partitionBy(effectivePartitionBy: _*)
       else writer
     partitioned.parquet(dir)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith("_"))
-      .foreach(_.delete()) // _SUCCESS markers; delta lists files in the log
-    val added = (dataFileNames(root) -- before).toSeq.sorted
+    dropWriteMarkers(fs, root)
+    val after = dataFileStatuses(fs, root)
+    val added = (after.keySet -- before).toSeq.sorted
     val version = snap.version + 1
-    val lines = extraActions ++ added.map { name =>
-      val f = new File(root, name)
-      s"""{"add":{"path":"$name","partitionValues":${partitionValuesJson(name)},""" +
-        s""""size":${f.length()},"modificationTime":${f.lastModified()},""" +
-        s""""dataChange":true}}"""
-    }
-    writeCommitAtomic(new File(root, "_delta_log"), version, lines)
+    val lines = extraActions ++ added.map(name => addActionJson(name, after(name)))
+    writeCommitAtomic(fs, new Path(root, "_delta_log"), version, lines)
     version
   }
 
-  /** One commit = one atomic file: content lands in a temp file first, then
-    * moves into place. A crash mid-commit leaves either no commit (replay
-    * redoes the batch; any parquet parts it wrote are unreferenced and
-    * invisible to readers) or the complete commit — never a truncated one. */
-  private def writeCommitAtomic(
-      logDir: File,
-      version: Long,
-      lines: Seq[String]
-  ): Unit = {
-    val target = new File(logDir, f"$version%020d.json").toPath
-    val tmp = Files.createTempFile(logDir.toPath, ".commit", ".tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try
-      Files.move(
-        tmp,
-        target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE
-      )
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(
-          tmp,
-          target,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING
-        )
-    }
-  }
+  /** Spark leaves `_SUCCESS` markers at the write root; delta lists its
+    * files in the log instead, so the markers are noise. */
+  private def dropWriteMarkers(fs: FileSystem, root: Path): Unit =
+    fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_"))
+      .foreach(s => fs.delete(s.getPath, false))
 
   /** Highest committed `txn` action version for `appId`, or None — the
     * delta protocol's application-transaction marker that makes retried
@@ -325,12 +485,13 @@ object DeltaRead {
     * fold txn actions, and commit files are never deleted here), so the
     * answer is exact regardless of checkpointing. */
   def lastTxnVersion(dir: String, appId: String): Option[Long] = {
-    val logDir = new File(dir, "_delta_log")
-    if (!logDir.isDirectory) return None
+    val logDir = new Path(dir, "_delta_log")
+    val fs = fsOf(logDir, hadoopConf(None))
+    if (!isDir(fs, logDir)) return None
     val versions = for {
-      f <- Option(logDir.listFiles()).toSeq.flatten
-      if f.getName.matches("\\d{20}\\.json")
-      line <- Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+      s <- fs.listStatus(logDir).toSeq
+      if s.isFile && s.getPath.getName.matches("\\d{20}\\.json")
+      line <- readUtf8(fs, s.getPath).split("\n").toSeq
       if line.nonEmpty
       node = mapper.readTree(line)
       txn <- Option(node.get("txn"))
@@ -344,93 +505,213 @@ object DeltaRead {
     * `txnVersion` (or later) for `appId` already exists, do nothing. A crash
     * before the commit move leaves no commit at all — the replayed batch
     * then re-appends cleanly (its orphaned parquet parts are never
-    * referenced by any commit and stay invisible to readers). Returns true
-    * when the append actually committed. */
+    * referenced by any commit and stay invisible to readers).
+    *
+    * With `checkpointEvery > 0`, a checkpoint is folded every that many
+    * versions — the log-compaction cadence that keeps long-lived streamed
+    * tables' replay O(interval), not O(table age). Returns true when the
+    * append actually committed. */
   def appendIdempotent(
       df: DataFrame,
       dir: String,
       appId: String,
-      txnVersion: Long
+      txnVersion: Long,
+      checkpointEvery: Int = 0
   ): Boolean = {
     if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) return false
     val txnLine = s"""{"txn":{"appId":"$appId","version":$txnVersion}}"""
     // first batch bootstraps the table; later batches append a commit
-    if (!new File(dir, "_delta_log").isDirectory)
-      create(df, dir, extraActions = Seq(txnLine))
-    else append(df, dir, extraActions = Seq(txnLine))
+    val version =
+      if (!isDeltaTable(dir)) { create(df, dir, extraActions = Seq(txnLine)); 0L }
+      else append(df, dir, extraActions = Seq(txnLine))
+    if (checkpointEvery > 0 && version > 0 && version % checkpointEvery == 0)
+      checkpoint(df.sparkSession, dir)
     true
   }
 
-  /** Fold the snapshot at the latest version into a single-file parquet
-    * checkpoint plus `_last_checkpoint`, so later reads replay only commits
-    * past it — the log-compaction step that keeps replay O(checkpoint
-    * interval), not O(table age). Returns the checkpointed version. */
-  def checkpoint(spark: SparkSession, dir: String): Long = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val snap = snapshot(spark, dir)
-    val schemaJson = snap.schema.map(_.json)
-    val cpSchema = StructType(
-      Seq(
-        StructField(
-          "add",
-          StructType(Seq(StructField("path", StringType))),
-          nullable = true
+  // ---------- checkpoint ----------
+
+  private def checkpointSchema: StructType = StructType(
+    Seq(
+      StructField(
+        "protocol",
+        StructType(
+          Seq(
+            StructField("minReaderVersion", IntegerType),
+            StructField("minWriterVersion", IntegerType)
+          )
         ),
-        StructField(
-          "metaData",
-          StructType(Seq(StructField("schemaString", StringType))),
-          nullable = true
-        )
+        nullable = true
+      ),
+      StructField(
+        "metaData",
+        StructType(
+          Seq(
+            StructField("id", StringType),
+            StructField(
+              "format",
+              StructType(
+                Seq(
+                  StructField("provider", StringType),
+                  StructField("options", MapType(StringType, StringType))
+                )
+              )
+            ),
+            StructField("schemaString", StringType),
+            StructField("partitionColumns", ArrayType(StringType)),
+            StructField("configuration", MapType(StringType, StringType))
+          )
+        ),
+        nullable = true
+      ),
+      StructField(
+        "add",
+        StructType(
+          Seq(
+            StructField("path", StringType),
+            StructField(
+              "partitionValues",
+              MapType(StringType, StringType, valueContainsNull = true)
+            ),
+            StructField("size", LongType),
+            StructField("modificationTime", LongType),
+            StructField("dataChange", BooleanType)
+          )
+        ),
+        nullable = true
       )
     )
-    val rows =
-      snap.files.map(p => Row(Row(p), null)) ++
-        schemaJson.map(s => Row(null, Row(s))).toSeq
-    val tmp = Files.createTempDirectory("graft_delta_cp").toString
-    spark
-      .createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(tmp)
-    val part = Option(new File(tmp).listFiles()).toSeq.flatten
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
-    val logDir = new File(dir, "_delta_log")
-    Files.copy(
-      part.toPath,
-      new File(logDir, f"${snap.version}%020d.checkpoint.parquet").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING
+  )
+
+  /** Fold the snapshot at the latest version into a parquet checkpoint
+    * (single-file, or `parts`-way multi-part per the delta protocol's
+    * `<v>.checkpoint.<i>.<n>.parquet` naming) plus `_last_checkpoint`, so
+    * later reads replay only commits past it — the log-compaction step that
+    * keeps replay O(checkpoint interval), not O(table age).
+    *
+    * The checkpoint rows are protocol-compliant: a `protocol` action, a
+    * complete `metaData` action (id / format / schemaString /
+    * partitionColumns / configuration — the reader consumes partitionColumns,
+    * so a partitioned table stays partitioned across a checkpoint), and one
+    * `add` per active file carrying partitionValues / size /
+    * modificationTime (`dataChange=false`, as the protocol requires of
+    * checkpoint adds). Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, dir: String, parts: Int = 1): Long = {
+    require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
+    val snap = snapshot(spark, dir)
+    val root = new Path(dir)
+    val fs = fsOf(root, hadoopConf(Some(spark)))
+    val logDir = new Path(root, "_delta_log")
+
+    val protocolRow = Row(Row(1, 2), null, null)
+    // id must be stable for a given location when the log never declared one
+    val tableId = snap.tableId.getOrElse(
+      java.util.UUID
+        .nameUUIDFromBytes(dir.getBytes(StandardCharsets.UTF_8))
+        .toString
     )
-    // the temp write dir served its purpose — don't leak one per checkpoint
-    deleteRecursively(new File(tmp))
-    Files.write(
-      new File(logDir, "_last_checkpoint").toPath,
-      s"""{"version":${snap.version},"size":${rows.size}}"""
-        .getBytes(StandardCharsets.UTF_8)
+    val metaRow = Row(
+      null,
+      Row(
+        tableId,
+        Row("parquet", Map.empty[String, String]),
+        snap.schema.map(_.json).orNull,
+        snap.partitionColumns,
+        snap.configuration
+      ),
+      null
+    )
+    val addRows = snap.adds.map(a =>
+      Row(
+        null,
+        null,
+        Row(a.path, a.partitionValues, a.size, a.modificationTime, false)
+      )
+    )
+
+    val groups: Seq[Seq[Row]] =
+      if (parts == 1) Seq(Seq(protocolRow, metaRow) ++ addRows)
+      else
+        (0 until parts).map { i =>
+          val slice = addRows.zipWithIndex.collect {
+            case (r, j) if j % parts == i => r
+          }
+          if (i == 0) Seq(protocolRow, metaRow) ++ slice else slice
+        }
+
+    val targets = checkpointPaths(
+      logDir,
+      snap.version,
+      if (parts == 1) None else Some(parts)
+    )
+    groups.zip(targets).foreach { case (rows, target) =>
+      writeSingleParquet(spark, fs, logDir, rows, target)
+    }
+
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
+    writeAtomic(
+      fs,
+      new Path(logDir, "_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${addRows.size + 2}$partsField}""",
+      overwrite = true
     )
     snap.version
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete()
+  /** Write `rows` as exactly one parquet file at `target`, staging through a
+    * temp dir under the log dir (same filesystem, so the final rename is a
+    * metadata move on schemeful stores too). */
+  private def writeSingleParquet(
+      spark: SparkSession,
+      fs: FileSystem,
+      logDir: Path,
+      rows: Seq[Row],
+      target: Path
+  ): Unit = {
+    val tmp = new Path(logDir, s".cp-tmp-${java.util.UUID.randomUUID()}")
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(rows, 1), checkpointSchema)
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(tmp.toString)
+    val part = fs
+      .listStatus(tmp)
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(
+        throw new IllegalStateException("checkpoint write produced no file")
+      )
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(part.getPath, target))
+      throw new IllegalStateException(s"checkpoint rename to $target failed")
+    fs.delete(tmp, true)
   }
 
-  /** Relative paths of all parquet data files under `root`, recursing into
-    * hive-layout `key=value` partition directories, `_delta_log` excluded. */
-  private def dataFileNames(root: File): Set[String] = {
-    def walk(f: File, prefix: String): Seq[String] =
-      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Seq.empty
-      else if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten
-          .flatMap(c => walk(c, prefix + f.getName + "/"))
-      else if (f.getName.endsWith(".parquet")) Seq(prefix + f.getName)
+  // ---------- create ----------
+
+  /** Relative paths of all parquet data files under `root` with their
+    * statuses (size/modTime feed add actions), recursing into hive-layout
+    * `key=value` partition directories, `_delta_log` excluded. */
+  private def dataFileStatuses(
+      fs: FileSystem,
+      root: Path
+  ): Map[String, FileStatus] = {
+    def walk(status: FileStatus, prefix: String): Seq[(String, FileStatus)] = {
+      val name = status.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+      else if (status.isDirectory)
+        fs.listStatus(status.getPath).toSeq.flatMap(walk(_, prefix + name + "/"))
+      else if (name.endsWith(".parquet")) Seq(prefix + name -> status)
       else Seq.empty
-    Option(root.listFiles()).toSeq.flatten.flatMap(walk(_, "")).toSet
+    }
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq.flatMap(walk(_, "")).toMap
   }
+
+  private def addActionJson(name: String, status: FileStatus): String =
+    s"""{"add":{"path":"$name","partitionValues":${partitionValuesJson(name)},""" +
+      s""""size":${status.getLen},"modificationTime":${status.getModificationTime},""" +
+      s""""dataChange":true}}"""
 
   /** The `partitionValues` JSON for a relative data-file path: one entry per
     * `key=value` directory segment. Directory names carry Hive escaping —
@@ -479,33 +760,30 @@ object DeltaRead {
       extraActions: Seq[String] = Seq.empty,
       partitionBy: Seq[String] = Seq.empty
   ): Unit = {
-    val root = new File(dir)
-    if (root.exists()) deleteRecursively(root)
+    val root = new Path(dir)
+    val fs = fsOf(root, hadoopConf(Some(df.sparkSession)))
+    if (fs.exists(root)) fs.delete(root, true)
     val writer = df.write
     val partitioned =
       if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     partitioned.parquet(dir)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith("_"))
-      .foreach(_.delete()) // drop _SUCCESS markers; delta lists files in the log
-    val logDir = new File(root, "_delta_log")
-    logDir.mkdirs()
+    dropWriteMarkers(fs, root)
+    val logDir = new Path(root, "_delta_log")
+    fs.mkdirs(logDir)
     // table id must be stable for a given location (no wall-clock / RNG)
     val tableId = java.util.UUID
       .nameUUIDFromBytes(dir.getBytes(StandardCharsets.UTF_8))
       .toString
     val schemaJson = mapper.writeValueAsString(df.schema.json)
     val partCols = partitionBy.map(c => s""""$c"""").mkString(",")
+    val statuses = dataFileStatuses(fs, root)
     val lines = Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":$schemaJson,"partitionColumns":[$partCols],"configuration":{}}}"""
-    ) ++ extraActions ++ dataFileNames(root).toSeq.sorted.map { name =>
-      val f = new File(root, name)
-      s"""{"add":{"path":"$name","partitionValues":${partitionValuesJson(name)},""" +
-        s""""size":${f.length()},"modificationTime":${f.lastModified()},""" +
-        s""""dataChange":true}}"""
-    }
-    writeCommitAtomic(logDir, 0L, lines)
+    ) ++ extraActions ++ statuses.keys.toSeq.sorted.map(name =>
+      addActionJson(name, statuses(name))
+    )
+    writeCommitAtomic(fs, logDir, 0L, lines)
   }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.io.File
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -52,7 +50,7 @@ object CorpusIngest {
       .select(col(idCol))
     val gated = batch.join(passing, idCol)
     val selfDeduped = Dedup.exactDedup(gated, textCol, idCol)
-    if (new File(corpusDir, "_delta_log").isDirectory) {
+    if (DeltaRead.isDeltaTable(corpusDir)) {
       val corpus = DeltaRead.read(batch.sparkSession, corpusDir)
         .select(col(idCol), col(textCol))
       Dedup.dedupAgainstCorpus(

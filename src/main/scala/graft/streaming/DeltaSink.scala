@@ -21,18 +21,21 @@ import graft.sources.DeltaRead
 object DeltaSink {
 
   /** Writer that appends each micro-batch to the delta table at `dir`
-    * exactly once under `appId`. Caller sets checkpointLocation and
-    * start()s. */
+    * exactly once under `appId`, folding a parquet checkpoint every
+    * `checkpointEvery` commits so a long-lived streamed table's log replay
+    * stays O(interval) instead of O(batches ingested). Caller sets
+    * checkpointLocation and start()s. */
   def exactlyOnce(
       stream: DataFrame,
       dir: String,
-      appId: String
+      appId: String,
+      checkpointEvery: Int = 10
   ): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        DeltaRead.appendIdempotent(batch, dir, appId, batchId)
+        DeltaRead.appendIdempotent(batch, dir, appId, batchId, checkpointEvery)
         ()
       }
 }

@@ -225,6 +225,132 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(reg.filter($"ds" === "2024-01-01").count() == 2)
   }
 
+  test("partitioned create -> checkpoint -> append keeps the hive layout") {
+    // the corruption scenario: a checkpoint that drops partitionColumns
+    // makes the next plain append() write FLAT files into a hive-layout
+    // table; the checkpoint must carry the full metaData action
+    val dir = Files.createTempDirectory("graft_delta_cp_part").toString
+    val df = Seq(
+      (1L, "a", "2024-01-01"),
+      (2L, "b", "2024-01-01"),
+      (3L, "c", "2024-01-02")
+    ).toDF("id", "v", "ds")
+    DeltaRead.create(df, dir, partitionBy = Seq("ds"))
+    assert(DeltaRead.checkpoint(spark, dir) == 0L)
+
+    // the snapshot replayed FROM the checkpoint still declares partitioning
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.partitionColumns == Seq("ds"))
+    assert(snap.adds.forall(_.partitionValues.contains("ds")))
+
+    // a plain append (no partitionBy argument) lands in hive layout, and an
+    // explicit matching partitionBy is accepted
+    DeltaRead.append(Seq((4L, "d", "2024-01-02")).toDF("id", "v", "ds"), dir)
+    DeltaRead.append(
+      Seq((5L, "e", "2024-01-03")).toDF("id", "v", "ds"),
+      dir,
+      partitionBy = Seq("ds")
+    )
+    val after = DeltaRead.snapshot(spark, dir)
+    assert(after.files.forall(_.startsWith("ds=")), after.files.toString)
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 5)
+    assert(back.filter($"ds" === "2024-01-03").count() == 1)
+  }
+
+  test("written checkpoint carries protocol-compliant actions") {
+    val dir = Files.createTempDirectory("graft_delta_cp_proto").toString
+    val df = Seq((1L, "x", "d1"), (2L, "y", "d2")).toDF("id", "v", "ds")
+    DeltaRead.create(df, dir, partitionBy = Seq("ds"))
+    DeltaRead.checkpoint(spark, dir)
+
+    val cp = spark.read.parquet(
+      new File(new File(dir, "_delta_log"), f"${0L}%020d.checkpoint.parquet").getPath
+    )
+    // protocol action present with supported versions
+    val proto = cp.filter("protocol IS NOT NULL").select("protocol.*").head
+    assert(proto.getInt(0) == 1 && proto.getInt(1) == 2)
+    // complete metaData action: id, format.provider, schemaString,
+    // partitionColumns, configuration
+    val meta = cp.filter("metaData IS NOT NULL").select("metaData.*").head
+    assert(meta.getString(0).nonEmpty)
+    assert(meta.getStruct(1).getString(0) == "parquet")
+    assert(meta.getString(2).contains("\"ds\""))
+    assert(meta.getSeq[String](3) == Seq("ds"))
+    // add entries carry partitionValues, real sizes, dataChange=false
+    import org.apache.spark.sql.functions.{col => c}
+    val adds = cp
+      .filter("add IS NOT NULL")
+      .select(
+        c("add.path"),
+        c("add.partitionValues"),
+        c("add.size"),
+        c("add.dataChange")
+      )
+      .collect()
+    assert(adds.length == 2)
+    adds.foreach { r =>
+      assert(r.getAs[scala.collection.Map[String, String]](1).keySet == Set("ds"))
+      assert(r.getLong(2) > 0L)
+      assert(!r.getBoolean(3))
+    }
+  }
+
+  test("multi-part checkpoint: write, _last_checkpoint parts, replay") {
+    val dir = Files.createTempDirectory("graft_delta_cp_multi").toString
+    DeltaRead.create(spark.range(0, 40).toDF("id").repartition(5), dir)
+    assert(dataFiles(dir).size == 5)
+    DeltaRead.checkpoint(spark, dir, parts = 3)
+
+    val logDir = new File(dir, "_delta_log")
+    val lc = new String(
+      Files.readAllBytes(new File(logDir, "_last_checkpoint").toPath),
+      StandardCharsets.UTF_8
+    )
+    assert(lc.contains("\"parts\":3"), lc)
+    (1 to 3).foreach { i =>
+      assert(
+        new File(logDir, f"${0L}%020d.checkpoint.$i%010d.${3}%010d.parquet").isFile
+      )
+    }
+    // poison the only pre-checkpoint commit: replay MUST start from the
+    // multi-part checkpoint or it would throw
+    writeCommit(dir, 0L, Seq("""{"protocol":{"minReaderVersion":9}}"""))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.files.size == 5)
+    assert(snap.schema.isDefined)
+    assert(DeltaRead.read(spark, dir).count() == 40)
+    // and commits past the checkpoint still apply
+    DeltaRead.append(spark.range(40, 45).toDF("id"), dir)
+    assert(DeltaRead.read(spark, dir).count() == 45)
+  }
+
+  test("corrupt _last_checkpoint degrades to full JSON replay, not an outage") {
+    val dir = Files.createTempDirectory("graft_delta_cp_corrupt").toString
+    DeltaRead.create(spark.range(0, 20).toDF("id"), dir)
+    DeltaRead.append(spark.range(20, 30).toDF("id"), dir)
+    DeltaRead.checkpoint(spark, dir)
+    // simulate a crash mid-write: truncated JSON
+    Files.write(
+      new File(new File(dir, "_delta_log"), "_last_checkpoint").toPath,
+      """{"version":1,"si""".getBytes(StandardCharsets.UTF_8)
+    )
+    assert(DeltaRead.read(spark, dir).count() == 30)
+    assert(DeltaRead.snapshot(spark, dir).version == 1L)
+  }
+
+  test("delta table behind a file:/// URI reads and appends (Hadoop FS path)") {
+    val dir = "file://" + Files.createTempDirectory("graft_delta_uri").toString
+    DeltaRead.create(spark.range(0, 10).toDF("id"), dir)
+    assert(DeltaRead.read(spark, dir).count() == 10)
+    DeltaRead.append(spark.range(10, 15).toDF("id"), dir)
+    DeltaRead.checkpoint(spark, dir)
+    DeltaRead.append(spark.range(15, 18).toDF("id"), dir)
+    assert(DeltaRead.read(spark, dir).count() == 18)
+    assert(DeltaRead.lastTxnVersion(dir, "nope").isEmpty)
+    assert(DeltaRead.isDeltaTable(dir))
+  }
+
   test("DSv2 three-part-name SQL over a delta table serves the live snapshot") {
     val dir = Files.createTempDirectory("graft_delta_dsv2").toString
     DeltaRead.create(
