@@ -30,7 +30,11 @@ object Bench {
     Tables.provider(spark, sfDir)
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // optional subset for ad-hoc scale runs (comma-separated query names);
+    // unset = every query, the driver contract
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try {

@@ -1904,6 +1904,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- D10 batch twin: the composed streaming corpus-ingestion pipeline
+    // (repetition gate -> exact dedup -> MinHash-LSH dedup against the live
+    // corpus) run as one batch over a split of `documents` — odd doc_ids are
+    // the incoming micro-batch, even doc_ids the existing corpus. Same code
+    // path CorpusIngest.ingest executes per micro-batch (foreachBatch runs
+    // batch DataFrame logic; the delta read/append ends are covered by
+    // DeltaSink/CorpusIngest specs), mirroring how B27/B29/B58 oracle the
+    // other streaming operators. The full-chain CTE oracle recomputes all
+    // three stages exactly.
+    "docs_ingest_batch" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      streaming.CorpusIngest
+        .prepareBatch(
+          incoming,
+          Some(corpus),
+          "text",
+          "doc_id",
+          jaccardThreshold = 0.8,
+          streaming.CorpusIngest.Gate(maxRun = 5, maxTopBigramFrac = 0.2)
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- C16 under the gate: PII scrubbing. The corpus has no natural
     // PII, so both engines append the SAME deterministic contact string
     // (email + phone + IPv4 derived from doc_id) and must scrub it
@@ -3196,6 +3222,58 @@ object SparkEntry {
         |    AS pass
         |FROM sig LEFT JOIN cover USING (doc_id)
         |ORDER BY sig.doc_id""".stripMargin,
+
+    // full-chain recompute of the D10 ingest pipeline: gate (max_run,
+    // top_bigram_frac over odd doc_ids) -> exact dedup (min doc_id per md5
+    // fingerprint) -> exact 3-shingle Jaccard vs the even-doc_id corpus
+    "docs_ingest_batch" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+        |  FROM (SELECT * FROM t WHERE doc_id % 2 = 1)
+        |), runs AS (
+        |  SELECT doc_id, count(*) AS run
+        |  FROM (SELECT doc_id, tok,
+        |          pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        |        FROM tok)
+        |  GROUP BY doc_id, tok, grp
+        |), mr AS (
+        |  SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id
+        |), bgf AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+        |      round(CAST(list_max([len(list_filter(bg, x -> x = d)) for d in list_distinct(bg)]) AS DOUBLE) / len(bg), 6)
+        |    END AS top_bigram_frac
+        |  FROM (SELECT doc_id,
+        |          [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg
+        |        FROM t WHERE doc_id % 2 = 1) AS t
+        |), gated AS (
+        |  SELECT mr.doc_id FROM mr JOIN bgf USING (doc_id)
+        |  WHERE mr.max_run <= 5 AND bgf.top_bigram_frac <= 0.2
+        |), ex AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents JOIN gated USING (doc_id)
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM t
+        |), matched AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM (SELECT sh.doc_id, sh.s FROM sh JOIN ex USING (doc_id)) a
+        |  JOIN sh b
+        |    ON b.doc_id % 2 = 0
+        |   AND (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |        ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |             / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.8
+        |)
+        |SELECT doc_id FROM ex
+        |WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH s AS (

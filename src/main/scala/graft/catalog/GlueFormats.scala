@@ -15,9 +15,11 @@ final case class ResolvedFormat(source: String, options: Map[String, String])
   *     options (same semantics as CsvFormat::with_delimiter/with_has_header).
   *   - Avro is served by [[graft.sources.AvroRead]] (avro-core based; the
   *     spark-avro connector module is not on this classpath).
-  *   - Delta requires the delta-spark connector jar, which is not available
-  *     here; it is *detected* and reported as a structured
-  *     [[GlueNotImplementedException]] rather than silently misread — same
+  *   - Delta (`table_type=delta` in the table parameters) is served by
+  *     [[graft.sources.DeltaRead]], a transaction-log replay reader —
+  *     the Spark-side twin of the reference resolving such tables through
+  *     the deltalake crate (glue.rs:214-237). Only genuinely unsupported
+  *     triples raise a structured [[GlueNotImplementedException]] — same
   *     contract as the reference's GlueError::NotImplemented fallback.
   */
 object GlueFormats {

@@ -1,20 +1,24 @@
 package graft.catalog
 
-import java.io.File
-
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.spark.sql.SparkSession
 
-/** A [[GlueClient]] that synthesizes a Glue catalog from a local directory of
-  * data files — the stand-in for the AWS Glue API in this environment (the
+/** A [[GlueClient]] that synthesizes a Glue catalog from a directory of data
+  * files — the stand-in for the AWS Glue API in this environment (the
   * reference talks to the real service via aws_sdk_glue; the service and SDK
   * are unavailable here, and everything downstream of the client is identical).
+  *
+  * All filesystem access goes through the Hadoop [[FileSystem]] API, so the
+  * root may live behind any registered scheme (`file://`, `hdfs://`,
+  * `s3a://`) — the same property the reference gets from its
+  * ObjectStoreRegistry (reference: src/catalog_provider/glue.rs:44-53), where
+  * `s3://` table locations resolve transparently.
   *
   * Layout convention: `<root>/<table>.parquet` (file or directory) becomes
   * table `<table>` in database `database`. Column metadata is synthesized by
@@ -42,6 +46,9 @@ final class LocalDirectoryGlueClient(
 
   LocalDirectoryGlueClient.enableParquetTimestampCompat(spark)
 
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
   override def getDatabases(): Seq[GlueDatabase] = Seq(GlueDatabase(database))
 
   // Memoized catalog snapshot. Building a GlueTable entry costs a schema
@@ -67,19 +74,24 @@ final class LocalDirectoryGlueClient(
     }
   }
 
+  private def listStatus(f: FileSystem, p: Path): Seq[FileStatus] =
+    if (f.exists(p)) f.listStatus(p).toSeq else Seq.empty
+
   private def scanTables(): Seq[GlueTable] = {
-    val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
-    entries.toSeq
-      .filter(f =>
-        f.getName.endsWith(".parquet") ||
-          (f.isDirectory && hasHivePartitionLayout(f))
+    val f = fs
+    val entries = listStatus(f, new Path(root))
+    entries
+      .filter(s =>
+        s.getPath.getName.endsWith(".parquet") ||
+          (s.isDirectory && hasHivePartitionLayout(f, s.getPath))
       )
-      .sortBy(_.getName)
-      .map { f =>
-        val tableName = f.getName.stripSuffix(".parquet")
-        val partitionKeys = hivePartitionKeys(f)
-        val schema = spark.read.parquet(f.getAbsolutePath).schema
-        val nanos = nanosTimestampColumns(f)
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val tableName = s.getPath.getName.stripSuffix(".parquet")
+        val location = s.getPath.toString
+        val partitionKeys = hivePartitionKeys(f, s)
+        val schema = spark.read.parquet(location).schema
+        val nanos = nanosTimestampColumns(f, s)
         val partNames = partitionKeys.map(_.name).toSet
         val columns = schema.fields.toSeq
           .filterNot(fld => partNames.contains(fld.name))
@@ -93,7 +105,7 @@ final class LocalDirectoryGlueClient(
           databaseName = database,
           name = tableName,
           storageDescriptor = GlueStorageDescriptor(
-            location = f.getAbsolutePath,
+            location = location,
             inputFormat =
               "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
             outputFormat =
@@ -111,47 +123,52 @@ final class LocalDirectoryGlueClient(
 
   /** A directory is a Hive-partitioned table root when its subdirectories
     * follow the `key=value` convention. */
-  private def hasHivePartitionLayout(dir: File): Boolean =
-    Option(dir.listFiles())
-      .getOrElse(Array.empty)
-      .exists(d => d.isDirectory && d.getName.contains("="))
+  private def hasHivePartitionLayout(f: FileSystem, dir: Path): Boolean =
+    listStatus(f, dir).exists(d => d.isDirectory && d.getPath.getName.contains("="))
 
   /** Synthesize Glue partition keys from the key=value directory layout —
     * the metadata a real Glue table would declare (reference:
     * glue_table.partition_keys, glue.rs:433-442). Partition value types are
     * discovered by Spark's partition inference; rendered back to Glue
     * strings. */
-  private def hivePartitionKeys(dir: File): Seq[GlueColumn] = {
-    if (!dir.isDirectory || !hasHivePartitionLayout(dir)) return Seq.empty
-    val inferred = spark.read.parquet(dir.getAbsolutePath).schema
+  private def hivePartitionKeys(f: FileSystem, s: FileStatus): Seq[GlueColumn] = {
+    if (!s.isDirectory || !hasHivePartitionLayout(f, s.getPath)) return Seq.empty
+    val inferred = spark.read.parquet(s.getPath.toString).schema
     // partition columns come from dir names, in nesting order
-    def keyChain(d: File): Seq[String] =
-      Option(d.listFiles())
-        .getOrElse(Array.empty)
-        .find(x => x.isDirectory && x.getName.contains("=")) match {
-        case Some(sub) => sub.getName.takeWhile(_ != '=') +: keyChain(sub)
-        case None      => Seq.empty
+    def keyChain(d: Path): Seq[String] =
+      listStatus(f, d)
+        .find(x => x.isDirectory && x.getPath.getName.contains("=")) match {
+        case Some(sub) =>
+          sub.getPath.getName.takeWhile(_ != '=') +: keyChain(sub.getPath)
+        case None => Seq.empty
       }
-    keyChain(dir).map { name =>
+    keyChain(s.getPath).map { name =>
       val dt = inferred.fields
         .find(_.name == name)
-        .map(f => GlueTypeParser.toGlueType(f.dataType))
+        .map(fld => GlueTypeParser.toGlueType(fld.dataType))
         .getOrElse("string")
       GlueColumn(name, dt)
     }
   }
 
   /** Top-level column names whose parquet logical type is TIMESTAMP(NANOS),
-    * read straight from the footer of one data file. */
-  private def nanosTimestampColumns(f: File): Set[String] = {
-    val dataFile =
-      if (f.isDirectory)
-        f.listFiles().find(_.getName.endsWith(".parquet")).getOrElse(return Set.empty)
-      else f
-    val in = HadoopInputFile.fromPath(
-      new Path(dataFile.getAbsolutePath),
-      spark.sessionState.newHadoopConf()
-    )
+    * read straight from the footer of one data file (descending through
+    * partition directories to find one). */
+  private def nanosTimestampColumns(f: FileSystem, s: FileStatus): Set[String] = {
+    def firstDataFile(p: FileStatus): Option[Path] =
+      if (p.isFile && p.getPath.getName.endsWith(".parquet")) Some(p.getPath)
+      else if (p.isDirectory)
+        listStatus(f, p.getPath)
+          .sortBy(_.getPath.getName)
+          .iterator
+          .flatMap(firstDataFile)
+          .nextOption()
+      else None
+    val dataFile = firstDataFile(s) match {
+      case Some(p) => p
+      case None    => return Set.empty
+    }
+    val in = HadoopInputFile.fromPath(dataFile, spark.sessionState.newHadoopConf())
     val reader = ParquetFileReader.open(in)
     try {
       reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {

@@ -115,17 +115,23 @@ object TableStatistics {
 
   /** The catalog's best size estimate for a table, from its parameters:
     * `totalSize` when persisted, else `numRows` × a conservative per-row
-    * width from the declared schema. None when the catalog has no stats. */
+    * width from the declared schema. None when the catalog has no stats.
+    * Real Glue/Hive tables often carry stats parameters written by other
+    * engines in foreign formats — unparsable values degrade to None (no
+    * broadcast hint) instead of failing table registration. */
   def estimatedSizeInBytes(table: GlueTable): Option[Long] =
     table.parameters
       .get(TotalSizeParam)
-      .map(_.toLong)
+      .flatMap(_.toLongOption)
       .orElse {
-        table.parameters.get(NumRowsParam).map { n =>
-          val width = table.storageDescriptor.columns.map { c =>
-            GlueTypeParser.parse(c.dataType).defaultSize
-          }.sum
-          n.toLong * math.max(1, width)
-        }
+        table.parameters
+          .get(NumRowsParam)
+          .flatMap(_.toLongOption)
+          .map { n =>
+            val width = table.storageDescriptor.columns.map { c =>
+              GlueTypeParser.parse(c.dataType).defaultSize
+            }.sum
+            n * math.max(1, width)
+          }
       }
 }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.File
 import java.nio.ByteBuffer
 import java.time.{Instant, LocalDate}
 
@@ -14,8 +13,12 @@ import org.apache.avro.generic.{
   GenericDatumWriter,
   GenericRecord
 }
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Avro container-file source/sink built directly on avro-core (which ships
   * on Spark's classpath) — activates Glue tables stored with the Hive Avro
@@ -23,11 +26,20 @@ import org.apache.spark.sql.types._
   * same triple to AvroFormat) without the separate spark-avro connector
   * module, which is not available in this environment.
   *
-  * Parallelism is file-granular: each Avro container file is one Spark task
-  * (a container file is also the natural unit the Hive serde writes). That
-  * is the right shape for the many-files layout catalog tables have; at
-  * 100 TB with pathological single-file tables you would additionally split
-  * on the container's sync markers — noted, not needed for catalog parity.
+  * All filesystem access goes through the Hadoop [[FileSystem]] API (listing
+  * via `listStatus`, reads via avro-mapred's [[FsInput]], writes via
+  * `fs.create`), so tables work behind any registered scheme — `file://`,
+  * `hdfs://`, `s3a://` — exactly like the reference's ObjectStoreRegistry
+  * wiring (glue.rs:44-53) makes `s3://` locations transparent.
+  *
+  * Parallelism is sync-marker-granular, the same contract as Hadoop's
+  * AvroInputFormat: each file is carved into byte ranges of at most
+  * `spark.sql.files.maxPartitionBytes`; a task `sync(start)`s to the first
+  * block after its range start and reads until `pastSync(end)`. Contiguous
+  * ranges therefore partition the blocks exactly once, and a pathological
+  * single-file table still fans out across the cluster. Rows stream through
+  * an iterator (no per-file buffering), so task memory is bounded by one
+  * Avro block, not one file.
   *
   * Type mapping (both directions): boolean/int/long/float/double/string/
   * enum→string/bytes/fixed→binary, logical date (int) ↔ DateType, logical
@@ -139,46 +151,76 @@ object AvroRead {
 
   /** Data files at `location` (a single file or a directory), commit
     * markers and hidden files excluded. */
-  private def dataFiles(location: String): Seq[File] = {
-    val root = new File(location)
-    val files =
-      if (root.isDirectory)
-        Option(root.listFiles()).toSeq.flatten.filter(_.isFile).toSeq
-      else Seq(root)
-    files
-      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-      .sortBy(_.getName)
+  private def dataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    val statuses =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(_.isFile)
+      else Seq(fs.getFileStatus(root))
+    statuses
+      .filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
   }
 
+  /** One read task: a byte range of one container file. A task owns the
+    * Avro blocks whose trailing sync marker the range [start, end) covers —
+    * `sync(start)` / `pastSync(end)`, the Hadoop AvroInputFormat contract —
+    * so contiguous ranges read every block exactly once. */
+  private final case class AvroSplit(path: String, start: Long, end: Long)
+
   /** Read an Avro table into a DataFrame: schema from the first container
-    * file's embedded writer schema, one Spark task per file. */
+    * file's embedded writer schema, tasks from sync-marker byte-range
+    * splits capped at `spark.sql.files.maxPartitionBytes`. */
   def read(spark: SparkSession, location: String): DataFrame = {
-    val files = dataFiles(location)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(location)
+    val fs = root.getFileSystem(conf)
+    val files = dataFiles(fs, root)
     require(files.nonEmpty, s"no Avro data files under $location")
-    val first =
-      new DataFileReader[GenericRecord](files.head, new GenericDatumReader[GenericRecord]())
+    val first = DataFileReader.openReader(
+      new FsInput(files.head.getPath, conf),
+      new GenericDatumReader[GenericRecord]()
+    )
     val schema =
       try sparkSchema(first.getSchema)
       finally first.close()
-    val paths = files.map(_.getPath)
+
+    val maxSplit =
+      math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val splits = files.flatMap { st =>
+      val n = math.max(1L, (st.getLen + maxSplit - 1) / maxSplit)
+      val step = (st.getLen + n - 1) / n
+      (0L until n).map { i =>
+        AvroSplit(
+          st.getPath.toString,
+          i * step,
+          math.min(st.getLen, (i + 1) * step)
+        )
+      }
+    }
+    val serConf = new SerializableConfiguration(conf)
     val rdd = spark.sparkContext
-      .parallelize(paths, paths.size)
-      .flatMap { path =>
-        val reader = new DataFileReader[GenericRecord](
-          new File(path),
+      .parallelize(splits, splits.size)
+      .flatMap { split =>
+        val reader = DataFileReader.openReader(
+          new FsInput(new Path(split.path), serConf.value),
           new GenericDatumReader[GenericRecord]()
         )
-        // one container file per task: buffer-then-close bounds memory at the
-        // file size, which file-granular splits already assume
-        try {
-          val fields = reader.getSchema.getFields.asScala.toSeq
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          while (reader.hasNext) {
+        reader.sync(split.start)
+        val fields = reader.getSchema.getFields.asScala.toSeq
+        // close on task end even if the iterator is not drained (limit, error)
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        new Iterator[Row] {
+          override def hasNext: Boolean =
+            reader.hasNext && !reader.pastSync(split.end)
+          override def next(): Row = {
             val rec = reader.next()
-            out += Row.fromSeq(fields.map(f => toRowValue(rec.get(f.pos()), f.schema())))
+            Row.fromSeq(fields.map(f => toRowValue(rec.get(f.pos()), f.schema())))
           }
-          out
-        } finally reader.close()
+        }
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -259,24 +301,30 @@ object AvroRead {
 
   /** Write `df` as Avro container files under `dir`, one file per non-empty
     * partition (distributed; the schema travels as its JSON form because
-    * `org.apache.avro.Schema` is not serializable). */
+    * `org.apache.avro.Schema` is not serializable, and the Hadoop conf as a
+    * [[SerializableConfiguration]] so executors resolve the same scheme). */
   def write(df: DataFrame, dir: String): Unit = {
-    val out = new File(dir)
-    out.mkdirs()
-    Option(out.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".avro"))
-      .foreach(_.delete())
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val out = new Path(dir)
+    val fs = out.getFileSystem(conf)
+    fs.mkdirs(out)
+    fs.listStatus(out).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .foreach(s => fs.delete(s.getPath, false))
     val schemaJson = avroSchema(df.schema, "row").toString
-    val path = out.getAbsolutePath
+    val outStr = out.toString
+    val serConf = new SerializableConfiguration(conf)
     df.rdd
       .mapPartitionsWithIndex { (i, rows) =>
         if (rows.isEmpty) Iterator.empty
         else {
           val schema = new Schema.Parser().parse(schemaJson)
+          val part = new Path(outStr, f"part-$i%05d.avro")
+          val stream = part.getFileSystem(serConf.value).create(part, true)
           val writer = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema)
           )
-          writer.create(schema, new File(path, f"part-$i%05d.avro"))
+          writer.create(schema, stream)
           try {
             rows.foreach { row =>
               val rec = new GenericData.Record(schema)

@@ -31,11 +31,15 @@ object CorpusIngest {
     * longer same-token runs or heavier top-bigram dominance are dropped. */
   final case class Gate(maxRun: Int = 5, maxTopBigramFrac: Double = 0.2)
 
-  /** One micro-batch of the pipeline (also usable in batch jobs). Returns
-    * the rows that survived gating and dedup. */
+  /** One micro-batch of the pipeline against an already-loaded corpus
+    * (None = empty corpus, e.g. first batch). Pure DataFrame logic — the
+    * batch gate query `docs_ingest_batch` runs exactly this, so the composed
+    * pipeline is DuckDB-oracled end to end, the same twin pattern the other
+    * streaming operators use. Returns the rows that survived gating and
+    * dedup. */
   def prepareBatch(
       batch: DataFrame,
-      corpusDir: String,
+      corpus: Option[DataFrame],
       textCol: String,
       idCol: String,
       jaccardThreshold: Double,
@@ -50,18 +54,39 @@ object CorpusIngest {
       .select(col(idCol))
     val gated = batch.join(passing, idCol)
     val selfDeduped = Dedup.exactDedup(gated, textCol, idCol)
-    if (DeltaRead.isDeltaTable(corpusDir)) {
-      val corpus = DeltaRead.read(batch.sparkSession, corpusDir)
-        .select(col(idCol), col(textCol))
-      Dedup.dedupAgainstCorpus(
-        selfDeduped,
-        corpus,
-        textCol,
-        idCol,
-        jaccardThreshold
-      )
-    } else selfDeduped
+    corpus match {
+      case Some(ref) =>
+        Dedup.dedupAgainstCorpus(
+          selfDeduped,
+          ref.select(col(idCol), col(textCol)),
+          textCol,
+          idCol,
+          jaccardThreshold
+        )
+      case None => selfDeduped
+    }
   }
+
+  /** One micro-batch of the pipeline (also usable in batch jobs), reading
+    * the live corpus from its delta table when one exists yet. */
+  def prepareBatch(
+      batch: DataFrame,
+      corpusDir: String,
+      textCol: String,
+      idCol: String,
+      jaccardThreshold: Double,
+      gate: Gate
+  ): DataFrame =
+    prepareBatch(
+      batch,
+      if (DeltaRead.isDeltaTable(corpusDir))
+        Some(DeltaRead.read(batch.sparkSession, corpusDir))
+      else None,
+      textCol,
+      idCol,
+      jaccardThreshold,
+      gate
+    )
 
   /** Streaming writer running [[prepareBatch]] + exactly-once append per
     * micro-batch. Caller sets checkpointLocation and start()s. */

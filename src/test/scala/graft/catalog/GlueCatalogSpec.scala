@@ -201,6 +201,24 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(df.filter(df("bucket_no") === 7).count() == 1)
   }
 
+  test("directory client behind a file:/// root discovers and serves tables") {
+    val root = Files.createTempDirectory("graft_local_uri").toFile
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"), (3L, "z"))
+      .toDF("id", "v")
+      .write
+      .parquet(root.getAbsolutePath + "/things.parquet")
+    // same directory, addressed through the Hadoop FS URI scheme — the
+    // sandbox twin of an s3a:// catalog root
+    val client =
+      new LocalDirectoryGlueClient(spark, "file://" + root.getAbsolutePath, "dbu")
+    val tables = client.getTables("dbu")
+    assert(tables.map(_.name) == Seq("things"))
+    assert(tables.head.storageDescriptor.location.startsWith("file:"))
+    val df = new GlueCatalogProvider(client, spark).registerTable("dbu", "things")
+    assert(df.count() == 3)
+  }
+
   test("nested struct/map/array columns round-trip through Glue type strings") {
     val root = Files.createTempDirectory("graft_nested").toFile
     import spark.implicits._

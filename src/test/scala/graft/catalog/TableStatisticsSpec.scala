@@ -75,6 +75,34 @@ class TableStatisticsSpec extends AnyFunSuite {
     assert(TableStatistics.estimatedSizeInBytes(withSize).contains(999L))
   }
 
+  test("estimatedSizeInBytes degrades foreign-format stats to None, not a crash") {
+    val sd = GlueStorageDescriptor(
+      "/tmp/x",
+      "in",
+      "out",
+      GlueSerDeInfo("serde"),
+      Seq(GlueColumn("id", "bigint"))
+    )
+    val t = GlueTable("db", "t", sd)
+    // other engines write stats parameters in formats we can't parse; table
+    // registration must still succeed with no broadcast hint
+    val foreign = t.copy(parameters =
+      Map(
+        TableStatistics.TotalSizeParam -> "12.5MB",
+        TableStatistics.NumRowsParam -> "approx:1000"
+      )
+    )
+    assert(TableStatistics.estimatedSizeInBytes(foreign).isEmpty)
+    // unparsable totalSize but clean numRows falls through to the width path
+    val mixed = t.copy(parameters =
+      Map(
+        TableStatistics.TotalSizeParam -> "n/a",
+        TableStatistics.NumRowsParam -> "10"
+      )
+    )
+    assert(TableStatistics.estimatedSizeInBytes(mixed).contains(80L))
+  }
+
   test("catalog stats drive the broadcast decision for a registered table") {
     val dir = Files.createTempDirectory("graft_stats").toFile
     val dimLoc = new java.io.File(dir, "dim").getPath

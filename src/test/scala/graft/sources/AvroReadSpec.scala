@@ -48,6 +48,40 @@ class AvroReadSpec extends AnyFunSuite {
     assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(6) && byId(2L).isNullAt(7))
   }
 
+  test("sync-marker splits fan one large file across tasks, exactly once") {
+    val dir = Files.createTempDirectory("graft_avro_split").toString
+    // one container file well past the split size set below
+    val df = spark
+      .range(0, 20000)
+      .selectExpr("id", "concat('text_', id, '_', repeat('x', 40)) AS t")
+      .coalesce(1)
+    AvroRead.write(df, dir)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      val back = AvroRead.read(spark, dir)
+      // the single file must split into many byte-range tasks...
+      assert(back.rdd.getNumPartitions > 4)
+      // ...and the ranges must partition the blocks exactly once: row count,
+      // distinct count and checksum all survive
+      val agg = back
+        .selectExpr("count(*) AS n", "count(DISTINCT id) AS d", "sum(id) AS s")
+        .head()
+      assert(agg.getLong(0) == 20000L)
+      assert(agg.getLong(1) == 20000L)
+      assert(agg.getLong(2) == 20000L * 19999L / 2L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("avro table behind a file:/// URI reads and writes (Hadoop FS path)") {
+    val dir = "file://" + Files.createTempDirectory("graft_avro_uri").toString
+    val df = Seq((1L, "ada"), (2L, "bob")).toDF("id", "name")
+    AvroRead.write(df, dir)
+    val back = AvroRead.read(spark, dir).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ada"), (2L, "bob")))
+  }
+
   test("round-trip: arrays, maps and nested structs") {
     val dir = Files.createTempDirectory("graft_avro_nested").toString
     val df = Seq(
