@@ -1837,6 +1837,54 @@ object SparkEntry {
         .orderBy("s_suppkey")
     },
 
+    // ---- Delta deletion vectors (protocol reader version 3): row-level
+    // soft deletes via roaring bitmaps, applied on read as a row-index
+    // filter over only the DV-carrying files. The fixture composes two
+    // deleteWhere commits AROUND a checkpoint, so the hash match proves
+    // vectors replay correctly from both the folded parquet checkpoint and
+    // the JSON tail — the merge-on-read shape the reference gets from the
+    // deltalake crate (glue.rs:214-237).
+    "q_delta_dv" -> { (s, dir) =>
+      val srcLen = new java.io.File(dir, "supplier.parquet").length()
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_delta_dv_${math.abs(dir.hashCode)}_$srcLen"
+      ).getPath
+      val done = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s".graft_delta_dv_${math.abs(dir.hashCode)}_${srcLen}_complete"
+      )
+      if (!done.isFile) {
+        sources.DeltaRead.create(T(s, dir, "supplier").repartition(4), tmp)
+        sources.DeltaRead.deleteWhere(s, tmp, col("s_suppkey") % 7 === 0)
+        sources.DeltaRead.checkpoint(s, tmp)
+        sources.DeltaRead.deleteWhere(s, tmp, col("s_suppkey") % 11 === 3)
+        done.createNewFile()
+      }
+      sources.DeltaRead.read(s, tmp).orderBy("s_suppkey")
+    },
+
+    // ---- Delta column mapping (delta.columnMapping.mode=name): physical
+    // col-<uuid> names on disk, logical names in metaData.schemaString; the
+    // hash match proves the physical->logical rename returns byte-identical
+    // data to the plain parquet twin.
+    "q_delta_cmap" -> { (s, dir) =>
+      val srcLen = new java.io.File(dir, "nation.parquet").length()
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_delta_cmap_${math.abs(dir.hashCode)}_$srcLen"
+      ).getPath
+      val done = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s".graft_delta_cmap_${math.abs(dir.hashCode)}_${srcLen}_complete"
+      )
+      if (!done.isFile) {
+        sources.DeltaRead.create(T(s, dir, "nation"), tmp, columnMapping = true)
+        done.createNewFile()
+      }
+      sources.DeltaRead.read(s, tmp).orderBy("n_nationkey")
+    },
+
     // ---- C25: Gopher/MassiveText repetition-quality signals — per-row
     // higher-order-function projections, zero shuffles.
     "text_repetition" -> { (s, dir) =>
@@ -3093,6 +3141,14 @@ object SparkEntry {
     "q_delta_scan" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_delta_dv" ->
+      """SELECT * FROM supplier
+        |WHERE s_suppkey % 7 <> 0 AND s_suppkey % 11 <> 3
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_delta_cmap" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
 
     "text_repetition" ->
       """WITH t AS (

@@ -142,9 +142,17 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
       else Some(GlueTypeParser.toSchema(glueTable.storageDescriptor.columns))
     val location = glueTable.storageDescriptor.location
     val paths = Seq(location)
-    val baseOpt =
-      if (new java.io.File(location).isDirectory) Map("basePath" -> location)
-      else Map.empty[String, String]
+    // Hadoop FS, not java.io.File: the location may carry any registered
+    // scheme (file://, hdfs://, s3a://)
+    val baseOpt = {
+      val p = new org.apache.hadoop.fs.Path(location)
+      val isDir =
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+          .isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      if (isDir) Map("basePath" -> location) else Map.empty[String, String]
+    }
     val opts = new CaseInsensitiveStringMap((fmt.options ++ baseOpt).asJava)
     val fullName = s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
     fmt.source match {
@@ -162,6 +170,23 @@ final class GlueTableCatalog extends TableCatalog with SupportsNamespaces {
         // declared schema here — otherwise Spark re-infers their types
         // from directory names, diverging from the catalog's declaration.
         val snap = graft.sources.DeltaRead.snapshot(spark, location)
+        // feature tables need the full reader (row-index delete filters /
+        // physical->logical rename) — serving their raw files through
+        // ParquetTable would silently resurrect deleted rows or expose
+        // physical column names. Refuse here; GlueCatalogProvider.load
+        // (which delegates to DeltaRead.read) handles them correctly.
+        if (snap.adds.exists(_.deletionVector.isDefined))
+          throw new GlueNotImplementedException(
+            s"$fullName: delta table carries deletion vectors; read it via " +
+              "GlueCatalogProvider.load / DeltaRead.read (the DSv2 file " +
+              "route cannot apply row-level deletes)"
+          )
+        if (snap.configuration.get("delta.columnMapping.mode").exists(m => m.nonEmpty && m != "none"))
+          throw new GlueNotImplementedException(
+            s"$fullName: delta table uses column mapping; read it via " +
+              "GlueCatalogProvider.load / DeltaRead.read (the DSv2 file " +
+              "route serves physical column names)"
+          )
         val active =
           snap.files.map(p => new org.apache.hadoop.fs.Path(location, p).toString)
         val deltaSchema = schema

@@ -39,11 +39,19 @@ import org.apache.spark.sql.types._
   * Supported: JSON commits, single-file AND multi-part parquet checkpoints,
   * schema from `metaData.schemaString` (it is Spark DataType JSON),
   * `versionAsOf` time travel, hive-layout partition directories (via
-  * basePath). Checkpoints written here carry the full protocol + metaData
-  * actions (id / format / schemaString / partitionColumns / configuration)
-  * and per-file partitionValues / size / modificationTime, so external
-  * protocol-compliant readers can consume them. Not supported (clear error
-  * instead): deletion vectors, column mapping.
+  * basePath), deletion vectors (see [[DeletionVectors]]; [[deleteWhere]]
+  * writes them, reads apply them as a row-index filter on only the
+  * DV-carrying files), and column mapping (`delta.columnMapping.mode` name
+  * or id — physical parquet names are mapped back to the logical schema via
+  * each field's `delta.columnMapping.physicalName` metadata, which
+  * delta-spark populates in both modes). Checkpoints written here carry the
+  * full protocol + metaData actions (id / format / schemaString /
+  * partitionColumns / configuration), per-file partitionValues / size /
+  * modificationTime, and deletionVector descriptors, so external
+  * protocol-compliant readers can consume them and deletes survive log
+  * compaction. Reader-version-3 tables are accepted when every
+  * readerFeature is one we honor (deletionVectors, columnMapping); unknown
+  * features still refuse with a clear error.
   */
 object DeltaRead {
 
@@ -51,12 +59,14 @@ object DeltaRead {
 
   /** One active data file as replayed from the log: path relative to the
     * table root plus the add-action metadata a protocol-compliant
-    * checkpoint must re-emit. */
+    * checkpoint must re-emit, including its deletion vector if rows have
+    * been soft-deleted. */
   final case class AddFile(
       path: String,
       size: Long,
       modificationTime: Long,
-      partitionValues: Map[String, String]
+      partitionValues: Map[String, String],
+      deletionVector: Option[DeletionVectors.Descriptor] = None
   )
 
   /** The table state at a version: active files (with their add metadata,
@@ -157,30 +167,49 @@ object DeltaRead {
   private def columnMappingEnabled(mode: String): Boolean =
     mode != null && mode.nonEmpty && mode != "none"
 
-  private def requireSupported(node: JsonNode): Unit = {
-    val meta = node.get("metaData")
-    if (meta != null) {
-      // column mapping lives in configuration['delta.columnMapping.mode']
-      // (delta protocol); the flat columnMappingMode spelling is also
-      // checked for defensiveness
-      val cfgMode =
-        meta.path("configuration").path("delta.columnMapping.mode").asText("")
-      val flatMode = meta.path("columnMappingMode").asText("")
-      if (columnMappingEnabled(cfgMode) || columnMappingEnabled(flatMode))
-        throw new IllegalArgumentException("delta column mapping is not supported")
-    }
-    val protocol = node.get("protocol")
-    if (protocol != null) {
-      val minReader = protocol.path("minReaderVersion").asInt(1)
-      if (minReader > 2)
+  /** Reader features this replay honors end-to-end. Reader version 3 makes
+    * features explicit (delta protocol "Table Features"): a table is
+    * readable iff every listed readerFeature is supported — anything else
+    * must refuse, not silently return wrong rows. */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+
+  private def checkReaderVersion(minReader: Int, features: Seq[String]): Unit = {
+    if (minReader > 3)
+      throw new IllegalArgumentException(
+        s"delta minReaderVersion $minReader exceeds supported reader version 3"
+      )
+    if (minReader == 3) {
+      val unknown = features.toSet -- SupportedReaderFeatures
+      if (unknown.nonEmpty)
         throw new IllegalArgumentException(
-          s"delta minReaderVersion $minReader exceeds supported reader version 2"
+          s"unsupported delta readerFeatures: ${unknown.toSeq.sorted.mkString(", ")}"
         )
     }
-    val add = node.get("add")
-    if (add != null && add.hasNonNull("deletionVector"))
-      throw new IllegalArgumentException("delta deletion vectors are not supported")
   }
+
+  private def requireSupported(node: JsonNode): Unit = {
+    val protocol = node.get("protocol")
+    if (protocol != null) {
+      val features = Option(protocol.get("readerFeatures"))
+        .filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Seq.empty)
+      checkReaderVersion(protocol.path("minReaderVersion").asInt(1), features)
+    }
+  }
+
+  private def parseDvNode(node: JsonNode): Option[DeletionVectors.Descriptor] =
+    Option(node)
+      .filter(_.isObject)
+      .map(dv =>
+        DeletionVectors.Descriptor(
+          dv.path("storageType").asText(),
+          dv.path("pathOrInlineDv").asText(),
+          if (dv.hasNonNull("offset")) Some(dv.get("offset").asInt()) else None,
+          dv.path("sizeInBytes").asInt(),
+          dv.path("cardinality").asLong()
+        )
+      )
 
   // ---------- snapshot (log replay) ----------
 
@@ -268,48 +297,68 @@ object DeltaRead {
       def subCol(struct: String, field: String, typ: String, as: String): Column =
         (if (hasSubField(struct, field)) col(s"$struct.$field").cast(typ)
          else lit(null).cast(typ)).as(as)
+      // the DV descriptor rides inside add as a struct — project its
+      // subfields only when the checkpoint schema actually carries them
+      val dvStruct: Boolean = cp.schema
+        .find(_.name == "add")
+        .map(_.dataType)
+        .collect { case s: StructType =>
+          s.find(_.name == "deletionVector").exists(_.dataType.isInstanceOf[StructType])
+        }
+        .getOrElse(false)
+      def dvCol(field: String, typ: String, as: String): Column =
+        (if (dvStruct) col(s"add.deletionVector.$field").cast(typ)
+         else lit(null).cast(typ)).as(as)
       val rows = cp
         .select(
           subCol("add", "path", "string", "path"),
           subCol("add", "size", "bigint", "size"),
           subCol("add", "modificationTime", "bigint", "mtime"),
           subCol("add", "partitionValues", "map<string,string>", "pv"),
-          subCol("add", "deletionVector", "string", "dv"),
+          dvCol("storageType", "string", "dvStorage"),
+          dvCol("pathOrInlineDv", "string", "dvPath"),
+          dvCol("offset", "int", "dvOffset"),
+          dvCol("sizeInBytes", "int", "dvSize"),
+          dvCol("cardinality", "bigint", "dvCard"),
           subCol("metaData", "schemaString", "string", "schemaStr"),
           subCol("metaData", "partitionColumns", "array<string>", "partCols"),
           subCol("metaData", "id", "string", "metaId"),
           subCol("metaData", "configuration", "map<string,string>", "metaCfg"),
-          subCol("metaData", "columnMappingMode", "string", "cmFlat"),
-          subCol("protocol", "minReaderVersion", "string", "minReader")
+          subCol("protocol", "minReaderVersion", "int", "minReader"),
+          subCol("protocol", "readerFeatures", "array<string>", "readerFeatures")
         )
         .collect()
       rows.foreach { r =>
-        val minReader = Option(r.getAs[String]("minReader"))
-        if (minReader.exists(_.toLong > 2))
-          throw new IllegalArgumentException(
-            s"delta minReaderVersion ${minReader.get} exceeds supported reader version 2"
-          )
+        Option(r.getAs[java.lang.Integer]("minReader")).foreach { v =>
+          val features =
+            Option(r.getAs[scala.collection.Seq[String]]("readerFeatures"))
+              .map(_.toSeq)
+              .getOrElse(Seq.empty)
+          checkReaderVersion(v.intValue, features)
+        }
         // Row.getAs yields runtime collection types (mutable.ArraySeq,
         // collection.Map) — widen then copy, never cast to immutable
         val cfg =
           Option(r.getAs[scala.collection.Map[String, String]]("metaCfg"))
             .map(_.toMap)
-        val cmCfg = cfg.flatMap(_.get("delta.columnMapping.mode")).orNull
-        if (
-          columnMappingEnabled(r.getAs[String]("cmFlat")) ||
-          columnMappingEnabled(cmCfg)
-        )
-          throw new IllegalArgumentException("delta column mapping is not supported")
-        if (r.getAs[String]("dv") != null)
-          throw new IllegalArgumentException("delta deletion vectors are not supported")
         Option(r.getAs[String]("path")).foreach { p =>
+          val dv = Option(r.getAs[String]("dvStorage")).filter(_.nonEmpty).map { st =>
+            DeletionVectors.Descriptor(
+              st,
+              r.getAs[String]("dvPath"),
+              Option(r.getAs[java.lang.Integer]("dvOffset")).map(_.intValue),
+              Option(r.getAs[java.lang.Integer]("dvSize")).map(_.intValue).getOrElse(0),
+              Option(r.getAs[java.lang.Long]("dvCard")).map(_.longValue).getOrElse(0L)
+            )
+          }
           active(p) = AddFile(
             p,
             Option(r.getAs[java.lang.Long]("size")).map(_.longValue).getOrElse(0L),
             Option(r.getAs[java.lang.Long]("mtime")).map(_.longValue).getOrElse(0L),
             Option(r.getAs[scala.collection.Map[String, String]]("pv"))
               .map(_.toMap)
-              .getOrElse(Map.empty)
+              .getOrElse(Map.empty),
+            dv
           )
         }
         Option(r.getAs[String]("schemaStr")).foreach(s =>
@@ -351,7 +400,8 @@ object DeltaRead {
                 p,
                 add.path("size").asLong(0L),
                 add.path("modificationTime").asLong(0L),
-                pv
+                pv,
+                parseDvNode(add.get("deletionVector"))
               )
             }
             val remove = node.get("remove")
@@ -400,32 +450,240 @@ object DeltaRead {
       isDir(fsOf(p, hadoopConf(None)), p)
     } catch { case NonFatal(_) => false }
 
+  // ---------- column mapping ----------
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(physicalField))
+    case a: ArrayType  => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physicalType(m.keyType), valueType = physicalType(m.valueType))
+    case other => other
+  }
+
+  /** The on-disk twin of a logical field: renamed to its
+    * `delta.columnMapping.physicalName` metadata (recursively — nested
+    * struct fields carry their own physical names per the protocol).
+    * delta-spark populates physicalName in BOTH mapping modes (`name` and
+    * `id`), so matching by physical name covers both. */
+  private def physicalField(f: StructField): StructField = {
+    val name =
+      if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+      else f.name
+    StructField(name, physicalType(f.dataType), f.nullable)
+  }
+
+  private def mappingMode(snap: Snapshot): Option[String] =
+    snap.configuration.get("delta.columnMapping.mode").filter(columnMappingEnabled)
+
   /** Read the table at `versionAsOf` (default latest) as a DataFrame: the
     * log replay is driver-side metadata; the data read is a distributed
-    * parquet scan over exactly the snapshot's active files. */
+    * parquet scan over exactly the snapshot's active files. Files carrying
+    * deletion vectors are filtered by file-local row index (only those
+    * files pay the filter; clean files stay on the fully vectorized path),
+    * and column-mapped tables are renamed from physical parquet names back
+    * to the logical schema. */
   def read(
       spark: SparkSession,
       tableDir: String,
       versionAsOf: Option[Long] = None
+  ): DataFrame =
+    readSnapshot(spark, tableDir, snapshot(spark, tableDir, versionAsOf), withMeta = false)
+
+  /** `withMeta=true` appends `__graft_file` / `__graft_row` (absolute file
+    * path + file-local row index from parquet `_metadata`) for callers like
+    * [[deleteWhere]] that need physical row identity. */
+  private def readSnapshot(
+      spark: SparkSession,
+      tableDir: String,
+      snap: Snapshot,
+      withMeta: Boolean
   ): DataFrame = {
-    val snap = snapshot(spark, tableDir, versionAsOf)
-    val paths = snap.files.map(p => new Path(tableDir, p).toString)
-    if (paths.isEmpty) {
+    if (snap.adds.isEmpty) {
       val schema = snap.schema.getOrElse(
         throw new IllegalArgumentException(
           s"$tableDir has no active files and no metaData schema at v${snap.version}"
         )
       )
-      return spark.createDataFrame(
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema
       )
+      return if (!withMeta) empty
+      else
+        empty
+          .withColumn("__graft_file", lit(null).cast("string"))
+          .withColumn("__graft_row", lit(null).cast("bigint"))
     }
+
+    val root = new Path(tableDir)
+    val mode = mappingMode(snap)
+    // with column mapping the parquet files carry PHYSICAL names; read with
+    // the physical schema and rename back to the logical one afterwards
+    val logical: Option[StructType] = snap.schema
+    val readSchema: Option[StructType] = mode match {
+      case Some(_) =>
+        val log = logical.getOrElse(
+          throw new IllegalArgumentException(
+            s"column-mapped delta table $tableDir has no metaData schema"
+          )
+        )
+        Some(StructType(log.fields.map(physicalField)))
+      case None => logical
+    }
+
     // basePath keeps hive-layout partition dirs (key=value) readable as
     // partition columns, the same convention the provider uses for parquet
-    val reader = spark.read.option("basePath", tableDir)
-    snap.schema.foreach(reader.schema)
-    reader.parquet(paths: _*)
+    def reader = {
+      val r = spark.read.option("basePath", tableDir)
+      readSchema.foreach(r.schema)
+      r
+    }
+    def withMetaCols(df: DataFrame): DataFrame = df
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_row", col("_metadata.row_index"))
+    def absolute(p: String): String = new Path(tableDir, p).toString
+
+    val (dvAdds, plainAdds) = snap.adds.partition(_.deletionVector.isDefined)
+
+    val plainDf = Option(plainAdds)
+      .filter(_.nonEmpty)
+      .map { adds =>
+        val df = reader.parquet(adds.map(a => absolute(a.path)): _*)
+        if (withMeta) withMetaCols(df) else df
+      }
+
+    val dvDf = Option(dvAdds).filter(_.nonEmpty).map { adds =>
+      // the vectors are metadata-sized by design — load them on the driver,
+      // broadcast the serialized bytes, deserialize once per executor
+      // (DeletionVectors.cachedDeserialize), and filter ONLY these files by
+      // (file, row_index). Keyed by the file's qualified path normalized
+      // through Hadoop Path (basenames are NOT unique on partitioned tables
+      // — one write job reuses the same part-file name in every partition
+      // directory — and `_metadata.file_path` may spell the scheme
+      // differently than the log, e.g. `file:///` vs `file:/`).
+      val fs = fsOf(root, hadoopConf(Some(spark)))
+      val dvMap: Map[String, (String, Array[Byte])] = adds.map { a =>
+        val d = a.deletionVector.get
+        fs.makeQualified(new Path(root, a.path)).toString ->
+          (d.uniqueId, DeletionVectors.read(fs, root, d).serialize())
+      }.toMap
+      val bc = spark.sparkContext.broadcast(dvMap)
+      val keep = org.apache.spark.sql.functions.udf { (path: String, idx: Long) =>
+        bc.value.get(new Path(path).toString) match {
+          case Some((id, bytes)) =>
+            !DeletionVectors.cachedDeserialize(id, bytes).contains(idx)
+          case None => true
+        }
+      }
+      val df = withMetaCols(reader.parquet(adds.map(a => absolute(a.path)): _*))
+        .filter(keep(col("__graft_file"), col("__graft_row")))
+      if (withMeta) df else df.drop("__graft_file", "__graft_row")
+    }
+
+    val unioned = (plainDf.toSeq ++ dvDf.toSeq).reduce(_.unionByName(_))
+
+    mode match {
+      case None => unioned
+      case Some(_) =>
+        val log = logical.get
+        val phys = readSchema.get
+        val renamed = phys.fields.zip(log.fields).map { case (pf, lf) =>
+          val c = col(s"`${pf.name}`")
+          // a cast between same-typed structs renames nested fields
+          val cc = if (pf.dataType == lf.dataType) c else c.cast(lf.dataType)
+          cc.as(lf.name)
+        }
+        val metaExtra =
+          if (withMeta) Seq(col("__graft_file"), col("__graft_row")) else Seq.empty
+        unioned.select(renamed ++ metaExtra: _*)
+    }
+  }
+
+  /** Soft-delete all rows matching `condition` by writing deletion vectors
+    * (delta protocol "Deletion Vectors"): matching row indexes are gathered
+    * PER FILE as roaring bitmaps — built distributed in one keyed shuffle,
+    * one small (path, bitmap bytes) row per affected file returning to the
+    * driver — merged with the file's existing vector (replacement vectors
+    * must be supersets), stored in one UUID-named DV file, and committed as
+    * remove + re-add actions carrying the descriptors plus the
+    * reader-version-3 protocol upgrade. Data files are untouched: the
+    * merge-on-read shape that makes deletes O(deleted rows), not O(table).
+    * Existing deletes are respected (the scan applies current vectors), so
+    * repeated deletes compose. Returns the new version, or -1 if nothing
+    * matched. */
+  def deleteWhere(spark: SparkSession, dir: String, condition: Column): Long = {
+    val snap = snapshot(spark, dir)
+    if (snap.adds.isEmpty) return -1L
+    val root = new Path(dir)
+    val fs = fsOf(root, hadoopConf(Some(spark)))
+    val df = readSnapshot(spark, dir, snap, withMeta = true)
+    import spark.implicits._
+    val matched = df
+      .filter(condition)
+      .select(col("__graft_file").as[String], col("__graft_row").as[Long])
+      .groupByKey(_._1)
+      .mapGroups { (path, rows) =>
+        val bm = DeletionVectors.BitmapArray.fromRowIndexes(rows.map(_._2))
+        (path, bm.serialize(), bm.cardinality)
+      }
+      .collect()
+    if (matched.isEmpty) return -1L
+
+    // map scanned absolute paths back to the snapshot's relative add paths
+    // by qualified-path equality (same normalization as the read side)
+    val byQualified = snap.adds
+      .map(a => fs.makeQualified(new Path(root, a.path)).toString -> a)
+      .toMap
+    val affected: Seq[(AddFile, DeletionVectors.BitmapArray)] = matched.toSeq
+      .map { case (path, bytes, _) =>
+        val add = byQualified.getOrElse(
+          new Path(path).toString,
+          throw new IllegalStateException(s"no add entry for scanned file $path")
+        )
+        val fresh = DeletionVectors.BitmapArray.deserialize(bytes)
+        val merged = add.deletionVector match {
+          case Some(old) =>
+            DeletionVectors.BitmapArray.union(DeletionVectors.read(fs, root, old), fresh)
+          case None => fresh
+        }
+        add -> merged
+      }
+      .sortBy(_._1.path)
+
+    val version = snap.version + 1
+    // deterministic per-version DV-file identity (no RNG: bench fixtures and
+    // replays must be reproducible)
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"$dir#dv#$version".getBytes(StandardCharsets.UTF_8)
+    )
+    val descriptors = DeletionVectors.writeFile(fs, root, affected.map(_._2), uuid)
+
+    val readerFeatures = Seq("deletionVectors") ++
+      (if (mappingMode(snap).isDefined) Seq("columnMapping") else Seq.empty)
+    val featJson = readerFeatures.map(f => s""""$f"""").mkString(",")
+    val protocolLine =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[$featJson],"writerFeatures":[$featJson]}}"""
+    val removes = affected.map { case (a, _) =>
+      s"""{"remove":{"path":${mapper.writeValueAsString(a.path)},"dataChange":true}}"""
+    }
+    val adds = affected.zip(descriptors).map { case ((a, _), d) =>
+      val pv = mapper.writeValueAsString(a.partitionValues.asJava)
+      val dv =
+        s"""{"storageType":"${d.storageType}",""" +
+          s""""pathOrInlineDv":${mapper.writeValueAsString(d.pathOrInlineDv)},""" +
+          s""""offset":${d.offset.getOrElse(0)},"sizeInBytes":${d.sizeInBytes},""" +
+          s""""cardinality":${d.cardinality}}"""
+      s"""{"add":{"path":${mapper.writeValueAsString(a.path)},"partitionValues":$pv,""" +
+        s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
+        s""""dataChange":true,"deletionVector":$dv}}"""
+    }
+    // removes precede adds: this replay applies lines in order, so the
+    // re-add (with its new vector) survives the remove of the old entry
+    writeCommitAtomic(fs, new Path(root, "_delta_log"), version, removes ++ adds ++ Seq(protocolLine))
+    version
   }
 
   /** Append `df` to an existing delta table as one new commit: the new rows
@@ -457,10 +715,29 @@ object DeltaRead {
         )
         partitionBy
       } else snap.partitionColumns
-    val writer = df.write.mode("append")
+    // column-mapped tables store PHYSICAL names on disk: rename the logical
+    // input (and the partition directories) before writing
+    val (outDf, outPartitionBy) = mappingMode(snap) match {
+      case Some(_) =>
+        val log = snap.schema.getOrElse(
+          throw new IllegalArgumentException(
+            s"column-mapped delta table $dir has no metaData schema"
+          )
+        )
+        val phys = StructType(log.fields.map(physicalField))
+        val renamed = log.fields.zip(phys.fields).map { case (lf, pf) =>
+          val c = col(s"`${lf.name}`")
+          val cc = if (lf.dataType == pf.dataType) c else c.cast(pf.dataType)
+          cc.as(pf.name)
+        }
+        val physByLogical = log.fieldNames.zip(phys.fieldNames).toMap
+        (df.select(renamed.toSeq: _*), effectivePartitionBy.map(physByLogical))
+      case None => (df, effectivePartitionBy)
+    }
+    val writer = outDf.write.mode("append")
     val partitioned =
-      if (effectivePartitionBy.nonEmpty)
-        writer.partitionBy(effectivePartitionBy: _*)
+      if (outPartitionBy.nonEmpty)
+        writer.partitionBy(outPartitionBy: _*)
       else writer
     partitioned.parquet(dir)
     dropWriteMarkers(fs, root)
@@ -538,7 +815,9 @@ object DeltaRead {
         StructType(
           Seq(
             StructField("minReaderVersion", IntegerType),
-            StructField("minWriterVersion", IntegerType)
+            StructField("minWriterVersion", IntegerType),
+            StructField("readerFeatures", ArrayType(StringType)),
+            StructField("writerFeatures", ArrayType(StringType))
           )
         ),
         nullable = true
@@ -575,7 +854,20 @@ object DeltaRead {
             ),
             StructField("size", LongType),
             StructField("modificationTime", LongType),
-            StructField("dataChange", BooleanType)
+            StructField("dataChange", BooleanType),
+            StructField(
+              "deletionVector",
+              StructType(
+                Seq(
+                  StructField("storageType", StringType),
+                  StructField("pathOrInlineDv", StringType),
+                  StructField("offset", IntegerType),
+                  StructField("sizeInBytes", IntegerType),
+                  StructField("cardinality", LongType)
+                )
+              ),
+              nullable = true
+            )
           )
         ),
         nullable = true
@@ -603,7 +895,16 @@ object DeltaRead {
     val fs = fsOf(root, hadoopConf(Some(spark)))
     val logDir = new Path(root, "_delta_log")
 
-    val protocolRow = Row(Row(1, 2), null, null)
+    // a snapshot using table features (vectors, mapping) must re-declare
+    // them: the checkpoint replaces the JSON commits that carried the
+    // protocol upgrade
+    val features = Seq(
+      "deletionVectors" -> snap.adds.exists(_.deletionVector.isDefined),
+      "columnMapping" -> mappingMode(snap).isDefined
+    ).collect { case (f, true) => f }
+    val protocolRow =
+      if (features.isEmpty) Row(Row(1, 2, null, null), null, null)
+      else Row(Row(3, 7, features, features), null, null)
     // id must be stable for a given location when the log never declared one
     val tableId = snap.tableId.getOrElse(
       java.util.UUID
@@ -621,13 +922,18 @@ object DeltaRead {
       ),
       null
     )
-    val addRows = snap.adds.map(a =>
+    val addRows = snap.adds.map { a =>
+      val dvRow = a.deletionVector
+        .map(d =>
+          Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)
+        )
+        .orNull
       Row(
         null,
         null,
-        Row(a.path, a.partitionValues, a.size, a.modificationTime, false)
+        Row(a.path, a.partitionValues, a.size, a.modificationTime, false, dvRow)
       )
-    )
+    }
 
     val groups: Seq[Seq[Row]] =
       if (parts == 1) Seq(Seq(protocolRow, metaRow) ++ addRows)
@@ -753,19 +1059,54 @@ object DeltaRead {
     * (hive-layout when `partitionBy` is set), then a version-0 commit
     * (protocol + metaData + one add per data file with its partitionValues,
     * plus any `extraActions`, all in one atomic commit file). Single-writer
-    * create; [[append]] adds commits, [[checkpoint]] folds them. */
+    * create; [[append]] adds commits, [[checkpoint]] folds them.
+    *
+    * With `columnMapping=true` the table is created in
+    * `delta.columnMapping.mode=name`: each top-level column gets a stable
+    * `col-<uuid>` physical name on disk (uuid derived from dir+name — no
+    * RNG, so recreates are byte-identical), the logical schema carries the
+    * protocol's columnMapping.id / physicalName field metadata, partition
+    * directories use physical names while `metaData.partitionColumns` keeps
+    * the logical ones, and the protocol declares reader version 3 with the
+    * columnMapping feature. */
   def create(
       df: DataFrame,
       dir: String,
       extraActions: Seq[String] = Seq.empty,
-      partitionBy: Seq[String] = Seq.empty
+      partitionBy: Seq[String] = Seq.empty,
+      columnMapping: Boolean = false
   ): Unit = {
     val root = new Path(dir)
     val fs = fsOf(root, hadoopConf(Some(df.sparkSession)))
     if (fs.exists(root)) fs.delete(root, true)
-    val writer = df.write
+
+    val (logicalSchema, outDf, outPartitionBy) =
+      if (!columnMapping) (df.schema, df, partitionBy)
+      else {
+        val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          val phys = "col-" + java.util.UUID.nameUUIDFromBytes(
+            s"$dir#${f.name}".getBytes(StandardCharsets.UTF_8)
+          )
+          f.copy(metadata =
+            new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", (i + 1).toLong)
+              .putString(PhysicalNameKey, phys)
+              .build()
+          )
+        }
+        val logical = StructType(fields)
+        val physByLogical =
+          fields.map(f => f.name -> f.metadata.getString(PhysicalNameKey)).toMap
+        val renamed =
+          df.schema.fieldNames.map(n => col(s"`$n`").as(physByLogical(n)))
+        (logical, df.select(renamed.toSeq: _*), partitionBy.map(physByLogical))
+      }
+
+    val writer = outDf.write
     val partitioned =
-      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+      if (outPartitionBy.nonEmpty) writer.partitionBy(outPartitionBy: _*)
+      else writer
     partitioned.parquet(dir)
     dropWriteMarkers(fs, root)
     val logDir = new Path(root, "_delta_log")
@@ -774,13 +1115,24 @@ object DeltaRead {
     val tableId = java.util.UUID
       .nameUUIDFromBytes(dir.getBytes(StandardCharsets.UTF_8))
       .toString
-    val schemaJson = mapper.writeValueAsString(df.schema.json)
+    val schemaJson = mapper.writeValueAsString(logicalSchema.json)
+    // metaData.partitionColumns stay LOGICAL; the directories (and each
+    // add's partitionValues keys) carry the physical names
     val partCols = partitionBy.map(c => s""""$c"""").mkString(",")
+    val protocolLine =
+      if (!columnMapping) """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      else
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}"""
+    val config =
+      if (!columnMapping) "{}"
+      else
+        s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${df.schema.length}"}"""
     val statuses = dataFileStatuses(fs, root)
     val lines = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      protocolLine,
       s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":$schemaJson,"partitionColumns":[$partCols],"configuration":{}}}"""
+        s""""schemaString":$schemaJson,"partitionColumns":[$partCols],"configuration":$config}}"""
     ) ++ extraActions ++ statuses.keys.toSeq.sorted.map(name =>
       addActionJson(name, statuses(name))
     )

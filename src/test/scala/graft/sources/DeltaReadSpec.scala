@@ -4,6 +4,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{concat, lit}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -115,23 +116,121 @@ class DeltaReadSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_delta_bad").toString
     DeltaRead.create(spark.range(0, 5).toDF("id"), dir)
 
-    writeCommit(dir, 1L, Seq("""{"protocol":{"minReaderVersion":3}}"""))
+    writeCommit(dir, 1L, Seq("""{"protocol":{"minReaderVersion":4}}"""))
     val e1 = intercept[IllegalArgumentException](DeltaRead.read(spark, dir))
     assert(e1.getMessage.contains("minReaderVersion"))
 
+    // reader version 3 is fine only when every listed feature is supported
     writeCommit(dir, 1L, Seq(
-      """{"add":{"path":"x.parquet","deletionVector":{"storageType":"u"}}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","v2Checkpoint"]}}"""))
     val e2 = intercept[IllegalArgumentException](DeltaRead.read(spark, dir))
-    assert(e2.getMessage.contains("deletion vectors"))
+    assert(e2.getMessage.contains("v2Checkpoint"))
 
     writeCommit(dir, 1L, Seq(
-      """{"metaData":{"columnMappingMode":"name"}}"""))
-    val e3 = intercept[IllegalArgumentException](DeltaRead.read(spark, dir))
-    assert(e3.getMessage.contains("column mapping"))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"]}}"""))
+    assert(DeltaRead.read(spark, dir).count() == 5)
 
     val notDelta = Files.createTempDirectory("graft_not_delta").toString
     val e4 = intercept[IllegalArgumentException](DeltaRead.read(spark, notDelta))
     assert(e4.getMessage.contains("_delta_log"))
+  }
+
+  test("deleteWhere writes deletion vectors; deletes compose, survive " +
+    "checkpoints, and respect time travel") {
+    val dir = Files.createTempDirectory("graft_delta_dv").toString
+    DeltaRead.create(spark.range(0, 100).toDF("id").repartition(3), dir)
+
+    val v1 = DeltaRead.deleteWhere(spark, dir, $"id" % 10 === 0)
+    assert(v1 == 1L)
+    val after1 = DeltaRead.read(spark, dir)
+    assert(after1.count() == 90)
+    assert(after1.filter($"id" % 10 === 0).count() == 0)
+    // data files untouched — merge-on-read, not rewrite
+    assert(dataFiles(dir).size == 3)
+    // time travel still sees the pre-delete table
+    assert(DeltaRead.read(spark, dir, versionAsOf = Some(0L)).count() == 100)
+
+    // second delete composes with the first (vectors are merged supersets)
+    val v2 = DeltaRead.deleteWhere(spark, dir, $"id" < 5)
+    assert(v2 == 2L)
+    assert(DeltaRead.read(spark, dir).count() == 86)
+
+    // vectors survive a checkpoint (descriptors folded into the parquet)
+    assert(DeltaRead.checkpoint(spark, dir) == 2L)
+    writeCommit(dir, 0L, Seq("""{"protocol":{"minReaderVersion":9}}"""))
+    writeCommit(dir, 1L, Seq("""{"protocol":{"minReaderVersion":9}}"""))
+    assert(DeltaRead.read(spark, dir).count() == 86)
+    assert(DeltaRead.read(spark, dir).filter($"id" < 5 || $"id" % 10 === 0).count() == 0)
+
+    // appends after deletes: new rows land in clean files
+    DeltaRead.append(spark.range(100, 110).toDF("id"), dir)
+    assert(DeltaRead.read(spark, dir).count() == 96)
+
+    // deleting nothing is a no-op, not a commit
+    assert(DeltaRead.deleteWhere(spark, dir, $"id" === -1) == -1L)
+  }
+
+  test("inline (storageType i) deletion vectors are applied") {
+    val dir = Files.createTempDirectory("graft_delta_dvi").toString
+    DeltaRead.create(spark.range(0, 20).toDF("id").coalesce(1), dir)
+    val file = dataFiles(dir).head
+    // delete row indexes 0..4 via an inline vector: z85 payload padded with
+    // zero bytes to the multiple-of-4 the encoding needs (trailing zeros are
+    // ignored by the bitmap deserializer, which is length-prefixed)
+    val bm = DeletionVectors.BitmapArray.fromRowIndexes(Iterator(0L, 1L, 2L, 3L, 4L))
+    val data = bm.serialize()
+    val padded = java.util.Arrays.copyOf(data, (data.length + 3) / 4 * 4)
+    val inline = DeletionVectors.z85Encode(padded)
+    writeCommit(dir, 1L, Seq(
+      s"""{"remove":{"path":"$file","dataChange":true}}""",
+      s"""{"add":{"path":"$file","partitionValues":{},"size":1,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":{"storageType":"i",""" +
+        s""""pathOrInlineDv":"$inline","sizeInBytes":${data.length},""" +
+        s""""cardinality":${bm.cardinality}}}}"""
+    ))
+    val back = DeltaRead.read(spark, dir)
+    assert(back.count() == 15)
+    assert(back.agg(org.apache.spark.sql.functions.min("id")).head.getLong(0) == 5L)
+  }
+
+  test("column mapping: physical names on disk, logical schema on read, " +
+    "partitioned + append + deleteWhere compose") {
+    val dir = Files.createTempDirectory("graft_delta_cm").toString
+    val df = spark.range(0, 40).select(
+      $"id", ($"id" % 4).cast("int").as("bucket"), concat(lit("n"), $"id").as("name"))
+    DeltaRead.create(df, dir, partitionBy = Seq("bucket"), columnMapping = true)
+
+    // on disk: no logical names anywhere (dirs + parquet columns are col-<uuid>)
+    val physDirs = new File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_"))
+    assert(physDirs.nonEmpty && physDirs.forall(_.startsWith("col-")))
+
+    val back = DeltaRead.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq.sorted == Seq("bucket", "id", "name"))
+    assert(back.count() == 40)
+    assert(back.filter($"bucket" === 2).count() == 10)
+    assert(back.filter($"id" === 7).select("name").head.getString(0) == "n7")
+
+    // append with logical columns lands under physical names
+    DeltaRead.append(
+      spark.range(40, 48).select(
+        $"id", ($"id" % 4).cast("int").as("bucket"), concat(lit("n"), $"id").as("name")),
+      dir)
+    assert(DeltaRead.read(spark, dir).count() == 48)
+
+    // row-level deletes on a column-mapped table
+    DeltaRead.deleteWhere(spark, dir, $"bucket" === 1)
+    val afterDel = DeltaRead.read(spark, dir)
+    assert(afterDel.count() == 36)
+    assert(afterDel.filter($"bucket" === 1).count() == 0)
+
+    // checkpoint keeps both features readable
+    DeltaRead.checkpoint(spark, dir)
+    writeCommit(dir, 0L, Seq("""{"protocol":{"minReaderVersion":9}}"""))
+    val afterCp = DeltaRead.read(spark, dir)
+    assert(afterCp.count() == 36 && afterCp.schema.fieldNames.contains("name"))
   }
 
   test("append commits new files; checkpoint folds the log for later reads") {
@@ -380,6 +479,23 @@ class DeltaReadSpec extends AnyFunSuite {
       ))
       spark.sql("REFRESH TABLE gdelta.ddb.ledger")
       assert(spark.sql("SELECT count(*) AS n FROM gdelta.ddb.ledger").head.getLong(0) == 0L)
+
+      // a table with deletion vectors must REFUSE on the raw-file DSv2
+      // route (it cannot apply row-level deletes), not resurrect rows;
+      // the provider route stays correct
+      DeltaRead.create(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount").repartition(1), dir)
+      DeltaRead.deleteWhere(spark, dir, $"id" === 1L)
+      spark.sql("REFRESH TABLE gdelta.ddb.ledger")
+      val dvErr = intercept[Throwable](
+        spark.sql("SELECT count(*) AS n FROM gdelta.ddb.ledger").head)
+      val chain = Iterator
+        .iterate(dvErr: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage))
+        .mkString(" | ")
+      assert(chain.contains("deletion vectors"), chain)
+      assert(DeltaRead.read(spark, dir).count() == 1L)
     } finally {
       GlueTableCatalog.clearInjectedClient()
       spark.conf.unset("spark.sql.catalog.gdelta")
