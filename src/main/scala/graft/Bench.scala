@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * ±20% run-to-run noise (measured across rounds), the same order as the
   * per-round deltas being tracked; the median makes those deltas signal.
   * Override the run count with SPARK_GRAFT_BENCH_RUNS.
+  *
+  * Results are forced through the `noop` datasource writer, which evaluates
+  * every output row/column without sink IO. NOT `count()`: the optimizer
+  * prunes all columns under a bare count, so projection-only queries
+  * (text_quality, text_repetition, q_pii_scrub, …) would "measure" an empty
+  * row count instead of the operator — a round-6 finding that hid a real
+  * regression. Numbers before round 6 under-report those queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,11 +44,13 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      def force(): Unit =
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       try {
-        fn(spark, sfDir).count() // warmup: codegen + JIT
+        force() // warmup: codegen + JIT
         val timed = Seq.fill(runs) {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          force()
           (System.nanoTime() - t0) / 1e9
         }.sorted
         name -> timed(timed.size / 2)

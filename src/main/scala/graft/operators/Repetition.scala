@@ -41,12 +41,19 @@ object Repetition {
       s => s.getField("best")
     )
 
-  /** Count of the most frequent element of an array column. */
-  def topCount(xs: Column): Column =
-    coalesce(
-      array_max(transform(array_distinct(xs), d => size(filter(xs, _ === d)))),
-      lit(0)
-    )
+  /** Count of the most frequent element of an array column: sort, then the
+    * longest adjacent-equal run (the [[maxRun]] fold) IS the max frequency.
+    * O(n log n) with `xs` evaluated exactly once.
+    *
+    * Deliberately NOT the `transform(array_distinct(xs), d => size(filter(
+    * xs, ...)))` shape: there `xs` appears inside a lambda body, and when
+    * an optimizer rule substitutes an aliased expression for `xs`
+    * (PushDownPredicates does this unconditionally for filter predicates),
+    * the whole xs-producing expression is re-evaluated once per distinct
+    * element — O(n²) heavy work per row. Measured on the corpus-ingest
+    * gate at sf0.1: 142 s → 0.5 s after this change plus [[signals]]'
+    * let-binding. */
+  def topCount(xs: Column): Column = maxRun(array_sort(xs))
 
   /** Space-joined k-grams of an already-tokenized array column (the
     * token-array twin of [[TF.wordShingles]], which starts from raw text). */
@@ -66,40 +73,60 @@ object Repetition {
     * - dup_trigram_frac: fraction of trigram instances that are repeats of
     *   an earlier trigram in the same document, i.e. (total − distinct) /
     *   total (rounded 6)
-    * Ratios are 0.0 when a document is too short to form the n-gram. */
+    * Ratios are 0.0 when a document is too short to form the n-gram.
+    *
+    * Shape notes (the scale story of this operator): the token array and
+    * each n-gram array are bound as `transform`-lambda VARIABLES over
+    * one-element arrays — SQL's missing `let`. Plain select-alias layering
+    * is not safe for this: Catalyst substitutes aliases into filter
+    * predicates (PushDownPredicates) and aggregate expressions without a
+    * cost guard, so a downstream `filter(max_run <= 5)` would re-derive
+    * tokens-from-raw-text once per reference — and inside [[topCount]]'s
+    * old lambda, once per distinct element (quadratic; 142 s at sf0.1 on
+    * the corpus-ingest gate). A lambda variable is a bound VALUE: no rule
+    * can re-inline its definition, so every signal reads materialized
+    * arrays no matter what the caller stacks on top. The struct is emitted
+    * through the `inline` generator, which evaluates it exactly once per
+    * row and exposes the fields as columns (a Generate is also a pushdown
+    * boundary). Still zero shuffles, still embarrassingly parallel. */
   def signals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withToks = docs.select(
-      col(idCol),
-      TF.wsTokens(col(textCol)).as("w")
+    val sig = element_at(
+      transform(
+        array(TF.wsTokens(col(textCol))),
+        wv =>
+          struct(
+            size(wv).as("n_tokens"),
+            maxRun(wv).as("max_run"),
+            element_at(
+              transform(
+                array(tokenShingles(wv, 2)),
+                bgv =>
+                  when(size(bgv) === 0, 0.0)
+                    .otherwise(
+                      round(topCount(bgv).cast("double") / size(bgv), 6)
+                    )
+              ),
+              1
+            ).as("top_bigram_frac"),
+            element_at(
+              transform(
+                array(tokenShingles(wv, 3)),
+                tgv =>
+                  when(size(tgv) === 0, 0.0)
+                    .otherwise(
+                      round(
+                        (size(tgv) - size(array_distinct(tgv)))
+                          .cast("double") / size(tgv),
+                        6
+                      )
+                    )
+              ),
+              1
+            ).as("dup_trigram_frac")
+          )
+      ),
+      1
     )
-    val bg = tokenShingles(col("w"), 2)
-    val tg = tokenShingles(col("w"), 3)
-    withToks
-      .select(
-        col(idCol),
-        size(col("w")).as("n_tokens"),
-        maxRun(col("w")).as("max_run"),
-        bg.as("bg"),
-        tg.as("tg")
-      )
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        col("max_run"),
-        when(size(col("bg")) === 0, 0.0)
-          .otherwise(
-            round(topCount(col("bg")).cast("double") / size(col("bg")), 6)
-          )
-          .as("top_bigram_frac"),
-        when(size(col("tg")) === 0, 0.0)
-          .otherwise(
-            round(
-              (size(col("tg")) - size(array_distinct(col("tg"))))
-                .cast("double") / size(col("tg")),
-              6
-            )
-          )
-          .as("dup_trigram_frac")
-      )
+    docs.select(col(idCol), inline(array(sig)))
   }
 }

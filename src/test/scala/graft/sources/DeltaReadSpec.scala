@@ -486,9 +486,12 @@ class DeltaReadSpec extends AnyFunSuite {
       DeltaRead.create(
         Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount").repartition(1), dir)
       DeltaRead.deleteWhere(spark, dir, $"id" === 1L)
-      spark.sql("REFRESH TABLE gdelta.ddb.ledger")
-      val dvErr = intercept[Throwable](
-        spark.sql("SELECT count(*) AS n FROM gdelta.ddb.ledger").head)
+      // REFRESH itself resolves the table, so the refusal can fire there
+      // or on the query — either way it must fire
+      val dvErr = intercept[Throwable] {
+        spark.sql("REFRESH TABLE gdelta.ddb.ledger")
+        spark.sql("SELECT count(*) AS n FROM gdelta.ddb.ledger").head
+      }
       val chain = Iterator
         .iterate(dvErr: Throwable)(_.getCause)
         .takeWhile(_ != null)
