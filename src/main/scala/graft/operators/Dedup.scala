@@ -412,19 +412,28 @@ object Dedup {
     * degenerate cluster still outgrows memory, the production move is to
     * re-cluster it recursively, not to compare across clusters. Zero-norm
     * vectors have cosine 0 to everything (kernel convention) and are always
-    * kept. */
+    * kept.
+    *
+    * `k <= 0` (the default) sizes k from the corpus: max(8, ceil(n / 625)),
+    * keeping clusters ~625 vectors so the in-cluster pair pass stays
+    * LINEAR in n as the corpus grows (fixed k would make it n²/k — the 10×
+    * scale run went 19× before this). One extra count() job, driver-side
+    * metadata only. */
   def semanticDedup(
       emb: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      k: Int = 8
+      k: Int = -1
   ): DataFrame = {
     val e = emb.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")
     )
-    val c0 = KMeans.seeds(e, "v", "id", k)
+    val kEff =
+      if (k > 0) k
+      else math.max(8, math.ceil(e.count() / 625.0).toInt)
+    val c0 = KMeans.seeds(e, "v", "id", kEff)
     val a1 = KMeans.assign(e, c0, "v", "id")
     val c1 = KMeans.updateCentroids(e, a1, "v", "id")
     val a2 = KMeans.assign(e, c1, "v", "id")
@@ -477,22 +486,35 @@ object Dedup {
     * <= 2 of the `numPlanes` hyperplane signs still collides (A^i == B^j
     * covers bit-distance 2, A^i == B covers 1). The cosine is accumulated in
     * the same order as the codegen kernel (dot / (sqrt·sqrt), float→double
-    * widening), so values are bit-identical to [[GraftFunctions.cosineSim]]. */
+    * widening), so values are bit-identical to [[GraftFunctions.cosineSim]].
+    *
+    * `numPlanes <= 0` (the default) sizes the plane count from the corpus:
+    * the smallest p in [8, 16] with n·(p+1)/2^p <= 64, i.e. 2^planes grows
+    * with n so the EFFECTIVE bucket population (×(p+1) multi-probe copies)
+    * stays ~64 and total pair work stays near-linear — with a fixed p the
+    * in-bucket pass is n²/2^p, and the 10× scale run went 42× before this.
+    * One extra count() job. */
   def embeddingNearDups(
       emb: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      numPlanes: Int = 8,
+      numPlanes: Int = -1,
       maxBucketSize: Int = 4096,
       multiProbe: Boolean = true
   ): DataFrame = {
     implicit val spark: SparkSession = emb.sparkSession
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = emb.count().toDouble
+        (8 to 16).find(p => n * (p + 1) / math.pow(2, p) <= 64.0).getOrElse(16)
+      }
     val base = emb
       .select(
         col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"),
-        GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket0")
+        GraftFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket0")
       )
       // norm once per vector, not once per pair; zero-norm vectors have
       // cosine 0 to everything (kernel convention) — drop them here rather
@@ -508,7 +530,7 @@ object Dedup {
           explode(
             expr(
               s"array_union(array(bucket0), " +
-                s"transform(sequence(0, ${numPlanes - 1}), " +
+                s"transform(sequence(0, ${planes - 1}), " +
                 s"b -> cast(bucket0 ^ shiftleft(1, b) AS int)))"
             )
           ).as("bucket")
