@@ -113,6 +113,27 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** One-pass repetition-signal counts (see TextOps.repetitionStats): the six
+  * exact longs behind Repetition.signals, replacing a chain of interpreted
+  * higher-order functions (tokenize + fold + n-gram maps) with one codegen
+  * kernel call. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.repetitionStats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextOps.repetitionStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over pre-hashed tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression
@@ -178,6 +199,11 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_repetition_stats",
+      es => RepetitionStats(es(0)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_topk",
       es => TopKAggregate(es(0), es(1), lit(es(2))),
       "built-in"
@@ -231,5 +257,10 @@ object GraftFunctions {
   def simhash64(hashes: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("graft_simhash", hashes)
+  }
+
+  def repetitionStats(text: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_repetition_stats", text)
   }
 }

@@ -166,6 +166,64 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** One-pass repetition-signal counts over normalized text (lowercase,
+    * single-space separated — the [[graft.functions.TextFunctions.normText]]
+    * contract). Returns SIX exact longs so the caller can assemble the
+    * published ratios with ordinary Column arithmetic (divisions and
+    * round() stay in expression space → bit-identical to the
+    * higher-order-function formulation the DuckDB oracles mirror):
+    *
+    *   [0] n_tokens   — split-on-space count ("" ⇒ 1, like Spark's split)
+    *   [1] max_run    — longest consecutive identical-token run
+    *   [2] top_bigram — occurrences of the most frequent adjacent pair
+    *   [3] n_bigrams  — max(n_tokens-2+1, 0), 0 when n_tokens < 2
+    *   [4] dup_trigrams — trigram instances minus distinct trigrams
+    *   [5] n_trigrams — max(n_tokens-3+1, 0)
+    *
+    * Token equality is byte equality (tokens cannot contain the space
+    * separator, so joining with spaces is injective — pair/triple equality
+    * equals joined-string equality). */
+  def repetitionStats(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    // split on single spaces, Spark split() semantics: "" -> [""]
+    val str = s.toString
+    val tokens = str.split(" ", -1)
+    val n = tokens.length
+    var maxRun = 0
+    var run = 0
+    var i = 0
+    while (i < n) {
+      if (i > 0 && tokens(i) == tokens(i - 1)) run += 1 else run = 1
+      if (run > maxRun) maxRun = run
+      i += 1
+    }
+    val nBg = math.max(n - 1, 0)
+    var topBg = 0L
+    if (nBg > 0) {
+      val counts = new java.util.HashMap[String, Int](nBg * 2)
+      i = 0
+      while (i < nBg) {
+        val key = tokens(i) + " " + tokens(i + 1)
+        val c = counts.merge(key, 1, Integer.sum)
+        if (c > topBg) topBg = c.toLong
+        i += 1
+      }
+    }
+    val nTg = math.max(n - 2, 0)
+    var distinctTg = 0L
+    if (nTg > 0) {
+      val seen = new java.util.HashSet[String](nTg * 2)
+      i = 0
+      while (i < nTg) {
+        if (seen.add(tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2)))
+          distinctTg += 1
+        i += 1
+      }
+    }
+    new GenericArrayData(
+      Array[Long](n.toLong, maxRun.toLong, topBg, nBg.toLong, nTg - distinctTg, nTg.toLong)
+    )
+  }
+
   /** 64-bit SimHash over pre-hashed tokens (xxhash64 longs). */
   def simhash(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)

@@ -75,54 +75,47 @@ object Repetition {
     *   total (rounded 6)
     * Ratios are 0.0 when a document is too short to form the n-gram.
     *
-    * Shape notes (the scale story of this operator): the token array and
-    * each n-gram array are bound as `transform`-lambda VARIABLES over
-    * one-element arrays — SQL's missing `let`. Plain select-alias layering
+    * Shape notes (the scale story of this operator): the exact counts come
+    * from ONE codegen kernel call per row
+    * ([[graft.functions.TextOps.repetitionStats]] — tokenize + run fold +
+    * n-gram maps fused, no intermediate token/n-gram arrays), and the
+    * published ratios are assembled from the counts with ordinary Column
+    * arithmetic so the values stay bit-identical to the original
+    * higher-order-function formulation the DuckDB oracles mirror. The
+    * 6-long counts array is bound as a `transform`-lambda VARIABLE over a
+    * one-element array — SQL's missing `let`. Plain select-alias layering
     * is not safe for this: Catalyst substitutes aliases into filter
     * predicates (PushDownPredicates) and aggregate expressions without a
-    * cost guard, so a downstream `filter(max_run <= 5)` would re-derive
-    * tokens-from-raw-text once per reference — and inside [[topCount]]'s
-    * old lambda, once per distinct element (quadratic; 142 s at sf0.1 on
-    * the corpus-ingest gate). A lambda variable is a bound VALUE: no rule
-    * can re-inline its definition, so every signal reads materialized
-    * arrays no matter what the caller stacks on top. The struct is emitted
-    * through the `inline` generator, which evaluates it exactly once per
-    * row and exposes the fields as columns (a Generate is also a pushdown
-    * boundary). Still zero shuffles, still embarrassingly parallel. */
+    * cost guard, so a downstream `filter(max_run <= 5)` would re-run the
+    * kernel once per reference (and the pre-kernel HOF formulation went
+    * QUADRATIC under that inlining — 142 s at sf0.1 on the corpus-ingest
+    * gate). A lambda variable is a bound VALUE: no rule can re-inline its
+    * definition. The struct is emitted through the `inline` generator,
+    * which evaluates it exactly once per row and exposes the fields as
+    * columns (a Generate is also a pushdown boundary). Still zero
+    * shuffles, still embarrassingly parallel. */
   def signals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    implicit val spark = docs.sparkSession
+    val counts = graft.functions.GraftFunctions.repetitionStats(
+      TF.normText(col(textCol))
+    )
     val sig = element_at(
       transform(
-        array(TF.wsTokens(col(textCol))),
-        wv =>
+        array(counts),
+        a =>
           struct(
-            size(wv).as("n_tokens"),
-            maxRun(wv).as("max_run"),
-            element_at(
-              transform(
-                array(tokenShingles(wv, 2)),
-                bgv =>
-                  when(size(bgv) === 0, 0.0)
-                    .otherwise(
-                      round(topCount(bgv).cast("double") / size(bgv), 6)
-                    )
-              ),
-              1
-            ).as("top_bigram_frac"),
-            element_at(
-              transform(
-                array(tokenShingles(wv, 3)),
-                tgv =>
-                  when(size(tgv) === 0, 0.0)
-                    .otherwise(
-                      round(
-                        (size(tgv) - size(array_distinct(tgv)))
-                          .cast("double") / size(tgv),
-                        6
-                      )
-                    )
-              ),
-              1
-            ).as("dup_trigram_frac")
+            element_at(a, 1).cast("int").as("n_tokens"),
+            element_at(a, 2).cast("int").as("max_run"),
+            when(element_at(a, 4) === 0L, 0.0)
+              .otherwise(
+                round(element_at(a, 3).cast("double") / element_at(a, 4), 6)
+              )
+              .as("top_bigram_frac"),
+            when(element_at(a, 6) === 0L, 0.0)
+              .otherwise(
+                round(element_at(a, 5).cast("double") / element_at(a, 6), 6)
+              )
+              .as("dup_trigram_frac")
           )
       ),
       1

@@ -48,4 +48,45 @@ class RepetitionSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0) // every bigram is "spam spam"
     assert(r.getDouble(4) == math.rint((48.0 - 1) / 48 * 1e6) / 1e6)
   }
+
+  test("signals kernel equals the higher-order-function formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    // edge shapes: empty, whitespace-only (normalizes to ""), unicode,
+    // mixed case + runs, two tokens, exactly three tokens
+    val docs = Seq(
+      (1L, ""),
+      (2L, "   \t  "),
+      (3L, "Der der DER wein"),
+      (4L, "的 了 的 了 的"),
+      (5L, "x y"),
+      (6L, "p q p"),
+      (7L, ("lorem ipsum dolor sit amet " * 40).trim)
+    ).toDF("doc_id", "text")
+    // the pre-kernel formulation, evaluated through an aggregate-safe path
+    val w = TF.wsTokens(col("text"))
+    val bg = Repetition.tokenShingles(w, 2)
+    val tg = Repetition.tokenShingles(w, 3)
+    val hof = docs.select(
+      col("doc_id"),
+      size(w).as("nt0"),
+      Repetition.maxRun(w).as("mr0"),
+      when(size(bg) === 0, 0.0)
+        .otherwise(round(Repetition.topCount(bg).cast("double") / size(bg), 6))
+        .as("tb0"),
+      when(size(tg) === 0, 0.0)
+        .otherwise(round(
+          (size(tg) - size(array_distinct(tg))).cast("double") / size(tg), 6))
+        .as("dt0")
+    )
+    val mismatch = Repetition
+      .signals(docs, "text", "doc_id")
+      .join(hof, "doc_id")
+      .filter(
+        col("n_tokens") =!= col("nt0") || col("max_run") =!= col("mr0") ||
+          col("top_bigram_frac") =!= col("tb0") ||
+          col("dup_trigram_frac") =!= col("dt0")
+      )
+    assert(mismatch.count() == 0, mismatch.collect().mkString("; "))
+  }
 }
