@@ -418,13 +418,18 @@ object Dedup {
     * keeping clusters ~625 vectors so the in-cluster pair pass stays
     * LINEAR in n as the corpus grows (fixed k would make it n²/k — the 10×
     * scale run went 19× before this). One extra count() job, driver-side
-    * metadata only. */
+    * metadata only. Once k outgrows `flatAssignMaxK` the assignment itself
+    * switches from the flat broadcast argmin (n×k distances, all-k
+    * broadcast) to [[KMeans.assignTwoLevel]] (O(sqrt k) per point) — the
+    * IVF-style two-level shape that keeps TOTAL work near-linear when k
+    * tracks the corpus. */
   def semanticDedup(
       emb: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      k: Int = -1
+      k: Int = -1,
+      flatAssignMaxK: Int = 64
   ): DataFrame = {
     val e = emb.select(
       col(idCol).as("id"),
@@ -433,10 +438,13 @@ object Dedup {
     val kEff =
       if (k > 0) k
       else math.max(8, math.ceil(e.count() / 625.0).toInt)
+    def assign(pts: DataFrame, cents: DataFrame): DataFrame =
+      if (kEff <= flatAssignMaxK) KMeans.assign(pts, cents, "v", "id")
+      else KMeans.assignTwoLevel(pts, cents, "v", "id")
     val c0 = KMeans.seeds(e, "v", "id", kEff)
-    val a1 = KMeans.assign(e, c0, "v", "id")
+    val a1 = assign(e, c0)
     val c1 = KMeans.updateCentroids(e, a1, "v", "id")
-    val a2 = KMeans.assign(e, c1, "v", "id")
+    val a2 = assign(e, c1)
     val members = a2.join(
       e.withColumn("nrm", expr("sqrt(aggregate(v, 0d, (s, z) -> s + z * z))")),
       "id"

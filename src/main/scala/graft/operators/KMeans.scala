@@ -59,6 +59,79 @@ object KMeans {
       .limit(k)
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
 
+  /** Two-level (IVF-style) nearest-centroid assignment, for when k itself
+    * scales with the corpus (SemDeDup sizes k = n/625, so at 1B vectors the
+    * flat [[assign]] is 1.6M distances per point AND a 1.6M-row broadcast —
+    * both non-starters). The k fine centroids are first clustered into
+    * m = ceil(sqrt(k)) coarse cells (k rows — one cheap Lloyd step); each
+    * point then computes m coarse distances, probes its `nProbe` nearest
+    * cells, and argmins over only those cells' ~k/m fine centroids:
+    * O(sqrt(k)) work per point, and the only full-k structure is an
+    * equi-joined (cell -> fine list) table that never broadcasts as a whole.
+    *
+    * Distance math mirrors [[assign]] exactly (squared distance rounded to
+    * 4 decimals before the argmin, ties to the lowest centroid id), so
+    * whenever the probed cells cover the true nearest centroid — always,
+    * when nProbe >= m — the result is identical to the flat path.
+    * Approximation only enters when the nearest fine centroid lives in an
+    * unprobed cell, the standard IVF recall trade. */
+  def assignTwoLevel(
+      points: DataFrame,
+      cents: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val k = cents.count()
+    val m = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // coarse-quantize the centroids themselves (tiny: k rows)
+    val asPts = cents.select(col("cid").as("id"), col("cv").as("v"))
+    val coarse0 = seeds(asPts, "v", "id", m)
+    val coarse = updateCentroids(asPts, assign(asPts, coarse0, "v", "id"), "v", "id")
+    // cell -> its fine centroids, as one array row per cell (equi-join side;
+    // each row is ~k/m centroids, bounded regardless of corpus size)
+    val cells = assign(asPts, coarse, "v", "id")
+      .select(col("id").as("cid"), col("cluster").as("cell"))
+      .join(cents, "cid")
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("fines"))
+    // every coarse centroid in ONE broadcast row, so probe selection is a
+    // per-row fold — the point's vector column never leaves the row
+    val coarseArr = broadcast(
+      coarse
+        .select(struct(col("cid").as("cell"), col("cv")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("coarse_all"))
+    )
+    val sq = "aggregate(zip_with(CAST(%s AS array<double>), %s, (x, y) -> (x - y) * (x - y)), 0d, (s, z) -> s + z)"
+    val probed = points
+      .crossJoin(coarseArr)
+      .select(
+        col(idCol),
+        col(vecCol),
+        explode(
+          expr(
+            "transform(slice(sort_array(transform(coarse_all, " +
+              s"c -> struct(round(${sq.format(vecCol, "c.cv")}, 4) AS d, c.cell AS cell))), " +
+              s"1, $nProbe), p -> p.cell)"
+          )
+        ).as("cell")
+      )
+    // in-cell argmin per probed row, then min across the nProbe rows — the
+    // only shuffle is nProbe skinny (id, d, cid) rows per point
+    probed
+      .join(cells, Seq("cell"))
+      .select(
+        col(idCol),
+        expr(
+          "array_min(transform(fines, " +
+            s"f -> struct(round(${sq.format(vecCol, "f.cv")}, 4) AS d, f.cid AS cid)))"
+        ).as("best")
+      )
+      .groupBy(col(idCol))
+      .agg(min(col("best")).as("b"))
+      .select(col(idCol), col("b.cid").as("cluster"))
+  }
+
   /** One Lloyd update: per-dimension mean (exact decimal sum, rounded to 6)
     * of each cluster's members. Clusters that lost all members disappear. */
   def updateCentroids(

@@ -281,4 +281,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 7)
     assert(out.filter(!_._2).keySet == Set(2L, 3L, 11L), out.toString)
   }
+
+  test("semantic dedup: two-level assignment path finds the same near-dups") {
+    // 8 well-separated axis clusters of 4 vectors each; within each cluster
+    // the first two are near-identical (the higher id must drop), the other
+    // two are distinct. k = 8 > flatAssignMaxK = 4 forces assignTwoLevel.
+    val vecs = (0 until 8).flatMap { c =>
+      val base = Array.fill(8)(0f)
+      base(c) = 1f
+      val near = base.clone(); near((c + 1) % 8) = 0.001f
+      val far1 = Array.fill(8)(0f); far1(c) = 1f; far1((c + 1) % 8) = 1f
+      val far2 = Array.fill(8)(0f); far2(c) = 1f; far2((c + 2) % 8) = -1f
+      Seq(
+        (c * 10L, base.toSeq),
+        (c * 10L + 1, near.toSeq), // near dup of base -> dropped
+        (c * 10L + 2, far1.toSeq),
+        (c * 10L + 3, far2.toSeq)
+      )
+    }.toDF("vec_id", "embedding")
+    val out = Dedup
+      .semanticDedup(vecs, "embedding", "vec_id", threshold = 0.99, k = 8, flatAssignMaxK = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    assert(out.size == 32)
+    val expectedDropped = (0 until 8).map(c => c * 10L + 1).toSet
+    assert(out.filter(!_._2).keySet == expectedDropped, out.toString)
+  }
 }

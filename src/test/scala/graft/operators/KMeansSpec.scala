@@ -65,4 +65,63 @@ class KMeansSpec extends AnyFunSuite {
       KMeans.assign(points, cents, "v", "id").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  // deterministic pseudo-random corpus: 200 points on a ring of 16 lobes,
+  // so fine centroids form natural coarse groups (hash-mixed, no rand())
+  private def lobes(n: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map { i =>
+      val lobe = i % 16
+      val theta = 2 * math.Pi * lobe / 16
+      val h = ((i * 2654435761L) & 0xffff) / 65536.0 // [0,1) jitter
+      (i.toLong, Seq(10 * math.cos(theta) + h, 10 * math.sin(theta) + h * 0.7))
+    }
+
+  test("two-level assign == flat assign when every cell is probed") {
+    val pts = lobes(200).toDF("id", "v")
+    val cents = KMeans.seeds(pts, "v", "id", 16)
+    val flat = KMeans
+      .assign(pts, cents, "v", "id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // m = ceil(sqrt(16)) = 4 cells; nProbe = 4 covers all of them -> exact
+    val two = KMeans
+      .assignTwoLevel(pts, cents, "v", "id", nProbe = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(two == flat)
+  }
+
+  test("two-level assign with nProbe=2: every point assigned once, high agreement") {
+    val pts = lobes(200).toDF("id", "v")
+    val cents = KMeans.seeds(pts, "v", "id", 16)
+    val flat = KMeans
+      .assign(pts, cents, "v", "id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val two = KMeans
+      .assignTwoLevel(pts, cents, "v", "id", nProbe = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(two.size == 200, "every point must get exactly one cluster")
+    val agree = two.count { case (id, c) => flat(id) == c }
+    assert(agree >= 180, s"only $agree/200 agree with the flat argmin")
+  }
+
+  test("two-level assign equi-joins the fine centroids on the cell key") {
+    val pts = lobes(200).toDF("id", "v")
+    val cents = KMeans.seeds(pts, "v", "id", 16)
+    val plan = KMeans
+      .assignTwoLevel(pts, cents, "v", "id")
+      .queryExecution
+      .optimizedPlan
+      .toString
+    // the only cross join left is points × the ONE-ROW coarse array (probe
+    // selection); the k fine centroids reach the points through a keyed
+    // join on `cell` — never an all-k broadcast cross join like flat assign
+    assert(plan.matches("(?s).*Join Inner, \\(cell#\\d+L? = cell#\\d+L?\\).*"), plan)
+  }
 }
