@@ -1098,7 +1098,10 @@ object SparkEntry {
     // elsewhere and the whole chain is oracled here.
     "docs_prepare_corpus" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      implicit val sp: SparkSession = s
       val tf = functions.TextFunctions
+      // n_tok/ttr from the fused diversity kernel, let-bound + inlined so
+      // the ttr gate below cannot re-inline the tokenizer chain
       val base = T(s, dir, "documents")
         .select(
           col("doc_id"),
@@ -1108,11 +1111,26 @@ object SparkEntry {
           tf.qualityScore(col("text")).as("quality")
         )
         .withColumn("fp", md5(col("norm")))
-        .withColumn("w", split(col("norm"), " "))
-        .withColumn("n_tok", size(col("w")))
-        .withColumn(
-          "ttr",
-          round(size(array_distinct(col("w"))).cast("double") / col("n_tok"), 4)
+        .select(
+          col("*"),
+          inline(
+            array(
+              element_at(
+                transform(
+                  array(functions.GraftFunctions.diversityStats(col("norm"))),
+                  a =>
+                    struct(
+                      element_at(a, 1).cast("int").as("n_tok"),
+                      round(
+                        element_at(a, 2).cast("double") / element_at(a, 1),
+                        4
+                      ).as("ttr")
+                    )
+                ),
+                1
+              )
+            )
+          )
         )
       val kept = base
         .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
@@ -1332,26 +1350,30 @@ object SparkEntry {
     },
 
     // ---- C14: lexical-diversity filter (type-token ratio + top-token
-    // share). Per-row statistics with the token array bound ONCE as a
-    // lambda variable and emitted through the inline generator — the same
-    // let-binding shape as Repetition.signals, so the ttr filter below
-    // cannot re-inline the tokenizer (see the round-6 quadratic-inlining
-    // note in SURVEY §5); top-token share uses the sort-fold topCount.
+    // share). The three exact counts come from ONE codegen kernel call per
+    // row (graft_diversity_stats — tokenize + distinct + top-frequency
+    // fused); the ratios are assembled in Column space so values stay
+    // bit-identical to the HOF formulation the oracle mirrors. The counts
+    // array rides the let-binding + inline-generator shape (same as
+    // Repetition.signals) so the ttr filter below cannot re-inline the
+    // kernel (see the round-6 quadratic-inlining note in SURVEY §5).
     "text_diversity_filter" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
       val tf = functions.TextFunctions
+      val counts = functions.GraftFunctions.diversityStats(tf.normText(col("text")))
       val stats = element_at(
         transform(
-          array(tf.wsTokens(col("text"))),
-          toks =>
+          array(counts),
+          a =>
             struct(
-              size(toks).as("n_tokens"),
-              size(array_distinct(toks)).as("n_distinct"),
+              element_at(a, 1).cast("int").as("n_tokens"),
+              element_at(a, 2).cast("int").as("n_distinct"),
               round(
-                size(array_distinct(toks)).cast("double") / size(toks),
+                element_at(a, 2).cast("double") / element_at(a, 1),
                 4
               ).as("ttr"),
               round(
-                operators.Repetition.topCount(toks).cast("double") / size(toks),
+                element_at(a, 3).cast("double") / element_at(a, 1),
                 4
               ).as("top_share")
             )

@@ -134,6 +134,26 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass lexical-diversity counts (see TextOps.diversityStats): the three
+  * exact longs behind the type-token-ratio / top-token-share filter, fusing
+  * tokenize + distinct + top-frequency into one codegen kernel call. */
+case class DiversityStats(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_diversity_stats"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.diversityStats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextOps.diversityStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over pre-hashed tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression
@@ -204,6 +224,11 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_diversity_stats",
+      es => DiversityStats(es(0)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_topk",
       es => TopKAggregate(es(0), es(1), lit(es(2))),
       "built-in"
@@ -262,5 +287,10 @@ object GraftFunctions {
   def repetitionStats(text: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("graft_repetition_stats", text)
+  }
+
+  def diversityStats(text: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_diversity_stats", text)
   }
 }

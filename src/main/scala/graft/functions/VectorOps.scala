@@ -224,6 +224,32 @@ object TextOps {
     )
   }
 
+  /** One-pass lexical-diversity counts over normalized text (same
+    * [[graft.functions.TextFunctions.normText]] contract as
+    * [[repetitionStats]]): THREE exact longs — ratio assembly stays in
+    * Column space so values are bit-identical to the higher-order-function
+    * formulation the DuckDB oracle mirrors:
+    *
+    *   [0] n_tokens   — split-on-space count ("" ⇒ 1, like Spark's split)
+    *   [1] n_distinct — distinct token count
+    *   [2] top_count  — occurrences of the most frequent token
+    *
+    * Replaces a tokenize + array_distinct + sort-fold chain (three
+    * interpreted passes re-deriving the token array) with one fused map. */
+  def diversityStats(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val tokens = s.toString.split(" ", -1)
+    val n = tokens.length
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(tokens(i), 1, Integer.sum)
+      if (c > top) top = c.toLong
+      i += 1
+    }
+    new GenericArrayData(Array[Long](n.toLong, counts.size.toLong, top))
+  }
+
   /** 64-bit SimHash over pre-hashed tokens (xxhash64 longs). */
   def simhash(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)

@@ -188,6 +188,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(counts.values.forall(c => c > 50 && c < 160), counts)
   }
 
+  test("diversity-stats kernel equals the higher-order-function formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GraftFunctions, TextFunctions => TF}
+    // edge shapes: empty, whitespace-only (normalizes to ""), unicode,
+    // case folding, all-same, all-distinct, long mixed
+    val docs = Seq(
+      (1L, ""),
+      (2L, "   \t  "),
+      (3L, "Der der DER wein"),
+      (4L, "的 了 的 了 的"),
+      (5L, "spam spam spam spam"),
+      (6L, "a b c d e f g"),
+      (7L, ("lorem ipsum dolor sit amet " * 40).trim)
+    ).toDF("doc_id", "text")
+    val w = TF.wsTokens(col("text"))
+    val hof = docs.select(
+      col("doc_id"),
+      size(w).cast("long").as("nt0"),
+      size(array_distinct(w)).cast("long").as("nd0"),
+      graft.operators.Repetition.topCount(w).cast("long").as("tc0")
+    )
+    val kernel = docs.select(
+      col("doc_id"),
+      GraftFunctions.diversityStats(TF.normText(col("text"))).as("c")
+    )
+    val mismatch = kernel
+      .join(hof, "doc_id")
+      .filter(
+        element_at(col("c"), 1) =!= col("nt0") ||
+          element_at(col("c"), 2) =!= col("nd0") ||
+          element_at(col("c"), 3) =!= col("tc0")
+      )
+    assert(mismatch.count() == 0, mismatch.collect().mkString("; "))
+  }
+
   test("langid picks the language whose stopwords dominate") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
