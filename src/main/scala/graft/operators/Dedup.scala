@@ -435,13 +435,19 @@ object Dedup {
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")
     )
+    lazy val n = e.count()
     val kEff =
       if (k > 0) k
-      else math.max(8, math.ceil(e.count() / 625.0).toInt)
+      else math.max(8, math.ceil(n / 625.0).toInt)
     def assign(pts: DataFrame, cents: DataFrame): DataFrame =
       if (kEff <= flatAssignMaxK) KMeans.assign(pts, cents, "v", "id")
       else KMeans.assignTwoLevel(pts, cents, "v", "id")
-    val c0 = KMeans.seeds(e, "v", "id", kEff)
+    // small k: exact lowest-id seeds (oracle-mirrorable, TakeOrdered of a
+    // handful of rows); corpus-scaled k: distributed hash-strided seeds —
+    // no single task ever gathers k vectors
+    val c0 =
+      if (kEff <= flatAssignMaxK) KMeans.seeds(e, "v", "id", kEff)
+      else KMeans.seedsSampled(e, "v", "id", kEff, n)
     val a1 = assign(e, c0)
     val c1 = KMeans.updateCentroids(e, a1, "v", "id")
     val a2 = assign(e, c1)

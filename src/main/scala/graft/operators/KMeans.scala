@@ -59,6 +59,27 @@ object KMeans {
       .limit(k)
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
 
+  /** Distributed deterministic seeding for corpus-scaled k: keep every
+    * point whose id-hash lands on a stride of ~n/k — expected ~k seeds,
+    * fully distributed (a pure filter: no global sort, no single-task
+    * gather). [[seeds]]' orderBy+limit(k) is exact and oracle-mirrorable
+    * but funnels k full vectors through one task — fine for dozens of
+    * centroids, an O(k·dim) single-point bottleneck when k = n/625 tracks
+    * the corpus. Hash-of-id (not rand()) keeps seeding idempotent under
+    * stage retries, same discipline as docs_stratified_sample. */
+  def seedsSampled(
+      points: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      n: Long
+  ): DataFrame = {
+    val stride = math.max(1L, n / math.max(1, k))
+    points
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0L)
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+  }
+
   /** Two-level (IVF-style) nearest-centroid assignment, for when k itself
     * scales with the corpus (SemDeDup sizes k = n/625, so at 1B vectors the
     * flat [[assign]] is 1.6M distances per point AND a 1.6M-row broadcast —

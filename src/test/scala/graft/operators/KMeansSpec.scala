@@ -111,6 +111,26 @@ class KMeansSpec extends AnyFunSuite {
     assert(agree >= 180, s"only $agree/200 agree with the flat argmin")
   }
 
+  test("seedsSampled: deterministic, ~k seeds, pure filter (no global gather)") {
+    val pts = lobes(2000).toDF("id", "v")
+    val s1 = KMeans.seedsSampled(pts, "v", "id", 100, 2000L)
+    val ids1 = s1.collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = KMeans
+      .seedsSampled(pts, "v", "id", 100, 2000L)
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+      .toSeq
+    assert(ids1 == ids2, "hash-strided seeding must be deterministic")
+    // stride 20 over 2000 ids -> expect ~100; binomial 3-sigma ~ 30
+    assert(ids1.size > 60 && ids1.size < 140, s"got ${ids1.size} seeds")
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(
+      !plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"seeding must stay a distributed filter:\n$plan"
+    )
+  }
+
   test("two-level assign equi-joins the fine centroids on the cell key") {
     val pts = lobes(200).toDF("id", "v")
     val cents = KMeans.seeds(pts, "v", "id", 16)
