@@ -271,17 +271,17 @@ object Dedup {
       keepFirst: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 16, "k must be in [1,16] (shingle-kernel bound)")
+    implicit val spark: SparkSession = docs.sparkSession
+    // positional gram hashes from the fused tokenize+hash codegen kernel
+    // (one pass, no token/gram strings materialized); the span output only
+    // carries positions, so the hash family is internal — 64-bit collision
+    // odds are the same as the previous xxhash64-of-joined-string form
     val gramsOf = docs
-      .select(col(idCol), TF.wsTokens(col(textCol)).as("w"))
       .select(
         col(idCol),
-        // sequence(1, 0) would count DOWN — guard short docs explicitly
         posexplode(
-          expr(
-            s"CASE WHEN size(w) < $k THEN CAST(array() AS ARRAY<BIGINT>) " +
-              s"ELSE transform(sequence(1, size(w) - ${k - 1}), " +
-              s"i -> xxhash64(concat_ws(' ', slice(w, i, $k)))) END"
-          )
+          GraftFunctions.shingleHashes(TF.normText(col(textCol)), k)
         ).as(Seq("pos", "gh"))
       )
     // Per-gram stats come from a partially-aggregating groupBy, NOT a
