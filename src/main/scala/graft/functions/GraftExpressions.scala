@@ -134,6 +134,52 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Double-precision dot product (see VectorOps.dotd): the codegen twin of
+  * the `aggregate(zip_with(...))` Column fold, for the clustering/semantic-
+  * dedup hot loops that must stay in double (the float32 [[CosineSimilarity]]
+  * kernel would change values and break oracle bit-parity). */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dotd"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotd($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Double-precision squared euclidean distance (see VectorOps.sqdistd),
+  * codegen twin of the KMeans.sqDist Column fold. */
+case class SqDistD(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdistd"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sqdistd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sqdistd($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** One-pass lexical-diversity counts (see TextOps.diversityStats): the three
   * exact longs behind the type-token-ratio / top-token-share filter, fusing
   * tokenize + distinct + top-frequency into one codegen kernel call. */
@@ -229,6 +275,16 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_dotd",
+      es => DotProductD(es(0), es(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_sqdistd",
+      es => SqDistD(es(0), es(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_topk",
       es => TopKAggregate(es(0), es(1), lit(es(2))),
       "built-in"
@@ -292,5 +348,15 @@ object GraftFunctions {
   def diversityStats(text: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("graft_diversity_stats", text)
+  }
+
+  def dotd(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_dotd", a, b)
+  }
+
+  def sqDistD(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_sqdistd", a, b)
   }
 }

@@ -29,6 +29,36 @@ object VectorOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Double-precision dot product over array<double> columns, accumulated
+    * in ascending index order — bit-identical to the Column fold
+    * `aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, z) -> s + z)` it
+    * replaces (equal-length arrays; the clustering/dedup vector contract). */
+  def dotd(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Double-precision squared euclidean distance, ascending-index fold —
+    * bit-identical to `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)),
+    * 0d, (s, z) -> s + z)` (the KMeans.sqDist formulation). */
+  def sqdistd(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0

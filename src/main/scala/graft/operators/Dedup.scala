@@ -451,8 +451,12 @@ object Dedup {
     val a1 = assign(e, c0)
     val c1 = KMeans.updateCentroids(e, a1, "v", "id")
     val a2 = assign(e, c1)
+    // norms and the in-cluster pair dot products ride the graft_dotd
+    // codegen kernel — bit-identical fold order to the previous
+    // aggregate(zip_with(...)) Column formulation the oracle mirrors
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val members = a2.join(
-      e.withColumn("nrm", expr("sqrt(aggregate(v, 0d, (s, z) -> s + z * z))")),
+      e.withColumn("nrm", expr("sqrt(graft_dotd(v, v))")),
       "id"
     )
     val dropped = members
@@ -469,8 +473,7 @@ object Dedup {
             "flatten(transform(xs, (x, i) -> " +
               "filter(transform(slice(xs, i + 2, size(xs)), " +
               "y -> struct(y.id AS b_id, " +
-              "round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0d, (s, z) -> s + z) " +
-              "/ (x.nrm * y.nrm), 4) AS cos)), " +
+              "round(graft_dotd(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos)), " +
               s"p -> p.cos >= $threshold)))"
           )
         ).as("p")
@@ -533,7 +536,7 @@ object Dedup {
       // norm once per vector, not once per pair; zero-norm vectors have
       // cosine 0 to everything (kernel convention) — drop them here rather
       // than let 0/0 produce NaN (which Spark orders ABOVE the threshold)
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (s, z) -> s + z * z))"))
+      .withColumn("nrm", expr("sqrt(graft_dotd(v, v))"))
       .filter(col("nrm") > 0d)
     val probed =
       if (multiProbe)
@@ -564,8 +567,7 @@ object Dedup {
             "flatten(transform(xs, (x, i) -> " +
               "filter(transform(slice(xs, i + 2, size(xs)), " +
               "y -> struct(x.id AS a_id, y.id AS b_id, " +
-              "round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0d, (s, z) -> s + z) " +
-              "/ (x.nrm * y.nrm), 4) AS cos)), " +
+              "round(graft_dotd(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos)), " +
               s"p -> p.cos >= $threshold)))"
           )
         ).as("p")

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Distributed Lloyd's k-means over an embedding column — the clustering
   * pass a training-data pipeline runs for corpus analysis / stratification
@@ -24,7 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Left-fold sum of squared differences of two double arrays. */
+  /** Left-fold sum of squared differences of two double arrays (the
+    * reference formulation the `graft_sqdistd` codegen kernel is
+    * bit-identical to; the hot paths call the kernel). */
   def sqDist(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -39,17 +43,22 @@ object KMeans {
       cents: DataFrame,
       vecCol: String,
       idCol: String
-  ): DataFrame =
+  ): DataFrame = {
+    implicit val spark: SparkSession = points.sparkSession
     points
       .crossJoin(broadcast(cents))
       .select(
         col(idCol),
         col("cid"),
-        round(sqDist(col(vecCol).cast("array<double>"), col("cv")), 4).as("d")
+        round(
+          GraftFunctions.sqDistD(col(vecCol).cast("array<double>"), col("cv")),
+          4
+        ).as("d")
       )
       .groupBy(col(idCol))
       .agg(min(struct(col("d"), col("cid"))).as("best"))
       .select(col(idCol), col("best.cid").as("cluster"))
+  }
 
   /** Deterministic seeds: the k lowest-id vectors as (cid = id, cv).
     * orderBy+limit plans TakeOrderedAndProject — no global sort. */
@@ -103,6 +112,7 @@ object KMeans {
       idCol: String,
       nProbe: Int = 2
   ): DataFrame = {
+    GraftFunctions.register(points.sparkSession)
     val k = cents.count()
     val m = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     // coarse-quantize the centroids themselves (tiny: k rows)
@@ -123,7 +133,7 @@ object KMeans {
         .select(struct(col("cid").as("cell"), col("cv")).as("c"))
         .agg(sort_array(collect_list(col("c"))).as("coarse_all"))
     )
-    val sq = "aggregate(zip_with(CAST(%s AS array<double>), %s, (x, y) -> (x - y) * (x - y)), 0d, (s, z) -> s + z)"
+    val sq = "graft_sqdistd(CAST(%s AS array<double>), %s)"
     val probed = points
       .crossJoin(coarseArr)
       .select(
