@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Property tests for the fused codegen kernels: each kernel must be
+  * BIT-identical (raw IEEE bits, not approximately equal) to the
+  * interpreted Column formulation it replaced, because DuckDB-oracle hash
+  * gates compare exact values downstream of these results. Raw ScalaCheck
+  * generators sampled with a fixed seed, same convention as
+  * GlueTypeParserPropertySpec (the scalatest bridge is not on this
+  * classpath). */
+class KernelPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // doubles across magnitudes and signs, plus exact zeros — no NaN/Inf
+  // (vectors in the pipeline come from parquet floats/doubles; the kernels
+  // and the HOF folds propagate specials identically anyway, but bitwise
+  // comparison of NaN payloads is not what these properties are about)
+  private val doubleGen: Gen[Double] = Gen.frequency(
+    5 -> Gen.choose(-1e3, 1e3),
+    2 -> Gen.choose(-1.0, 1.0),
+    1 -> Gen.const(0.0),
+    1 -> Gen.choose(-1e-8, 1e-8)
+  )
+  private val vecPairGen: Gen[(Seq[Double], Seq[Double])] = for {
+    n <- Gen.frequency(4 -> Gen.choose(1, 64), 1 -> Gen.const(0))
+    a <- Gen.listOfN(n, doubleGen)
+    b <- Gen.listOfN(n, doubleGen)
+  } yield (a, b)
+
+  test("graft_dotd / graft_sqdistd are bit-identical to the Column folds") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val pairs = sample(vecPairGen, 300).zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, a, b)
+    }
+    val df = pairs.toDF("id", "a", "b")
+    val rows = df
+      .select(
+        col("id"),
+        GraftFunctions.dotd(col("a"), col("b")).as("kd"),
+        expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, z) -> s + z)"
+        ).as("hd"),
+        GraftFunctions.sqDistD(col("a"), col("b")).as("kq"),
+        expr(
+          "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0d, (s, z) -> s + z)"
+        ).as("hq")
+      )
+      .collect()
+    rows.foreach { r =>
+      assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"dotd bits diverge at id=${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}"
+      )
+      assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(4)),
+        s"sqdistd bits diverge at id=${r.getLong(0)}: ${r.getDouble(3)} vs ${r.getDouble(4)}"
+      )
+    }
+    assert(rows.length == 300)
+  }
+
+  // token strings over a tiny alphabet (forces heavy duplication), with
+  // messy raw whitespace the normText contract must fold away
+  private val tokenGen: Gen[String] =
+    Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "ab", "ba", "xyz"),
+      1 -> Gen.oneOf("Ä", "的", "a1"),
+      1 -> Gen.alphaNumStr.map(_.take(4))
+    )
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    toks <- Gen.listOfN(n, tokenGen)
+    sep <- Gen.oneOf(" ", "  ", " \t ")
+  } yield toks.mkString(sep)
+
+  test("graft_diversity_stats matches the HOF formulation on random docs") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.functions.{TextFunctions => TF}
+    val docs = sample(docGen, 300).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val w = TF.wsTokens(col("text"))
+    val mismatch = df
+      .select(
+        col("id"),
+        GraftFunctions.diversityStats(TF.normText(col("text"))).as("c"),
+        size(w).cast("long").as("nt"),
+        size(array_distinct(w)).cast("long").as("nd"),
+        graft.operators.Repetition.topCount(w).cast("long").as("tc")
+      )
+      .filter(
+        element_at(col("c"), 1) =!= col("nt") ||
+          element_at(col("c"), 2) =!= col("nd") ||
+          element_at(col("c"), 3) =!= col("tc")
+      )
+    assert(mismatch.count() == 0, mismatch.collect().mkString("; "))
+  }
+
+  test("graft_repetition_stats matches the HOF formulation on random docs") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Repetition
+    val docs = sample(docGen, 300).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val w = TF.wsTokens(col("text"))
+    val bg = Repetition.tokenShingles(w, 2)
+    val tg = Repetition.tokenShingles(w, 3)
+    val mismatch = df
+      .select(
+        col("id"),
+        GraftFunctions.repetitionStats(TF.normText(col("text"))).as("c"),
+        size(w).cast("long").as("nt"),
+        Repetition.maxRun(w).cast("long").as("mr"),
+        when(size(bg) === 0, 0L)
+          .otherwise(Repetition.topCount(bg).cast("long"))
+          .as("tb"),
+        size(bg).cast("long").as("nb"),
+        (size(tg) - size(array_distinct(tg))).cast("long").as("dt"),
+        size(tg).cast("long").as("ng")
+      )
+      .filter(
+        element_at(col("c"), 1) =!= col("nt") ||
+          element_at(col("c"), 2) =!= col("mr") ||
+          element_at(col("c"), 3) =!= col("tb") ||
+          element_at(col("c"), 4) =!= col("nb") ||
+          element_at(col("c"), 5) =!= col("dt") ||
+          element_at(col("c"), 6) =!= col("ng")
+      )
+    assert(mismatch.count() == 0, mismatch.collect().mkString("; "))
+  }
+}
