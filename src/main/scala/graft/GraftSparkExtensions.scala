@@ -79,5 +79,33 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => TopKAggregate(es(0), es(1), intLit(es(2)))
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_repetition_stats"),
+        info("graft_repetition_stats", "one-pass repetition-signal counts"),
+        (es: Seq[Expression]) => RepetitionStats(es(0))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_diversity_stats"),
+        info("graft_diversity_stats", "one-pass lexical-diversity counts"),
+        (es: Seq[Expression]) => DiversityStats(es(0))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dotd"),
+        info("graft_dotd", "double-precision dot product of two vectors"),
+        (es: Seq[Expression]) => DotProductD(es(0), es(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_sqdistd"),
+        info("graft_sqdistd", "double-precision squared euclidean distance"),
+        (es: Seq[Expression]) => SqDistD(es(0), es(1))
+      )
+    )
   }
 }

@@ -28,6 +28,27 @@ class ExtensionsAndSaltSpec extends AnyFunSuite {
         .head
         .getInt(0)
       assert(sh == 3)
+      // the four fused round-6 kernels are SQL-reachable too
+      val rep = s2
+        .sql("SELECT graft_repetition_stats('a a b') AS c")
+        .head
+        .getSeq[Long](0)
+      assert(rep == Seq(3L, 2L, 1L, 2L, 0L, 1L))
+      val div = s2
+        .sql("SELECT graft_diversity_stats('a a b') AS c")
+        .head
+        .getSeq[Long](0)
+      assert(div == Seq(3L, 2L, 2L))
+      val dd = s2
+        .sql("SELECT graft_dotd(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head
+        .getDouble(0)
+      assert(dd == 11.0)
+      val sq = s2
+        .sql("SELECT graft_sqdistd(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head
+        .getDouble(0)
+      assert(sq == 8.0)
     } finally {
       // do not stop: the underlying SparkContext is shared with the fixture
     }
