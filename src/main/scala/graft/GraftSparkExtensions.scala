@@ -107,5 +107,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[Expression]) => SqDistD(es(0), es(1))
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_contains"),
+        info("graft_bloom_contains", "probe a serialized bloom filter literal"),
+        (es: Seq[Expression]) => BloomMightContain(es(0), es(1))
+      )
+    )
   }
 }

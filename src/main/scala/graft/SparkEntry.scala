@@ -883,6 +883,76 @@ object SparkEntry {
         .orderBy("fingerprint")
     },
 
+    // ---- C29: canonical-URL dedup. The corpus has no URL column, so both
+    // engines synthesize the SAME messy URL per doc — scheme/host case,
+    // www., default port, tracking params, param order, fragment, trailing
+    // slash all varied deterministically by doc_id — and must collapse them
+    // to identical canonical groups.
+    "dedup_url" -> { (s, dir) =>
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+        when(d % 3 === 0, lit("www.")).otherwise(lit("")),
+        when(d % 2 === 1, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(d % 4 === 1, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"),
+        (d % 7).cast("string"),
+        when(d % 2 === 0, lit("/")).otherwise(lit("")),
+        when(
+          d % 3 === 0,
+          concat(lit("?page="), (d % 5).cast("string"), lit("&utm_campaign=c"))
+        ).when(
+          d % 3 === 1,
+          concat(lit("?utm_source=feed&page="), (d % 5).cast("string"))
+        ).otherwise(concat(lit("?fbclid=abc"), d.cast("string"))),
+        when(d % 5 === 0, lit("#sec")).otherwise(lit(""))
+      )
+      operators.Dedup
+        .urlGroups(
+          T(s, dir, "documents").withColumn("url", url),
+          "url",
+          "doc_id"
+        )
+        .orderBy("canonical_url")
+    },
+
+    // ---- C30: bloom-gated exact membership dedup. The bloom filter only
+    // prunes (false positives culled by the verify join), so the result is
+    // deterministic and the oracle is a plain NOT IN — while the Spark plan
+    // must route bloom-negative rows around the shuffle entirely.
+    "dedup_bloom" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      operators.Dedup
+        .bloomNewDocs(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "text",
+          "doc_id",
+          fpp = 0.01
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- C31: paragraph-level exact dedup. The synthetic corpus has no
+    // paragraph breaks, so both engines build the same two-paragraph docs
+    // (own text + text of doc_id % 50) and must drop repeated paragraphs
+    // keeping the first (doc_id, pos) occurrence, reassembling in order.
+    "dedup_paragraph" -> { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val two = docs
+        .join(
+          docs.select(col("doc_id").as("o_id"), col("text").as("o_text")),
+          col("doc_id") % 50 === col("o_id")
+        )
+        .select(
+          col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("o_text")).as("text")
+        )
+      operators.Dedup.paragraphDedup(two, "text", "doc_id").orderBy("doc_id")
+    },
+
     // ---- C2: MinHash-LSH candidate pairs (rows-only: minhash internals are
     // not expressible in portable SQL; exact verification is C4).
     "dedup_minhash_lsh" -> { (s, dir) =>
@@ -2483,6 +2553,81 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END)
+        |    || '.Example.COM'
+        |    || (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+        |    || '/Docs/' || (doc_id % 7)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?page=' || (doc_id % 5) || '&utm_campaign=c'
+        |             WHEN doc_id % 3 = 1 THEN '?utm_source=feed&page=' || (doc_id % 5)
+        |             ELSE '?fbclid=abc' || doc_id END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS nofrag
+        |  FROM u
+        |), d AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(lower(regexp_extract(nofrag, '^([^/?]*)', 1)), '^www\.', '') AS auth,
+        |    regexp_replace(nofrag, '^[^/?]*', '') AS pathq
+        |  FROM c
+        |), e AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS host,
+        |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(pathq, '\?(.*)$', 1) AS query
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, scheme, host, path,
+        |    array_to_string(list_sort(list_filter(str_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&') AS qs
+        |  FROM e
+        |)
+        |SELECT scheme || '://' || host || path
+        |    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url,
+        |  count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM f
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "dedup_bloom" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN (
+        |    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH two AS (
+        |  SELECT d.doc_id, d.text || chr(10) || chr(10) || o.text AS text
+        |  FROM documents d JOIN documents o ON d.doc_id % 50 = o.doc_id
+        |), p AS (
+        |  SELECT doc_id, unnest(parts) AS para,
+        |    unnest(generate_series(1, len(parts))) AS pos
+        |  FROM (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS parts FROM two)
+        |), r AS (
+        |  SELECT doc_id, pos, para, row_number() OVER (
+        |    PARTITION BY lower(trim(regexp_replace(para, '\s+', ' ', 'g')))
+        |    ORDER BY doc_id, pos) AS rn
+        |  FROM p
+        |), agg AS (
+        |  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup,
+        |    count(*) AS n_kept
+        |  FROM r WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+        |  len(str_split(t.text, chr(10) || chr(10))) AS n_paras,
+        |  coalesce(a.n_kept, 0) AS n_kept
+        |FROM two t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -218,6 +218,47 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Membership probe against a pre-built
+  * [[org.apache.spark.util.sketch.BloomFilter]] shipped as a binary literal.
+  *
+  * The bloom side must be foldable (a literal): the filter is deserialized
+  * ONCE per executor via `addReferenceObj`, not per row, and the probe stays
+  * inside whole-stage codegen. This is the scale shape of Spark's own runtime
+  * bloom filter join pruning: a corpus of any size collapses to `numBits`
+  * of sketch that rides the plan, and only might-contain rows pay the
+  * downstream shuffle.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  require(left.foldable, "bloom filter bytes must be a literal")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(left.eval().asInstanceOf[Array[Byte]])
+    )
+
+  override protected def nullSafeEval(bytes: Any, v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "graftBloom",
+      bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    )
+    nullSafeCodeGen(ctx, ev, (_, v) => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Registration + typed column helpers for the graft expressions. */
 object GraftFunctions {
 
@@ -282,6 +323,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_sqdistd",
       es => SqDistD(es(0), es(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      es => BloomMightContain(es(0), es(1)),
       "built-in"
     )
     reg.createOrReplaceTempFunction(
@@ -358,5 +404,22 @@ object GraftFunctions {
   def sqDistD(a: Column, b: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("graft_sqdistd", a, b)
+  }
+
+  /** True if `value` (a long key) might be in `bloom`. Serializes the filter
+    * into a binary literal so the probe rides whole-stage codegen; see
+    * [[BloomMightContain]] for the scale rationale. */
+  def bloomMightContain(
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      value: Column
+  )(implicit spark: SparkSession): Column = {
+    register(spark)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    call_function(
+      "graft_bloom_contains",
+      org.apache.spark.sql.functions.lit(bos.toByteArray),
+      value
+    )
   }
 }

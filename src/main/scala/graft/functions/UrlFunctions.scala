@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus dedup keys.
+  *
+  * A large crawl sees the same page under many spellings — scheme/host case,
+  * `www.` prefixes, default ports, tracking parameters, parameter order,
+  * fragments, trailing slashes. Canonicalizing BEFORE the URL becomes a dedup
+  * / domain-cap key collapses those spellings without touching content.
+  *
+  * Rules (RFC-3986-lite, deliberately SQL-portable so the op stays
+  * oracle-checkable in DuckDB):
+  *   1. trim; lowercase the scheme and authority (path/query case is
+  *      significant per RFC 3986 and is preserved)
+  *   2. drop a leading `www.` label
+  *   3. drop the default port (`:80` for http, `:443` for https)
+  *   4. drop the fragment (`#...` never reaches the server)
+  *   5. drop tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`) and
+  *      empty parameters, then sort the survivors byte-wise
+  *   6. drop trailing slashes from the path
+  *
+  * Everything is built from codegen'd builtins (regexp over RE2∩Java
+  * patterns, array_sort/filter/array_join) — per-row projection, zero
+  * shuffle, so canonicalization itself never becomes a bottleneck; the
+  * downstream dedup groupBy is the only exchange.
+  */
+object UrlFunctions {
+
+  /** Tracking parameters stripped during canonicalization. Anchored key
+    * match; `(=|$)` so a bare `fbclid` (no value) is also dropped. */
+  val TrackingParamRegex = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+  /** Lowercased scheme (`https`), '' when the value has no `://`. */
+  def urlScheme(u: Column): Column =
+    lower(regexp_extract(trim(u), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Canonical host: lowercased authority, `www.` and default port
+    * stripped. (User-info in the authority is left as-is: corpus URLs with
+    * embedded credentials are near-nonexistent and stripping them silently
+    * would merge distinct origins.) */
+  def urlHost(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val noScheme = regexp_replace(trim(u), "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth =
+      regexp_replace(lower(regexp_extract(noScheme, "^([^/?#]*)", 1)), "^www\\.", "")
+    when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+  }
+
+  /** Full canonical form — the dedup key. See the object doc for rules. */
+  def urlCanonical(u: Column): Column = {
+    val t = trim(u)
+    val scheme = urlScheme(u)
+    val noScheme = regexp_replace(t, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val pathq = regexp_replace(noFrag, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = filter(
+      split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRegex)
+    )
+    val qs = array_join(array_sort(kept), "&")
+    concat(
+      scheme,
+      lit("://"),
+      urlHost(u),
+      path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))
+    )
+  }
+}

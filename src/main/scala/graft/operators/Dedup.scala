@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextFunctions => TF}
+import graft.functions.{GraftFunctions, TextFunctions => TF, UrlFunctions => UF}
 
 /** Deduplication operators for large text/embedding corpora.
   *
@@ -32,6 +32,91 @@ object Dedup {
       col("keeper_id").as(idCol)
     )
     docs.join(keepers, idCol)
+  }
+
+  /** Canonical-URL duplicate groups: (canonical_url, n_docs, keeper_id).
+    * The same page crawled under scheme/host-case, `www.`, default-port,
+    * tracking-param, param-order, fragment and trailing-slash variants
+    * collapses to one group. Canonicalization
+    * ([[graft.functions.UrlFunctions.urlCanonical]]) is a zero-shuffle
+    * per-row projection; the groupBy on the canonical key is the only
+    * exchange, with map-side partials — same scale shape as
+    * [[exactGroups]]. */
+  def urlGroups(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(UF.urlCanonical(col(urlCol)).as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
+  /** Documents minus URL duplicates (keep smallest id per canonical URL). */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs.join(
+      urlGroups(docs, urlCol, idCol).select(col("keeper_id").as(idCol)),
+      idCol
+    )
+
+  /** Paragraph-level exact dedup (the CCNet / RefinedWeb unit): split each
+    * document on `sep`, drop every paragraph whose normalized content
+    * already occurred earlier in the corpus — "earlier" = smaller
+    * (doc_id, position) — and reassemble the survivors in order.
+    *
+    * Output: (doc_id, text_dedup, n_paras, n_kept). Documents whose every
+    * paragraph is a repeat come back with an empty string, never silently
+    * dropped.
+    *
+    * Scale shape mirrors [[duplicateSpans]]: occurrence counting is a
+    * partially-aggregating groupBy on an 8-byte paragraph hash — a hot
+    * boilerplate paragraph (cookie banner, nav footer: 10⁸+ occurrences in
+    * a crawl) collapses to one row per input partition before the exchange,
+    * and keep-first falls out of min(struct(doc_id, pos)) from the same
+    * aggregate, NOT a row_number window (a window partitioned by the hash
+    * would serialize a hot paragraph into one task's sort — AQE cannot
+    * split window partitions). The join back to positions is a keyed
+    * equi-join; reassembly groups by doc_id, bounded by document size. */
+  def paragraphDedup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n\n"
+  ): DataFrame = {
+    val paras = docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para"))
+      )
+      .withColumn("ph", xxhash64(TF.normText(col("para"))))
+    val firsts = paras
+      .groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val kept = paras
+      .join(firsts, "ph")
+      .filter(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")
+          ),
+          sep
+        ).as("text_dedup"),
+        count(lit(1)).as("n_kept")
+      )
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long")
+          .as("n_paras")
+      )
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept")
+      )
   }
 
   /** MinHash signatures: (id, sig array<bigint>). */
@@ -238,6 +323,64 @@ object Dedup {
       .select(col("in_id").as(idCol))
       .distinct()
     incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Incoming docs whose exact content is NOT already in the reference
+    * corpus, with a bloom-filter fast path: the reference collapses to a
+    * compact bit sketch (built by a distributed aggregation, ~1.2 GB for
+    * 10⁹ docs at 1% fpp), and only the incoming rows the bloom flags as
+    * *possible* members pay the exact verification join. Bloom-negative
+    * rows — the vast majority when batches are mostly novel — are definitely
+    * new and never shuffle. False positives are culled by the verify join,
+    * so the output is exactly "incoming minus content already present"
+    * regardless of `fpp`.
+    *
+    * This is the streaming-ingest membership shape: at 100 TB the
+    * alternative (anti-join the full batch against the full corpus) shuffles
+    * both sides every batch; here the corpus-side cost is one aggregation,
+    * amortizable across batches by reusing a pre-built filter through the
+    * `bloomNewDocs(incoming, bloom, refFp, ...)` overload.
+    *
+    * `expectedItems` sizes the filter; pass the corpus row estimate (from
+    * table statistics at scale). When <= 0 it is measured with a count job.
+    */
+  def bloomNewDocs(
+      incoming: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      expectedItems: Long = -1L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val refFp = reference.select(TF.fingerprint(col(textCol)).as("__fp"))
+    val n = if (expectedItems > 0) expectedItems else math.max(refFp.count(), 1L)
+    val bloom = refFp
+      .select(xxhash64(col("__fp")).as("__k"))
+      .stat
+      .bloomFilter("__k", n, fpp)
+    bloomNewDocs(incoming, bloom, refFp, textCol, idCol)
+  }
+
+  /** [[bloomNewDocs]] against a pre-built corpus filter (the reuse path for
+    * repeated ingest batches). `refFp` must be the single-column `__fp`
+    * fingerprint table the filter was built from (xxhash64-keyed). */
+  def bloomNewDocs(
+      incoming: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      refFp: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    implicit val spark: SparkSession = incoming.sparkSession
+    val inFp = incoming.withColumn("__fp", TF.fingerprint(col(textCol)))
+    val might =
+      GraftFunctions.bloomMightContain(bloom, xxhash64(col("__fp")))
+    // definite novelty: bloom has no false negatives, so !might needs no join
+    val definitelyNew = inFp.filter(!might)
+    // possible members: exact-verify on the md5 fingerprint itself (not the
+    // long probe key) so an xxhash64 collision cannot drop a novel doc
+    val survivors = inFp.filter(might).join(refFp, Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(survivors).drop("__fp")
   }
 
   /** Exact duplicate-substring spans (the token-k-gram form of Lee et al.'s
