@@ -7,11 +7,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query gets one untimed warmup execution first — that amortizes the
   * one-time costs a long-lived cluster would not pay per query (catalog
-  * registration, codegen compilation, JIT) — then the reported number is the
-  * MEDIAN of three timed executions: single-run local[32] timings carry
-  * ±20% run-to-run noise (measured across rounds), the same order as the
-  * per-round deltas being tracked; the median makes those deltas signal.
-  * Override the run count with SPARK_GRAFT_BENCH_RUNS.
+  * registration, codegen compilation, JIT) — then a forced GC + short
+  * settle, so a query is not billed for garbage its sweep neighbors left
+  * behind (round 6 measured q_having at 2.71 s mid-sweep vs 0.54 s
+  * isolated: pure JVM-inheritance noise). The reported number is the
+  * MEDIAN of five timed executions (override with SPARK_GRAFT_BENCH_RUNS);
+  * the per-query MIN is emitted alongside (`queries_min`) as a
+  * contamination-robust floor — a min is immune to one-sided noise like a
+  * surprise full GC, so regression tracking can cross-check the median
+  * against it.
   *
   * Results are forced through the `noop` datasource writer, which evaluates
   * every output row/column without sink IO. NOT `count()`: the optimizer
@@ -36,7 +40,7 @@ object Bench {
     // Warm the catalog once (registration is metadata-only but not free).
     Tables.provider(spark, sfDir)
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     // optional subset for ad-hoc scale runs (comma-separated query names);
     // unset = every query, the driver contract
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -48,24 +52,29 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       try {
         force() // warmup: codegen + JIT
+        // drain neighbor garbage before the timed window
+        System.gc()
+        Thread.sleep(150)
         val timed = Seq.fill(runs) {
           val t0 = System.nanoTime()
           force()
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> timed(timed.size / 2)
+        name -> (timed(timed.size / 2), timed.head)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          name -> (-1.0, -1.0)
       }
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    def jsonMap(f: ((Double, Double)) => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = jsonMap(_._1)
+    val qsMin = jsonMap(_._2)
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

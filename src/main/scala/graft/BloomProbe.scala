@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Dev tool: measure the C30 (dedup_bloom) corpus-filter build — distributed
+  * aggregation time and serialized/broadcast size — at a given SF dir, so the
+  * "~1.2 GB at 10⁹ docs" scaladoc claim is a measured line, not an assertion.
+  *
+  * Usage: runMain graft.BloomProbe [sfDir] [fpp] [runs]
+  */
+object BloomProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val fpp = if (args.length > 1) args(1).toDouble else 0.01
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession
+      .builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val refFp = Tables
+      .t(spark, dir, "documents")
+      .select(TF.fingerprint(col("text")).as("__fp"))
+      .where(col("__fp").isNotNull)
+      .persist()
+    val n = refFp.count()
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val bloom = refFp.select(xxhash64(col("__fp")).as("__k")).stat.bloomFilter("__k", n, fpp)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val mb = bos.size / 1e6
+      println(f"BLOOM $dir run$i: n=$n fpp=$fpp build=$buildSec%.2f s serialized=$mb%.2f MB (${bloom.bitSize()} bits)")
+    }
+    // the closed-form the scaladoc extrapolates with: bits = -n ln(p) / ln(2)^2
+    val bits1e9 = -1e9 * math.log(fpp) / (math.log(2) * math.log(2))
+    println(f"BLOOM extrapolation: 1e9 docs at fpp=$fpp -> ${bits1e9 / 8 / 1e9}%.2f GB")
+    spark.stop()
+  }
+}

@@ -823,14 +823,26 @@ object SparkEntry {
         )
     },
 
-    // ---- B33: exact interpolated percentiles per group.
+    // ---- B33: exact interpolated percentiles per group — via the
+    // histogram+selection two-pass operator, NOT percentile(): the built-in
+    // buffers every value of a group in one agg buffer, which with 3 status
+    // groups over a 100 TB orders table is an unsplittable executor OOM.
     "q_percentiles" -> { (s, dir) =>
-      T(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99")
+      operators.ExactQuantiles
+        .groupQuantiles(
+          T(s, dir, "orders"),
+          "o_orderstatus",
+          "o_totalprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+        )
+        .groupBy(col("g"))
+        .pivot("lbl", Seq("p50", "p90", "p99"))
+        .agg(first(col("q")))
+        .select(
+          col("g").as("o_orderstatus"),
+          round(col("p50"), 2).as("p50"),
+          round(col("p90"), 2).as("p90"),
+          round(col("p99"), 2).as("p99")
         )
         .orderBy(col("o_orderstatus"))
     },
@@ -2588,8 +2600,8 @@ object SparkEntry {
         |  FROM d
         |), f AS (
         |  SELECT doc_id, scheme, host, path,
-        |    array_to_string(list_sort(list_filter(str_split(query, '&'),
-        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&') AS qs
+        |    coalesce(array_to_string(list_sort(list_filter(str_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&'), '') AS qs
         |  FROM e
         |)
         |SELECT scheme || '://' || host || path

@@ -236,15 +236,26 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
+  // Forced lazily from doGenCode: a null literal must degrade to the
+  // expression evaluating to null (mirroring BinaryExpression's interpreted
+  // null propagation), not an NPE inside BloomFilter.readFrom at planning.
+  @transient private lazy val bloomBytes: Array[Byte] =
+    left.eval().asInstanceOf[Array[Byte]]
+
   @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(left.eval().asInstanceOf[Array[Byte]])
+      new java.io.ByteArrayInputStream(bloomBytes)
     )
 
   override protected def nullSafeEval(bytes: Any, v: Any): Any =
     bloom.mightContainLong(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (bloomBytes == null) {
+      return org.apache.spark.sql.catalyst.expressions.Literal
+        .create(null, BooleanType)
+        .genCode(ctx)
+    }
     val ref = ctx.addReferenceObj(
       "graftBloom",
       bloom,

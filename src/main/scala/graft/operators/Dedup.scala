@@ -64,7 +64,9 @@ object Dedup {
     * dropped.
     *
     * Scale shape mirrors [[duplicateSpans]]: occurrence counting is a
-    * partially-aggregating groupBy on an 8-byte paragraph hash — a hot
+    * partially-aggregating groupBy on the 128-bit md5 content fingerprint
+    * (the repo-wide dedup key, same as [[exactGroups]] — unlike an 8-byte
+    * xxhash64 a collision cannot silently drop a distinct paragraph) — a hot
     * boilerplate paragraph (cookie banner, nav footer: 10⁸+ occurrences in
     * a crawl) collapses to one row per input partition before the exchange,
     * and keep-first falls out of min(struct(doc_id, pos)) from the same
@@ -84,7 +86,7 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para"))
       )
-      .withColumn("ph", xxhash64(TF.normText(col("para"))))
+      .withColumn("ph", TF.fingerprint(col("para")))
     val firsts = paras
       .groupBy("ph")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -343,6 +345,14 @@ object Dedup {
     *
     * `expectedItems` sizes the filter; pass the corpus row estimate (from
     * table statistics at scale). When <= 0 it is measured with a count job.
+    *
+    * The fingerprint projection of the reference corpus is persisted
+    * (MEMORY_AND_DISK) for the duration of this call's three uses — the
+    * optional count, the filter build, and the verify join embedded in the
+    * lazy result — so the reference text is scanned and fingerprinted once,
+    * not three times. It stays cached until the caller's action completes;
+    * repeated ingest batches at scale should instead pre-build the filter
+    * once and use the `bloomNewDocs(incoming, bloom, refFp, ...)` overload.
     */
   def bloomNewDocs(
       incoming: DataFrame,
@@ -352,7 +362,10 @@ object Dedup {
       expectedItems: Long = -1L,
       fpp: Double = 0.01
   ): DataFrame = {
-    val refFp = reference.select(TF.fingerprint(col(textCol)).as("__fp"))
+    val refFp = reference
+      .select(TF.fingerprint(col(textCol)).as("__fp"))
+      .where(col("__fp").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = if (expectedItems > 0) expectedItems else math.max(refFp.count(), 1L)
     val bloom = refFp
       .select(xxhash64(col("__fp")).as("__k"))
@@ -363,7 +376,15 @@ object Dedup {
 
   /** [[bloomNewDocs]] against a pre-built corpus filter (the reuse path for
     * repeated ingest batches). `refFp` must be the single-column `__fp`
-    * fingerprint table the filter was built from (xxhash64-keyed). */
+    * fingerprint table the filter was built from (xxhash64-keyed).
+    *
+    * Null text is excluded on BOTH sides: membership of "no content" is
+    * ill-defined, and SQL semantics agree (`md5(NULL) NOT IN (...)` is
+    * NULL → dropped). Without the explicit filter the operator's behavior
+    * would hinge on xxhash64 mapping a null fingerprint to its seed — a
+    * null-text incoming row would be bloom-classified and then always
+    * survive the anti-join (null keys never match), silently diverging
+    * from the SQL form. */
   def bloomNewDocs(
       incoming: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
@@ -372,7 +393,9 @@ object Dedup {
       idCol: String
   ): DataFrame = {
     implicit val spark: SparkSession = incoming.sparkSession
-    val inFp = incoming.withColumn("__fp", TF.fingerprint(col(textCol)))
+    val inFp = incoming
+      .where(col(textCol).isNotNull)
+      .withColumn("__fp", TF.fingerprint(col(textCol)))
     val might =
       GraftFunctions.bloomMightContain(bloom, xxhash64(col("__fp")))
     // definite novelty: bloom has no false negatives, so !might needs no join

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated per-group quantiles with bounded per-task memory.
+  *
+  * Spark's built-in exact `percentile()` buffers EVERY value of a group in
+  * one aggregation buffer — with a handful of groups over a 100 TB fact
+  * table that is an executor OOM no amount of AQE can split (an aggregate
+  * with 3 keys has nothing to re-partition). This operator computes the
+  * same interpolated quantile (`quantile_cont` semantics, bit-matching
+  * Spark's `(ceil(h)-h)*lo + (h-floor(h))*hi` formula) from keyed shuffles
+  * and bounded windows only:
+  *
+  *   1. per-group count/min/max (one partial-agg pass) → the target ranks
+  *      `floor(h)`/`ceil(h)` for each requested quantile, `h = p·(n−1)`;
+  *   2. a fixed-width histogram pass: bucket id per row, partial-agg
+  *      groupBy (group, bucket) — at most `buckets` rows per group — then a
+  *      cumulative window over bucket ids (partition size ≤ `buckets`)
+  *      locates which bucket holds each target rank;
+  *   3. only rows in located buckets (expected n/buckets of the data, one
+  *      keyed semi-join) are re-read; ties collapse via a
+  *      (group, bucket, value) partial agg BEFORE the in-bucket cumulative
+  *      window, so the window partition is the bucket's DISTINCT values —
+  *      a million-row run of one repeated value costs one row.
+  *
+  * Per-task memory is O(buckets + distinct values in one bucket): the
+  * histogram bounds expected occupancy at n/buckets, and value skew (the
+  * worst case for occupancy) is exactly what the tie-collapse absorbs.
+  * Three keyed shuffles + two bounded windows, no per-group value buffering
+  * anywhere — the plan survives a 100× scale-up where `percentile()` dies.
+  *
+  * Returns the long form (group, label, q) — one row per group × quantile;
+  * callers pivot the labels into columns.
+  */
+object ExactQuantiles {
+
+  def groupQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[(String, Double)],
+      buckets: Int = 8192
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val rows = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull) // percentile/quantile_cont ignore nulls
+    val stats = rows
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("vmin"), max("v").as("vmax"))
+
+    // Target ranks per (group, quantile): h = p*(n-1); we need the values at
+    // 0-based ranks floor(h) and ceil(h).
+    val pArr = array(ps.map { case (lbl, p) =>
+      struct(lit(lbl).as("lbl"), lit(p).as("p"))
+    }: _*)
+    val targets = stats
+      .select(col("g"), col("n"), explode(pArr).as("t"))
+      .select(col("g"), col("t.lbl").as("lbl"), col("t.p").as("p"), col("n"))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+    val wanted = targets
+      .select(
+        col("g"),
+        col("lbl"),
+        col("pos"),
+        explode(
+          array(
+            struct(lit("lo").as("which"), floor(col("pos")).cast("long").as("k")),
+            struct(lit("hi").as("which"), ceil(col("pos")).cast("long").as("k"))
+          )
+        ).as("w")
+      )
+      .select(col("g"), col("lbl"), col("pos"), col("w.which").as("which"), col("w.k").as("k"))
+
+    // Histogram pass: fixed-width buckets over [vmin, vmax]. Degenerate
+    // groups (all values equal) collapse into bucket 0.
+    val bucketed = rows
+      .join(broadcast(stats.select("g", "vmin", "vmax")), "g")
+      .withColumn(
+        "b",
+        when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(
+            least(
+              lit(buckets - 1),
+              floor(
+                (col("v") - col("vmin")) /
+                  ((col("vmax") - col("vmin")) / buckets)
+              ).cast("int")
+            )
+          )
+      )
+    val bCounts = bucketed.groupBy("g", "b").agg(count(lit(1)).as("bc"))
+    val wB = Window
+      .partitionBy("g")
+      .orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bCum = bCounts.withColumn("before", coalesce(sum("bc").over(wB), lit(0L)))
+
+    // Locate the bucket holding each target rank: before <= k < before+bc.
+    // Both sides are aggregate-scale (groups × quantiles vs groups × buckets).
+    val located = wanted
+      .join(bCum, Seq("g"))
+      .where(col("k") >= col("before") && col("k") < col("before") + col("bc"))
+      .select("g", "lbl", "pos", "which", "k", "b", "before")
+
+    // Selection pass: only rows in located buckets; collapse ties first so
+    // the in-bucket window ranks DISTINCT values.
+    val cand = located.select("g", "b").distinct()
+    val inBucket = bucketed
+      .join(broadcast(cand), Seq("g", "b"))
+      .groupBy("g", "b", "v")
+      .agg(count(lit(1)).as("vc"))
+    val wV = Window
+      .partitionBy("g", "b")
+      .orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val vCum = inBucket.withColumn("cum", sum("vc").over(wV)) // rows <= v in bucket
+
+    // Value at rank k = smallest v whose in-group cumulative count exceeds k.
+    val picked = located
+      .join(vCum, Seq("g", "b"))
+      .where(col("before") + col("cum") > col("k"))
+      .groupBy("g", "lbl", "pos", "which")
+      .agg(min("v").as("v"))
+
+    // Interpolate exactly as Spark's Percentile: integral position returns
+    // the value itself; otherwise (ceil(h)-h)*lo + (h-floor(h))*hi.
+    picked
+      .groupBy("g", "lbl", "pos")
+      .pivot("which", Seq("lo", "hi"))
+      .agg(first("v"))
+      .withColumn(
+        "q",
+        when(ceil(col("pos")) === floor(col("pos")), col("lo"))
+          .otherwise(
+            (ceil(col("pos")).cast("double") - col("pos")) * col("lo") +
+              (col("pos") - floor(col("pos")).cast("double")) * col("hi")
+          )
+      )
+      .select(col("g"), col("lbl"), col("q"))
+  }
+}

@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   * struct), partition-wise batch iteration, per-partition codec
   * initialization (the pattern a real image/audio codec or model checkpoint
   * needs: init once per partition, not per row), typed `Dataset` encoders.
-  * The codec itself is a clearly-marked deterministic STUB
-  * ([[FakeCodec.decode]]): real image/audio libraries are not available in
-  * this environment. Swapping in a real decoder changes only that object.
+  *
+  * Decoding dispatches on the metadata format: `image/`-prefixed payloads go
+  * through a REAL decoder ([[ImageCodec]], `javax.imageio` — JDK built-in,
+  * PNG/JPEG/GIF/BMP) that extracts dimensions, per-channel means and a
+  * luminance histogram from the actual pixels; anything else (including the
+  * gate's synthetic text payloads) falls back to the deterministic
+  * byte-histogram stand-in ([[FakeCodec.decode]]), as does a corrupt image
+  * payload — so the pipeline is total and a poisoned row can never kill a
+  * 100 TB job. Audio/video containers would slot in as further format
+  * branches with the same per-partition-init shape.
   */
 object Multimodal {
 
@@ -55,6 +62,66 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder over `javax.imageio` (JDK built-in — no external
+    * dependency): decodes the payload's actual pixels and emits
+    * `[width, height, meanR, meanG, meanB, 16-bin luminance histogram]`
+    * (21 floats; histogram L1-normalized, means in [0,1]).
+    *
+    * `open()` is the once-per-partition init hook: it disables ImageIO's
+    * on-disk cache, which would otherwise write a temp file per decoded
+    * image — pure executor-local CPU work is the only acceptable shape for
+    * a decode running 10⁹ times across a cluster.
+    */
+  object ImageCodec {
+    final val Dims = 21
+
+    def open(): ImageCodec.type = {
+      javax.imageio.ImageIO.setUseCache(false)
+      this
+    }
+
+    /** None when ImageIO cannot decode the bytes (unknown/corrupt format). */
+    def decode(payload: Array[Byte]): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map(features)
+    }
+
+    def features(img: java.awt.image.BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](Dims)
+      out(0) = w.toFloat
+      out(1) = h.toFloat
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          // integer Rec.601 luma, then into 16 bins
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          hist(luma >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      out(2) = sr / n / 255f
+      out(3) = sg / n / 255f
+      out(4) = sb / n / 255f
+      var i = 0
+      while (i < 16) { out(5 + i) = hist(i) / n; i += 1 }
+      out
+    }
+  }
+
   /** Attach a synthetic binary payload + metadata struct to a text corpus
     * (stands in for reading real media files alongside the table). */
   def withFakeMedia(
@@ -80,18 +147,25 @@ object Multimodal {
   /** Decode + feature-extract, one codec per partition, streaming batches.
     * This is the distributed shape that matters at 100 TB: no driver-side
     * collection, codec init amortized over a whole partition, output columnar
-    * downstream. */
+    * downstream. `image/`-prefixed rows decode real pixels via [[ImageCodec]];
+    * other formats (and undecodable image bytes) take the deterministic
+    * [[FakeCodec]] byte-histogram path. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      val codec = FakeCodec.open() // once per partition
+      val fake = FakeCodec.open() // once per partition
+      val image = ImageCodec.open()
       rows.map { r =>
+        val feats =
+          if (r.meta.format.startsWith("image/"))
+            image.decode(r.payload).getOrElse(fake.decode(r.payload))
+          else fake.decode(r.payload)
         MediaFeatures(
           r.doc_id,
           r.payload.length.toLong,
-          codec.checksum(r.payload),
-          codec.decode(r.payload)
+          fake.checksum(r.payload),
+          feats
         )
       }
     }

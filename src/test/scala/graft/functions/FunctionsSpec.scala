@@ -239,4 +239,14 @@ class FunctionsSpec extends AnyFunSuite {
       .map(_.getString(1))
     assert(out.toSeq == Seq("en", "fr", "de", "es", "zh"))
   }
+
+  test("graft_bloom_contains: null filter bytes yield null, not a planning NPE") {
+    GraftFunctions.register(spark)
+    // must survive BOTH codegen planning (doGenCode once forced the lazy
+    // deserialization eagerly -> NPE) and evaluation
+    val r = spark
+      .sql("SELECT graft_bloom_contains(CAST(NULL AS BINARY), 42L) AS might")
+      .head
+    assert(r.isNullAt(0))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class UrlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlFunctions.urlCanonical($"u")).collect().map(_.getString(0)).toSeq
+
+  test("scheme/host case, www., default port, fragment, trailing slash all collapse") {
+    assert(
+      canon(
+        "https://www.Example.COM:443/Docs/1#sec",
+        "HTTPS://example.com/Docs/1/",
+        "  https://Example.com:443/Docs/1  "
+      ).distinct == Seq("https://example.com/Docs/1")
+    )
+  }
+
+  test("tracking params dropped, survivors sorted; all-params-dropped query vanishes") {
+    // param order + tracking noise collapse
+    assert(
+      canon(
+        "https://e.com/p?b=2&utm_source=feed&a=1",
+        "https://e.com/p?a=1&b=2&fbclid=xyz"
+      ).distinct == Seq("https://e.com/p?a=1&b=2")
+    )
+    // query that is ENTIRELY tracking params must yield no '?' at all —
+    // this is the exact case the round-6 oracle got wrong (DuckDB
+    // array_to_string on an empty list returned NULL, not '')
+    assert(canon("https://e.com/p?utm_campaign=c&utm_medium=m") == Seq("https://e.com/p"))
+    assert(canon("https://e.com/p?utm_campaign=c") == canon("https://e.com/p"))
+  }
+
+  test("bare fbclid (no '=') and empty params are dropped") {
+    assert(canon("https://e.com/p?fbclid&a=1&&") == Seq("https://e.com/p?a=1"))
+    assert(canon("https://e.com/p?fbclid") == Seq("https://e.com/p"))
+    // 'ref' is dropped but 'refresh=1' is NOT (anchored key match)
+    assert(canon("https://e.com/p?ref=hn&refresh=1") == Seq("https://e.com/p?refresh=1"))
+  }
+
+  test("no-scheme input degrades deterministically (empty scheme, host still canonical)") {
+    // documented RFC-lite behavior: scheme '' -> '://host...' — a stable
+    // (if odd-looking) key; the point is equal inputs stay equal
+    assert(canon("WWW.Example.com/A/b/", "www.example.COM/A/b") == Seq("://example.com/A/b", "://example.com/A/b"))
+  }
+
+  test("userinfo is preserved (distinct origins never merge)") {
+    assert(canon("https://user:pw@Example.com/a") == Seq("https://user:pw@example.com/a"))
+    assert(canon("https://user:pw@e.com/a") != canon("https://e.com/a"))
+  }
+
+  test("non-default port is kept; default port only stripped for its own scheme") {
+    assert(canon("https://e.com:8080/a") == Seq("https://e.com:8080/a"))
+    // :443 is NOT the default for http -> kept
+    assert(canon("http://e.com:443/a") == Seq("http://e.com:443/a"))
+    assert(canon("http://e.com:80/a") == Seq("http://e.com/a"))
+  }
+
+  test("trailing-slash-only path collapses to bare origin; path case preserved") {
+    assert(canon("https://e.com/", "https://e.com", "https://e.com///").distinct == Seq("https://e.com"))
+    assert(canon("https://e.com/CaseSensitive/Path") == Seq("https://e.com/CaseSensitive/Path"))
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
+import graft.functions.{TextFunctions => TF}
 
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -307,5 +308,99 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 32)
     val expectedDropped = (0 until 8).map(c => c * 10L + 1).toSet
     assert(out.filter(!_._2).keySet == expectedDropped, out.toString)
+  }
+
+  test("paragraph dedup: corpus-wide keep-first, all-dup doc survives as empty string") {
+    val docs = Seq(
+      (1L, "shared para\n\nunique one"),
+      (2L, "shared para\n\nunique two\n\nshared para"), // cross-doc AND in-doc repeat
+      (3L, "SHARED   para"), // normalization-equal to doc 1's first -> empty
+      (4L, "solo paragraph")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.length == 4)
+    // doc 1 owns the first (doc_id, pos) occurrence of "shared para"
+    assert(out(0).getAs[String]("text_dedup") == "shared para\n\nunique one")
+    assert(out(0).getAs[Long]("n_paras") == 2L && out(0).getAs[Long]("n_kept") == 2L)
+    // doc 2: both copies of the shared para drop (one cross-doc, one in-doc)
+    assert(out(1).getAs[String]("text_dedup") == "unique two")
+    assert(out(1).getAs[Long]("n_paras") == 3L && out(1).getAs[Long]("n_kept") == 1L)
+    // doc 3: every paragraph is a repeat -> row preserved with empty text
+    assert(out(2).getAs[String]("text_dedup") == "")
+    assert(out(2).getAs[Long]("n_paras") == 1L && out(2).getAs[Long]("n_kept") == 0L)
+    // doc 4: single-paragraph doc passes through
+    assert(out(3).getAs[String]("text_dedup") == "solo paragraph")
+    assert(out(3).getAs[Long]("n_paras") == 1L && out(3).getAs[Long]("n_kept") == 1L)
+  }
+
+  test("paragraph dedup: separators at document boundaries produce (kept) empty paragraphs") {
+    val docs = Seq((7L, "\n\nedge"), (8L, "tail\n\n")).toDF("doc_id", "text")
+    val out = Dedup
+      .paragraphDedup(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+    // doc 7's leading "" is the corpus-first empty paragraph -> kept, so the
+    // leading separator survives reassembly; doc 8's trailing "" is a repeat
+    assert(out(0).getAs[String]("text_dedup") == "\n\nedge")
+    assert(out(0).getAs[Long]("n_kept") == 2L)
+    assert(out(1).getAs[String]("text_dedup") == "tail")
+    assert(out(1).getAs[Long]("n_paras") == 2L && out(1).getAs[Long]("n_kept") == 1L)
+  }
+
+  test("bloomNewDocs: incoming minus reference content, both overloads agree") {
+    val ref = Seq((10L, "known alpha"), (11L, "known beta")).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, "known alpha"),      // exact member -> dropped
+      (2L, "brand new gamma"),  // novel -> kept
+      (3L, "  KNOWN   beta "),  // member after normalization -> dropped
+      (4L, "another new delta") // novel -> kept
+    ).toDF("doc_id", "text")
+    val built = Dedup
+      .bloomNewDocs(inc, ref, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(built == Set(2L, 4L))
+    // pre-built-filter overload (the batch-reuse path) must agree
+    val refFp = ref.select(TF.fingerprint($"text").as("__fp"))
+    val bloom = refFp.select(xxhash64($"__fp").as("__k")).stat.bloomFilter("__k", 2, 0.01)
+    val reused = Dedup
+      .bloomNewDocs(inc, bloom, refFp, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reused == built)
+    // output schema matches the incoming schema (no leaked __fp column)
+    assert(
+      Dedup.bloomNewDocs(inc, ref, "text", "doc_id").columns.toSeq == inc.columns.toSeq
+    )
+  }
+
+  test("bloomNewDocs: bloom false positive on a novel doc is culled by the fingerprint verify") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ref = Seq((10L, "known alpha")).toDF("doc_id", "text")
+    val refFp = ref.select(TF.fingerprint($"text").as("__fp"))
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(2, 0.01)
+    refFp.select(xxhash64($"__fp")).collect().foreach(r => bloom.putLong(r.getLong(0)))
+    val inc = Seq((1L, "novel text"), (2L, "known alpha")).toDF("doc_id", "text")
+    // plant the novel doc's probe key in the filter — exactly what an
+    // xxhash64 collision (or an ordinary false positive) looks like; the
+    // md5-fingerprint verify join must still keep the doc
+    val novelKey =
+      inc.filter($"doc_id" === 1L).select(xxhash64(TF.fingerprint($"text"))).head.getLong(0)
+    bloom.putLong(novelKey)
+    val out = Dedup
+      .bloomNewDocs(inc, bloom, refFp, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+  }
+
+  test("bloomNewDocs: null-text rows are excluded, not resurrected by the seed probe key") {
+    val ref = Seq((10L, "known alpha")).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, "known alpha"),
+      (2L, null.asInstanceOf[String]), // ill-defined membership -> excluded
+      (3L, "fresh content")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .bloomNewDocs(inc, ref, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L))
   }
 }

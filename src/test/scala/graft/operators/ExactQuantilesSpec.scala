@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class ExactQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val PS = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+  /** Reference: Spark's built-in exact percentile (the all-in-one-buffer
+    * formulation this operator replaces). */
+  private def viaBuiltin(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+    df.groupBy($"g")
+      .agg(
+        expr("percentile(v, 0.25)").as("p25"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"),
+        expr("percentile(v, 0.99)").as("p99")
+      )
+      .collect()
+      .flatMap(r => PS.map { case (lbl, _) => (r.getString(0), lbl) -> r.getAs[Double](lbl) })
+      .toMap
+
+  private def viaOperator(df: org.apache.spark.sql.DataFrame, buckets: Int): Map[(String, String), Double] =
+    ExactQuantiles
+      .groupQuantiles(df, "g", "v", PS, buckets = buckets)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+
+  test("matches built-in percentile on random data, ties, skew, tiny groups") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.newBuilder[(String, java.lang.Double)]
+    // group a: continuous-ish values
+    for (_ <- 1 to 997) rows += (("a", rnd.nextDouble() * 1000))
+    // group b: heavy ties (worst case for in-bucket windows)
+    for (_ <- 1 to 500) rows += (("b", (rnd.nextInt(5) * 10).toDouble))
+    // group c: single element
+    rows += (("c", 7.25))
+    // group d: two elements (every percentile interpolates)
+    rows += (("d", 1.0)); rows += (("d", 2.0))
+    // group e: all values identical (degenerate zero-width histogram)
+    for (_ <- 1 to 100) rows += (("e", 3.5))
+    // nulls must be ignored, matching percentile()
+    rows += (("a", null)); rows += (("b", null))
+    val df = rows.result().toDF("g", "v")
+    val expected = viaBuiltin(df)
+    for (buckets <- Seq(4, 256, 8192)) { // coarse buckets stress the selection pass
+      val got = viaOperator(df, buckets)
+      assert(got.keySet == expected.keySet)
+      for ((k, e) <- expected)
+        assert(math.abs(got(k) - e) < 1e-9, s"$k buckets=$buckets: got ${got(k)}, want $e")
+    }
+  }
+
+  test("integral positions return the exact element, not a 0-interpolation") {
+    // 5 elements: p50 position = 0.5*4 = 2.0 exactly -> v[2]
+    val df = Seq(("x", 10.0), ("x", 20.0), ("x", 30.0), ("x", 40.0), ("x", 50.0)).toDF("g", "v")
+    val got = ExactQuantiles
+      .groupQuantiles(df, "g", "v", Seq("p50" -> 0.5))
+      .head()
+    assert(got.getDouble(2) == 30.0)
+  }
+
+  test("plan has no per-group value buffering: only groupBys and bounded windows") {
+    val df = graft.Tables.t(spark, SparkFixture.sfDir, "orders")
+    val plan = ExactQuantiles
+      .groupQuantiles(df, "o_orderstatus", "o_totalprice", Seq("p50" -> 0.5))
+      .queryExecution
+      .executedPlan
+      .toString
+    // the unbounded-buffer aggregate this operator exists to avoid
+    assert(!plan.contains("percentile("), plan.take(2000))
+  }
+}

@@ -33,6 +33,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
   }
 
+  /** A real in-memory PNG: `w`×`h`, every pixel the given RGB color. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image/* payloads decode REAL pixels: dimensions and channel means from actual PNG bytes") {
+    import Multimodal.{MediaMeta, MediaRow}
+    val rows = Seq(
+      // pure red 8x4
+      MediaRow(1L, pngBytes(8, 4, 0xff0000), MediaMeta("image/png", 8, 4)),
+      // mid-gray 3x5
+      MediaRow(2L, pngBytes(3, 5, 0x808080), MediaMeta("image/png", 3, 5)),
+      // corrupt "image" bytes -> must fall back to the stub, not throw
+      MediaRow(3L, Array[Byte](1, 2, 3, 4), MediaMeta("image/png", 0, 0)),
+      // non-image format keeps the stub path (16-dim byte histogram)
+      MediaRow(4L, "plain text".getBytes("UTF-8"), MediaMeta("fake/raw", 0, 0))
+    ).toDS()
+    val out = Multimodal.extractFeatures(rows).orderBy("doc_id").collect()
+    val red = out(0).features
+    assert(red.length == Multimodal.ImageCodec.Dims)
+    assert(red(0) == 8f && red(1) == 4f) // width, height from decoded pixels
+    assert(math.abs(red(2) - 1f) < 1e-3 && red(3) == 0f && red(4) == 0f) // meanR=1, G=B=0
+    // red's Rec.601 luma = 76 -> bin 4 holds the whole histogram
+    assert(math.abs(red(5 + 4) - 1f) < 1e-6)
+    val gray = out(1).features
+    assert(gray(0) == 3f && gray(1) == 5f)
+    for (c <- 2 to 4) assert(math.abs(gray(c) - 128f / 255f) < 1e-3)
+    // corrupt image bytes: stub fallback (16 dims), no exception
+    assert(out(2).features.length == 16)
+    // non-image format: stub path untouched
+    assert(out(3).features.length == 16)
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val media = Multimodal.withFakeMedia(
       Seq((1L, "x" * 640)).toDF("doc_id", "text")
