@@ -43,6 +43,31 @@ object BloomProbe {
     // the closed-form the scaladoc extrapolates with: bits = -n ln(p) / ln(2)^2
     val bits1e9 = -1e9 * math.log(fpp) / (math.log(2) * math.log(2))
     println(f"BLOOM extrapolation: 1e9 docs at fpp=$fpp -> ${bits1e9 / 8 / 1e9}%.2f GB")
+
+    // Measured (not extrapolated) big-capacity point: allocate a filter
+    // sized for `bigCapacity` items ON THE DRIVER — the shape the prebuilt
+    // overload ships to executors — and time allocation + inserting this
+    // corpus's keys + a probe sweep. args(3) overrides the capacity.
+    val bigCapacity = if (args.length > 3) args(3).toLong else 1000000000L
+    val keys = refFp
+      .select(xxhash64(col("__fp")).as("__k"))
+      .collect()
+      .map(_.getLong(0))
+    val ta = System.nanoTime()
+    val big = org.apache.spark.util.sketch.BloomFilter.create(bigCapacity, fpp)
+    val allocSec = (System.nanoTime() - ta) / 1e9
+    val ti = System.nanoTime()
+    keys.foreach(big.putLong)
+    val insertSec = (System.nanoTime() - ti) / 1e9
+    val tp = System.nanoTime()
+    var hits = 0L
+    keys.foreach(k => if (big.mightContainLong(k)) hits += 1)
+    val probeSec = (System.nanoTime() - tp) / 1e9
+    println(
+      f"BLOOM big-capacity: cap=$bigCapacity fpp=$fpp alloc=$allocSec%.2f s " +
+        f"size=${big.bitSize() / 8 / 1e9}%.2f GB insert(${keys.length})=$insertSec%.3f s " +
+        f"probe(${keys.length})=$probeSec%.3f s hits=$hits"
+    )
     spark.stop()
   }
 }

@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * Decoding dispatches on the metadata format: `image/`-prefixed payloads go
   * through a REAL decoder ([[ImageCodec]], `javax.imageio` — JDK built-in,
   * PNG/JPEG/GIF/BMP) that extracts dimensions, per-channel means and a
-  * luminance histogram from the actual pixels; anything else (including the
+  * luminance histogram from the actual pixels; `audio/`-prefixed payloads
+  * through a real PCM decoder ([[AudioCodec]], `javax.sound.sampled` —
+  * WAV/AIFF/AU sample rate, frame count, RMS/peak energy, amplitude
+  * histogram from the actual samples); anything else (including the
   * gate's synthetic text payloads) falls back to the deterministic
-  * byte-histogram stand-in ([[FakeCodec.decode]]), as does a corrupt image
+  * byte-histogram stand-in ([[FakeCodec.decode]]), as does a corrupt
   * payload — so the pipeline is total and a poisoned row can never kill a
-  * 100 TB job. Audio/video containers would slot in as further format
-  * branches with the same per-partition-init shape.
+  * 100 TB job. Video containers would slot in as a further format branch
+  * with the same per-partition-init shape.
   */
 object Multimodal {
 
@@ -122,6 +125,82 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder over `javax.sound.sampled` (JDK built-in): parses
+    * the payload's actual container (WAV/AIFF/AU), decodes PCM samples and
+    * emits `[sampleRate, channels, nFrames, rms, peak, 16-bin |amplitude|
+    * histogram]` (21 floats; amplitudes normalized to [-1,1], histogram
+    * L1-normalized). Same once-per-partition `open()` shape as
+    * [[ImageCodec]]. */
+  object AudioCodec {
+    final val Dims = 21
+
+    def open(): AudioCodec.type = this
+
+    /** None when the bytes are not a parseable audio container. */
+    def decode(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)
+        )
+        try Some(features(in))
+        finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    private def features(in: javax.sound.sampled.AudioInputStream): Array[Float] = {
+      val fmt = in.getFormat
+      val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
+      val bigEndian = fmt.isBigEndian
+      val signed =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val full = 1L << (bytesPerSample * 8)
+      val half = (full >> 1).toDouble
+      val out = new Array[Float](Dims)
+      out(0) = fmt.getSampleRate
+      out(1) = fmt.getChannels.toFloat
+      val hist = new Array[Long](16)
+      var nSamples = 0L
+      var sumSq = 0.0
+      var peak = 0.0
+      val buf = new Array[Byte](4096 - 4096 % bytesPerSample)
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i + bytesPerSample <= read) {
+          // assemble one sample, honoring endianness and signedness
+          var raw = 0L
+          var j = 0
+          while (j < bytesPerSample) {
+            val b = buf(i + (if (bigEndian) j else bytesPerSample - 1 - j)) & 0xffL
+            raw = (raw << 8) | b
+            j += 1
+          }
+          val v =
+            if (signed) { if (raw >= half) raw - full else raw }
+            else raw - half // PCM_UNSIGNED centers at half scale
+          val a = v / half // [-1, 1]
+          sumSq += a * a
+          val abs = math.abs(a)
+          if (abs > peak) peak = abs
+          hist(math.min((abs * 16).toInt, 15)) += 1
+          nSamples += 1
+          i += bytesPerSample
+        }
+        read = in.read(buf)
+      }
+      out(2) = (nSamples / math.max(fmt.getChannels, 1)).toFloat // frames
+      if (nSamples > 0) {
+        out(3) = math.sqrt(sumSq / nSamples).toFloat
+        out(4) = peak.toFloat
+        var k = 0
+        while (k < 16) { out(5 + k) = (hist(k).toDouble / nSamples).toFloat; k += 1 }
+      }
+      out
+    }
+  }
+
   /** Attach a synthetic binary payload + metadata struct to a text corpus
     * (stands in for reading real media files alongside the table). */
   def withFakeMedia(
@@ -156,10 +235,13 @@ object Multimodal {
     media.mapPartitions { rows =>
       val fake = FakeCodec.open() // once per partition
       val image = ImageCodec.open()
+      val audio = AudioCodec.open()
       rows.map { r =>
         val feats =
           if (r.meta.format.startsWith("image/"))
             image.decode(r.payload).getOrElse(fake.decode(r.payload))
+          else if (r.meta.format.startsWith("audio/"))
+            audio.decode(r.payload).getOrElse(fake.decode(r.payload))
           else fake.decode(r.payload)
         MediaFeatures(
           r.doc_id,

@@ -70,6 +70,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3).features.length == 16)
   }
 
+  /** A real in-memory WAV: 16-bit signed little-endian mono PCM sine wave. */
+  private def wavBytes(sampleRate: Float, seconds: Double, amplitude: Double, hz: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amplitude * math.sin(2 * math.Pi * hz * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio/* payloads decode REAL samples: rate, frames, RMS from actual WAV bytes") {
+    import Multimodal.{MediaMeta, MediaRow}
+    val rows = Seq(
+      // 0.5s of a 440 Hz sine at amplitude 0.5, 8 kHz mono
+      MediaRow(1L, wavBytes(8000f, 0.5, 0.5, 440), MediaMeta("audio/wav", 0, 0)),
+      // corrupt audio bytes -> stub fallback, no exception
+      MediaRow(2L, Array[Byte](9, 9, 9, 9), MediaMeta("audio/wav", 0, 0))
+    ).toDS()
+    val out = Multimodal.extractFeatures(rows).orderBy("doc_id").collect()
+    val f = out(0).features
+    assert(f.length == Multimodal.AudioCodec.Dims)
+    assert(f(0) == 8000f && f(1) == 1f) // sample rate, channels from the header
+    assert(f(2) == 4000f)               // 0.5 s * 8 kHz frames decoded
+    // RMS of a sine at amplitude a is a/sqrt(2)
+    assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 1e-3, f(3).toString)
+    assert(math.abs(f(4) - 0.5) < 1e-3) // peak
+    // amplitude histogram is L1-normalized and confined to |a| <= 0.5 bins
+    assert(math.abs(f.drop(5).sum - 1f) < 1e-3)
+    assert(f.drop(5).drop(8).forall(_ == 0f), f.drop(5).mkString(","))
+    // corrupt bytes: 16-dim stub fallback
+    assert(out(1).features.length == 16)
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val media = Multimodal.withFakeMedia(
       Seq((1L, "x" * 640)).toDF("doc_id", "text")

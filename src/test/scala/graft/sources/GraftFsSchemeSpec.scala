@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.catalog._
+
+/** A second Hadoop FileSystem scheme ("graftfs://"), backed by
+  * RawLocalFileSystem. Top-level class: Hadoop instantiates it reflectively
+  * from the `fs.graftfs.impl` config key. */
+class GraftFsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
+/** End-to-end proof that the engine's IO rides the Hadoop FileSystem API
+  * and nothing path-shaped assumes the default scheme: the q_delta_scan
+  * gate query shape — catalog load → delta log replay → parquet data scan —
+  * runs against a table whose location uses a custom-registered scheme.
+  * This is the local stand-in for the s3a:// deployment path: if a scheme
+  * the JVM has never seen works by configuration alone, an object-store
+  * scheme is config, not code.
+  */
+class GraftFsSchemeSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def withScheme[A](body: => A): A = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftFsFileSystem].getName)
+    // no per-FS cache poisoning across tests: always resolve fresh
+    conf.set("fs.graftfs.impl.disable.cache", "true")
+    body
+  }
+
+  test("delta gate query end-to-end through graftfs:// (write, log replay, scan)") {
+    withScheme {
+      val tmp = java.nio.file.Files.createTempDirectory("graftfs_delta").toString
+      val loc = s"graftfs://$tmp/supplier_delta"
+      val src = graft.Tables
+        .t(spark, SparkFixture.sfDir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      // CREATE through the custom scheme: commit JSONs + parquet data files
+      // all land via GraftFsFileSystem
+      DeltaRead.create(src, loc)
+      // READ back through the gate-query path: catalog entry -> provider
+      // dispatch -> delta log replay -> distributed parquet scan
+      val table = GlueTable(
+        "deltadb",
+        "supplier_delta",
+        GlueStorageDescriptor(
+          location = loc,
+          inputFormat = "",
+          outputFormat = "",
+          serdeInfo = GlueSerDeInfo(""),
+          columns = Seq(
+            GlueColumn("s_suppkey", "bigint"),
+            GlueColumn("s_name", "string"),
+            GlueColumn("s_nationkey", "int"),
+            GlueColumn("s_acctbal", "double")
+          )
+        ),
+        parameters = Map("table_type" -> "delta")
+      )
+      val viaScheme = new GlueCatalogProvider(new InMemoryGlueClient(Seq(table)), spark)
+        .load(table)
+        .orderBy("s_suppkey")
+        .collect()
+      val expected = src.orderBy("s_suppkey").collect()
+      assert(viaScheme.length == expected.length && viaScheme.length > 0)
+      assert(viaScheme.toSeq == expected.toSeq)
+      // the data files really carry the scheme (no silent file:// fallback)
+      val snapFiles = DeltaRead
+        .read(spark, loc)
+        .inputFiles
+      assert(snapFiles.nonEmpty && snapFiles.forall(_.startsWith("graftfs:/")), snapFiles.take(3).mkString(","))
+    }
+  }
+
+  test("unregistered scheme fails loudly (the scheme above worked by registration, not accident)") {
+    val err = intercept[Exception] {
+      DeltaRead.read(spark, "graftfs-nope:///does/not/exist").collect()
+    }
+    assert(err.getMessage != null)
+  }
+}
