@@ -1100,13 +1100,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // ---- C12: multimodal plumbing — binary payload + per-partition decode
-    // (rows-only; the codec is a deterministic stub, the plumbing is real).
+    // ---- C12: multimodal decode — mixed-modality fixture with REAL
+    // container bytes (PNG-encoded pixels every third doc, WAV-encoded PCM
+    // every third, raw text the rest), decoded by the real javax.imageio /
+    // javax.sound.sampled codecs per partition (rows-only: feature values
+    // aren't SQL-expressible; codec correctness is spec'd on known
+    // pixels/samples in MultimodalSpec).
     "multimodal_features" -> { (s, dir) =>
       import s.implicits._
       operators.Multimodal
         .extractFeatures(
-          operators.Multimodal.withFakeMedia(T(s, dir, "documents"))
+          operators.Multimodal.withSyntheticMedia(T(s, dir, "documents"))
         )
         .select(
           col("doc_id"),

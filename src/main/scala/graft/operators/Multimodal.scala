@@ -201,6 +201,80 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL media fixtures, derived from a doc id: actual
+    * PNG-encoded pixels / WAV-encoded PCM the real codecs then decode.
+    * This is how the gate exercises [[ImageCodec]]/[[AudioCodec]] on
+    * genuine container bytes without any media files in the test data. */
+  object SyntheticMedia {
+    /** 8×8 PNG whose pixel colors derive from the id. */
+    def pngFor(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val v = (id * 31 + y * 8 + x) & 0xffffff
+          img.setRGB(x, y, v.toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 50 ms of 8 kHz 16-bit mono WAV; frequency derives from the id. */
+    def wavFor(id: Long): Array[Byte] = {
+      val n = 400
+      val hz = 200 + (id % 20) * 40
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (0.4 * math.sin(2 * math.Pi * hz * i / 8000.0) * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem
+        .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Attach a mixed-modality media column to a text corpus: every third doc
+    * a REAL encoded PNG, every third a REAL encoded WAV, the rest raw text
+    * bytes — so a pipeline over the result exercises all three codec
+    * branches on genuine bytes. Encoding happens distributed, per row. */
+  def withSyntheticMedia(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id % 3) match {
+          case 0 => MediaRow(id, SyntheticMedia.pngFor(id), MediaMeta("image/png", 8, 8))
+          case 1 => MediaRow(id, SyntheticMedia.wavFor(id), MediaMeta("audio/wav", 0, 0))
+          case _ =>
+            MediaRow(
+              id,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              MediaMeta("fake/raw", text.length % 640, 480)
+            )
+        }
+      }
+  }
+
   /** Attach a synthetic binary payload + metadata struct to a text corpus
     * (stands in for reading real media files alongside the table). */
   def withFakeMedia(

@@ -110,6 +110,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).features.length == 16)
   }
 
+  test("synthetic media fixture: real PNG/WAV container bytes, all three codec branches hit") {
+    val docs = Tables.t(spark, SparkFixture.sfDir, "documents").limit(30)
+    val out = Multimodal
+      .extractFeatures(Multimodal.withSyntheticMedia(docs))
+      .collect()
+      .map(r => r.doc_id -> r.features)
+      .toMap
+    assert(out.size == 30)
+    for ((id, f) <- out) {
+      (id % 3) match {
+        case 0 => // real PNG decoded: 21 dims, width/height from the pixels
+          assert(f.length == Multimodal.ImageCodec.Dims && f(0) == 8f && f(1) == 8f, s"doc $id")
+        case 1 => // real WAV decoded: 21 dims, rate/frames from the container
+          assert(f.length == Multimodal.AudioCodec.Dims && f(0) == 8000f && f(2) == 400f, s"doc $id")
+        case _ => // raw text keeps the 16-dim byte-histogram path
+          assert(f.length == 16, s"doc $id")
+      }
+    }
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val media = Multimodal.withFakeMedia(
       Seq((1L, "x" * 640)).toDF("doc_id", "text")
