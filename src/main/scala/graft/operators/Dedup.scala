@@ -406,6 +406,47 @@ object Dedup {
     definitelyNew.unionByName(survivors).drop("__fp")
   }
 
+  /** Persist a corpus membership filter for reuse across ingest JOBS, not
+    * just batches within one JVM: the corpus-side aggregation that builds
+    * the filter is the expensive part of [[bloomNewDocs]], and a nightly
+    * ingest should pay it once, save the sketch next to the corpus, and
+    * load it per run. Rides the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * API like all engine IO — scheme-portable (file://, s3a://, ...) — and
+    * writes via temp-file + atomic rename so a concurrent loader never
+    * observes a torn filter. */
+  def saveBloom(
+      spark: SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      path: String
+  ): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}"
+    )
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out)
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"cannot move $tmp to $p")
+    }
+  }
+
+  /** Load a filter previously written by [[saveBloom]]. */
+  def loadBloom(
+      spark: SparkSession,
+      path: String
+  ): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
   /** Exact duplicate-substring spans (the token-k-gram form of Lee et al.'s
     * "Deduplicating Training Data Makes Language Models Better" suffix-array
     * dedup — the k-gram formulation is the one that distributes): every

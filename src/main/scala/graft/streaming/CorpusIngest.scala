@@ -24,6 +24,11 @@ import graft.sources.DeltaRead
   * (in production the corpus band table is maintained incrementally; here it
   * is recomputed, which the gate-scale data affords) and the batch side is
   * small; the append is a distributed parquet write plus one commit file.
+  * When exact membership is the dominant duplicate class (re-crawls,
+  * replayed feeds), [[Dedup.bloomNewDocs]] with a filter persisted via
+  * [[Dedup.saveBloom]]/[[Dedup.loadBloom]] is the production pre-filter:
+  * bloom-negative rows — most of a mostly-novel batch — skip the corpus
+  * join entirely, and the filter builds once per corpus, not per batch.
   */
 object CorpusIngest {
 

@@ -391,6 +391,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set(1L))
   }
 
+  test("bloom filter save/load round-trips through the Hadoop FS API, incl. a custom scheme") {
+    val ref = Seq((10L, "known alpha"), (11L, "known beta")).toDF("doc_id", "text")
+    val inc = Seq((1L, "known alpha"), (2L, "brand new gamma")).toDF("doc_id", "text")
+    val refFp = ref.select(TF.fingerprint($"text").as("__fp"))
+    val bloom = refFp.select(xxhash64($"__fp").as("__k")).stat.bloomFilter("__k", 2, 0.01)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // default scheme
+    Dedup.saveBloom(spark, bloom, s"$dir/corpus.bloom")
+    val loaded = Dedup.loadBloom(spark, s"$dir/corpus.bloom")
+    assert(loaded.bitSize() == bloom.bitSize())
+    val viaLoaded = Dedup
+      .bloomNewDocs(inc, loaded, refFp, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaLoaded == Set(2L))
+    // a second FileSystem scheme: same bytes through graftfs://
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[graft.sources.GraftFsFileSystem].getName)
+    conf.set("fs.graftfs.impl.disable.cache", "true")
+    Dedup.saveBloom(spark, bloom, s"graftfs://$dir/corpus2.bloom")
+    assert(Dedup.loadBloom(spark, s"graftfs://$dir/corpus2.bloom").bitSize() == bloom.bitSize())
+  }
+
   test("bloomNewDocs: null-text rows are excluded, not resurrected by the seed probe key") {
     val ref = Seq((10L, "known alpha")).toDF("doc_id", "text")
     val inc = Seq(
