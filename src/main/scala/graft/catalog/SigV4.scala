@@ -1,0 +1,179 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 request signing, implemented from the public
+  * specification ("Signing AWS API requests", AWS General Reference; also
+  * RFC drafts of the SigV4 canonicalization). This is the authentication
+  * scheme the reference's SDK client uses under the hood when it calls the
+  * live Glue service (reference: src/catalog_provider/glue.rs:44-53 builds
+  * `Client::new(&sdk_config)` — the SDK signs every request with SigV4).
+  *
+  * Pure JDK crypto (HmacSHA256 + SHA-256); no SDK dependency. The exposed
+  * intermediates (canonical request, string-to-sign, signing key) let tests
+  * verify each stage against the published AWS worked example, and let a
+  * verifying server recompute the signature from a received request.
+  */
+object SigV4 {
+
+  /** Static credentials; `sessionToken` set for STS temporary credentials
+    * (adds the `x-amz-security-token` header per the public spec). */
+  final case class Credentials(
+      accessKeyId: String,
+      secretAccessKey: String,
+      sessionToken: Option[String] = None
+  )
+
+  private val Algorithm = "AWS4-HMAC-SHA256"
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    hex(MessageDigest.getInstance("SHA-256").digest(bytes))
+
+  def hmacSha256(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  def hex(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** RFC 3986 percent-encoding with the SigV4 unreserved set
+    * (A-Z a-z 0-9 - . _ ~); everything else, including '/', is encoded.
+    * Used for query parameter names and values. */
+  def uriEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '-' || c == '.' || c == '_' || c == '~') sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Canonical query string: each name/value URI-encoded, pairs sorted by
+    * encoded name then encoded value, joined `name=value` with '&'. */
+  def canonicalQueryString(params: Seq[(String, String)]): String =
+    params
+      .map { case (k, v) => (uriEncode(k), uriEncode(v)) }
+      .sorted
+      .map { case (k, v) => s"$k=$v" }
+      .mkString("&")
+
+  /** Canonical header block per the spec: lowercase names, values trimmed
+    * with internal whitespace runs collapsed, sorted by name. Returns
+    * (canonicalHeaders, signedHeaders). */
+  def canonicalHeaders(headers: Seq[(String, String)]): (String, String) = {
+    val normalized = headers
+      .map { case (k, v) =>
+        (k.toLowerCase, v.trim.replaceAll("\\s+", " "))
+      }
+      .sortBy(_._1)
+    val block = normalized.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signed = normalized.map(_._1).mkString(";")
+    (block, signed)
+  }
+
+  def canonicalRequest(
+      method: String,
+      canonicalUri: String,
+      canonicalQuery: String,
+      headers: Seq[(String, String)],
+      payload: Array[Byte]
+  ): String = {
+    val (headerBlock, signedHeaders) = canonicalHeaders(headers)
+    Seq(
+      method,
+      canonicalUri,
+      canonicalQuery,
+      headerBlock,
+      signedHeaders,
+      sha256Hex(payload)
+    ).mkString("\n")
+  }
+
+  /** Credential scope: `date/region/service/aws4_request`. */
+  def scope(date: String, region: String, service: String): String =
+    s"$date/$region/$service/aws4_request"
+
+  def stringToSign(
+      amzDateTime: String,
+      region: String,
+      service: String,
+      canonicalReq: String
+  ): String = {
+    val date = amzDateTime.take(8)
+    Seq(
+      Algorithm,
+      amzDateTime,
+      scope(date, region, service),
+      sha256Hex(canonicalReq.getBytes(UTF_8))
+    ).mkString("\n")
+  }
+
+  /** The four-step HMAC key derivation chain. */
+  def signingKey(
+      secret: String,
+      date: String,
+      region: String,
+      service: String
+  ): Array[Byte] = {
+    val kDate = hmacSha256(s"AWS4$secret".getBytes(UTF_8), date)
+    val kRegion = hmacSha256(kDate, region)
+    val kService = hmacSha256(kRegion, service)
+    hmacSha256(kService, "aws4_request")
+  }
+
+  /** Computes the full `Authorization` header value for a request.
+    *
+    * @param headers the headers included in signing, as they will be sent
+    *                (names case-insensitive; must include host and
+    *                x-amz-date)
+    * @param amzDateTime `yyyyMMdd'T'HHmmss'Z'` UTC timestamp — must equal
+    *                    the x-amz-date header value
+    */
+  def authorizationHeader(
+      method: String,
+      canonicalUri: String,
+      canonicalQuery: String,
+      headers: Seq[(String, String)],
+      payload: Array[Byte],
+      region: String,
+      service: String,
+      amzDateTime: String,
+      creds: Credentials
+  ): String = {
+    val creq = canonicalRequest(method, canonicalUri, canonicalQuery, headers, payload)
+    val sts = stringToSign(amzDateTime, region, service, creq)
+    val date = amzDateTime.take(8)
+    val key = signingKey(creds.secretAccessKey, date, region, service)
+    val signature = hex(hmacSha256(key, sts))
+    val (_, signedHeaders) = canonicalHeaders(headers)
+    s"$Algorithm Credential=${creds.accessKeyId}/${scope(date, region, service)}, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+  }
+
+  /** Parses the SignedHeaders list out of an Authorization header value —
+    * what a verifying server needs to reconstruct the canonical request
+    * from a received request. */
+  def signedHeadersOf(authorization: String): Seq[String] =
+    authorization
+      .split(",")
+      .map(_.trim)
+      .collectFirst { case s if s.startsWith("SignedHeaders=") => s.stripPrefix("SignedHeaders=") }
+      .map(_.split(";").toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Parses the hex signature out of an Authorization header value. */
+  def signatureOf(authorization: String): Option[String] =
+    authorization
+      .split(",")
+      .map(_.trim)
+      .collectFirst { case s if s.startsWith("Signature=") => s.stripPrefix("Signature=") }
+}
