@@ -965,8 +965,13 @@ object SparkEntry {
       operators.Dedup.paragraphDedup(two, "text", "doc_id").orderBy("doc_id")
     },
 
-    // ---- C2: MinHash-LSH candidate pairs (rows-only: minhash internals are
-    // not expressible in portable SQL; exact verification is C4).
+    // ---- C2: MinHash-LSH candidate pairs. Oracled: at gate scale the
+    // banding candidate set coincides exactly with the O(n²) 3-gram
+    // Jaccard >= 0.8 pair set, so the same quadratic oracle that verifies
+    // C4 verifies the candidates directly. Recall is structural (32 bands
+    // × 4 rows: P(miss) < 1e-7 at j = 0.8); precision is data-dependent —
+    // a benign banding false-positive would surface as a row diff, flagged
+    // deliberately so a collision-rate change is visible, not silent.
     "dedup_minhash_lsh" -> { (s, dir) =>
       operators.Dedup
         .minhashCandidatePairs(T(s, dir, "documents"), "text", "doc_id")
@@ -2644,6 +2649,25 @@ object SparkEntry {
         |  coalesce(a.n_kept, 0) AS n_kept
         |FROM two t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // C2's candidates carry no jaccard column; the exact pair set IS the
+    // expected candidate set at gate scale (see the queries-side comment).
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM t
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |  ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |       / len(list_distinct(list_concat(a.s, b.s))) END, 4) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

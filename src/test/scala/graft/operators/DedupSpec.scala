@@ -413,6 +413,46 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.loadBloom(spark, s"graftfs://$dir/corpus2.bloom").bitSize() == bloom.bitSize())
   }
 
+  test("minhash banding candidates equal the exact Jaccard pair set on real corpora (gate contract)") {
+    // The dedup_minhash_lsh gate row is checked against the O(n²) exact
+    // 3-gram Jaccard >= 0.8 oracle. That only works if (a) banding recall is
+    // total — structural: 32 bands × 4 rows gives P(miss) < 1e-7 at j = 0.8 —
+    // and (b) no banding false positive survives on the gate corpus. This
+    // asserts both on the same data the driver uses.
+    for (dir <- Seq(SparkFixture.sfDir, SparkFixture.sfDirMid)) {
+      val docs = spark.read
+        .parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val sh = docs.select(
+        col("doc_id"),
+        TF.wordShingles(TF.normText(col("text")), 3).as("s")
+      )
+      val exact = sh
+        .toDF("a_id", "sa")
+        .crossJoin(sh.toDF("b_id", "sb"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(TF.jaccard(col("sa"), col("sb")), 4) >= 0.8)
+        .select("a_id", "b_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val cand = Dedup
+        .minhashCandidatePairs(docs, "text", "doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(exact.nonEmpty, s"$dir: fixture lost its planted near-dups")
+      assert(
+        exact.subsetOf(cand),
+        s"$dir: banding missed ${(exact -- cand).take(5)}"
+      )
+      assert(
+        cand == exact,
+        s"$dir: banding false positives ${(cand -- exact).take(5)}"
+      )
+    }
+  }
+
   test("bloomNewDocs: null-text rows are excluded, not resurrected by the seed probe key") {
     val ref = Seq((10L, "known alpha")).toDF("doc_id", "text")
     val inc = Seq(
