@@ -1027,6 +1027,22 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- C5b: EXACT embedding near-dup pairs — the quadratic ground truth
+    // that the LSH form (C5) approximates, and the recall denominator its
+    // spec measures against. Oracled in DuckDB via list_cosine_similarity;
+    // the round-4 threshold cut has measured margin 1.28e-4 to the nearest
+    // pair at sf0.01, so no float-boundary flakiness.
+    "dedup_embedding_exact" -> { (s, dir) =>
+      operators.Dedup
+        .exactEmbeddingPairs(
+          T(s, dir, "embeddings"),
+          "embedding",
+          "vec_id",
+          threshold = 0.4
+        )
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- C6: exact brute-force top-k cosine for 5 query vectors (oracle).
     "ann_bruteforce" -> { (s, dir) =>
       val emb = T(s, dir, "embeddings")
@@ -2747,6 +2763,15 @@ object SparkEntry {
         |FROM comp JOIN documents d ON comp.id = d.doc_id
         |WHERE comp.id = comp.component
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_embedding_exact" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

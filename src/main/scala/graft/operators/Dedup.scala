@@ -697,6 +697,39 @@ object Dedup {
       )
   }
 
+  /** EXACT embedding near-duplicate pairs: every (a_id < b_id) pair with
+    * cosine >= threshold, by full pairwise comparison — the oracle baseline
+    * that [[embeddingNearDups]] (bucketed, probabilistic recall) and
+    * semantic dedup (cluster-local) approximate. Deliberately quadratic:
+    * this is the gate-scale ground truth and the recall denominator, not
+    * the 100 TB path — at scale, run the LSH or SemDeDup form and use this
+    * on samples to measure their recall. The comparison loop is still
+    * distributed: one side broadcast (no shuffle of the big side), cosine
+    * in the codegen kernel, threshold applied before anything is
+    * materialized, so the output — not the n² candidate space — bounds
+    * memory. */
+  def exactEmbeddingPairs(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    implicit val spark: SparkSession = emb.sparkSession
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val right = broadcast(
+      base.select(col("id").as("b_id"), col("v").as("vb"))
+    )
+    base
+      .select(col("id").as("a_id"), col("v").as("va"))
+      .join(right, col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(GraftFunctions.cosineSim(col("va"), col("vb")), 4).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed by
     * random hyperplanes so the pair space is an equi-join per bucket.
     *

@@ -453,6 +453,70 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exact embedding pairs: independent re-derivation, LSH subset + measured recall") {
+    val emb = spark.read.parquet(s"${SparkFixture.sfDirMid}/embeddings.parquet")
+    val exactDf = Dedup
+      .exactEmbeddingPairs(emb, "embedding", "vec_id", threshold = 0.4)
+    val exact = exactDf
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(exact.nonEmpty, "gate corpus lost its planted near-dup embeddings")
+
+    // Independent re-derivation of the same pair set with plain Column
+    // formulations (zip_with/aggregate) instead of the codegen kernel.
+    val v = emb.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("e")
+    )
+    val ref = v
+      .toDF("a_id", "ea")
+      .crossJoin(v.toDF("b_id", "eb"))
+      .filter($"a_id" < $"b_id")
+      .withColumn(
+        "dot",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      )
+      .withColumn(
+        "na",
+        expr("sqrt(aggregate(ea, 0D, (acc, x) -> acc + x * x))")
+      )
+      .withColumn(
+        "nb",
+        expr("sqrt(aggregate(eb, 0D, (acc, x) -> acc + x * x))")
+      )
+      .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
+      .filter($"cos" >= 0.4)
+      .select("a_id", "b_id", "cos")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(ref.keySet == exact.keySet, "kernel vs Column pair sets differ")
+    val maxDiff =
+      ref.map { case (k, c) => math.abs(c - exact(k)) }.max
+    assert(maxDiff <= 1e-6, s"cos values diverge by $maxDiff")
+
+    // The LSH form verifies cosine in-bucket, so its output is structurally
+    // a SUBSET of the exact set (precision 1.0); its recall at a 0.4
+    // threshold is poor BY DESIGN — hyperplane collision probability decays
+    // with the angle, and cos 0.4 is a 66° angle, so band-collision recall
+    // is low exactly where the pairs are least similar. Assert the subset
+    // contract and a measured floor; the at-scale path for low thresholds
+    // is cluster-local semantic dedup (C27), not hyperplane LSH.
+    val lsh = Dedup
+      .embeddingNearDups(emb, "embedding", "vec_id", threshold = 0.4)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(
+      lsh.subsetOf(exact.keySet),
+      s"LSH emitted non-pairs ${(lsh -- exact.keySet).take(5)}"
+    )
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall=$recall collapsed below the measured floor")
+  }
+
   test("bloomNewDocs: null-text rows are excluded, not resurrected by the seed probe key") {
     val ref = Seq((10L, "known alpha")).toDF("doc_id", "text")
     val inc = Seq(
