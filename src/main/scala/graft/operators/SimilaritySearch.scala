@@ -231,46 +231,115 @@ object SimilaritySearch {
       )
   }
 
-  /** ANN via random-hyperplane LSH with multi-probe: each query probes its
-    * own bucket plus every 1-bit-flip neighbor (numPlanes+1 probes) — the
-    * standard trick to recover recall lost to unlucky hyperplane splits
-    * without shrinking the plane count. The probe list lives on the
-    * (broadcast) query side, so the corpus is still bucketed exactly once
-    * and the probe is an equi-join. Output shape matches [[bruteForceTopK]]. */
+  /** Recall@k contract between an exact top-k result and an approximate one
+    * (both in [[bruteForceTopK]] output shape): per query, the fraction of
+    * the exact top-k ids the approximate result returned, collapsed to a
+    * `recall_ok` boolean against `floor`. This is how a nondeterministic-
+    * looking operator becomes gate-checkable: the engine runs BOTH paths
+    * and certifies the accuracy bound; an oracle only has to assert the
+    * bound holds (a literal `true` per query), so any recall regression
+    * below the floor flips the row red. Left join from the exact side: a
+    * query the approximate path dropped entirely still yields its row,
+    * with recall 0. */
+  def recallContract(
+      exact: DataFrame,
+      approx: DataFrame,
+      k: Int,
+      floor: Double
+  ): DataFrame =
+    exact
+      .select("query_id", "vec_id")
+      .join(
+        approx.select("query_id", "vec_id").withColumn("hit", lit(1)),
+        Seq("query_id", "vec_id"),
+        "left"
+      )
+      .groupBy("query_id")
+      .agg(
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall")
+      )
+      .select(
+        col("query_id"),
+        lit(k).as("k"),
+        (col("recall") >= floor).as("recall_ok")
+      )
+
+  /** ANN via random-hyperplane LSH: `numTables` independent hash tables of
+    * `numPlanes` planes each (OR-amplification), with 1-bit multi-probe on
+    * the query side of every table.
+    *
+    * A single AND-only table has per-neighbor recall q^p (q = 1 - θ/π, the
+    * plane-agreement probability), which collapses for the moderate-cosine
+    * neighbors top-k actually returns; L independent tables lift it to
+    * 1-(1-q^p)^L at L× candidate cost — the standard recall/cost dial.
+    * All L tables come from ONE kernel evaluation: the signature is
+    * `numPlanes·numTables` (≤ 30) plane signs packed in an int, table t's
+    * bucket is its p-bit slice tagged with t in the high bits, so the
+    * corpus pays one scan, one codegen pass, and an in-task (shuffle-free)
+    * explode to its L bucket rows. Queries live on the broadcast side with
+    * their L·(p+1) probe keys (own bucket + every 1-bit flip per table);
+    * the probe is still a plain equi-join, and a pair found by several
+    * tables collapses via distinct before ranking (cosine is deterministic,
+    * so the duplicate rows are identical). Output shape matches
+    * [[bruteForceTopK]].
+    *
+    * Scale note: cost per query ≈ L·(p+1)·n/2^p candidates, so p is the
+    * log-n dial (bucket population) and L the recall dial. At 100 TB pick p
+    * so n/2^p stays a few hundred and L for the recall target; at tiny n a
+    * high-recall setting approaches brute-force cost — expected, brute
+    * force IS optimal there. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       vecCol: String,
       idCol: String,
       k: Int,
-      numPlanes: Int = 4
+      numPlanes: Int = 4,
+      numTables: Int = 1
   ): DataFrame = {
+    require(
+      numPlanes >= 1 && numTables >= 1 && numPlanes * numTables <= 30,
+      "numPlanes*numTables must be in [1,30] (packed int signature)"
+    )
     implicit val spark: SparkSession = corpus.sparkSession
+    val total = numPlanes * numTables
+    // table t's key: t in the high bits, its p-bit signature slice low
+    val sliceKeys =
+      s"transform(sequence(0, ${numTables - 1}), " +
+        s"t -> cast(shiftleft(t, $numPlanes) | " +
+        s"(shiftright(bits, t * $numPlanes) & ${(1 << numPlanes) - 1}) AS int))"
     val q = broadcast(
       queries
         .select(
           col(idCol).as("query_id"),
           col(vecCol).as("qv"),
-          GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket0")
+          GraftFunctions.hyperplaneBucket(col(vecCol), total).as("bits")
         )
-        // bucket0 plus each single-bit flip
+        // per table: own bucket plus each single-bit flip inside the slice
         .select(
           col("query_id"),
           col("qv"),
           explode(
             expr(
-              s"array_union(array(bucket0), " +
-                s"transform(sequence(0, ${numPlanes - 1}, 1), " +
-                s"b -> cast(bucket0 ^ shiftleft(1, b) AS int)))"
+              s"flatten(transform($sliceKeys, " +
+                s"key -> array_union(array(key), " +
+                s"transform(sequence(0, ${numPlanes - 1}), " +
+                s"b -> cast(key ^ shiftleft(1, b) AS int)))))"
             )
           ).as("bucket")
         )
     )
-    val c = corpus.select(
-      col(idCol).as("vec_id"),
-      col(vecCol),
-      GraftFunctions.hyperplaneBucket(col(vecCol), numPlanes).as("bucket")
-    )
+    val c = corpus
+      .select(
+        col(idCol).as("vec_id"),
+        col(vecCol),
+        GraftFunctions.hyperplaneBucket(col(vecCol), total).as("bits")
+      )
+      .select(
+        col("vec_id"),
+        col(vecCol),
+        explode(expr(sliceKeys)).as("bucket")
+      )
     val scored = c
       .join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -279,6 +348,7 @@ object SimilaritySearch {
         col("vec_id"),
         round(GraftFunctions.cosineSim(col("qv"), col(vecCol)), 4).as("cos")
       )
+      .distinct()
     topKPerGroup(scored, k)
   }
 }

@@ -57,6 +57,51 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(approx.forall { case (q, v) => q != v })
   }
 
+  test("multi-table LSH: table 0 reproduces the single table, recall is monotone in tables") {
+    val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    def ids(numTables: Int) = SimilaritySearch
+      .lshTopK(emb, queries, "embedding", "vec_id", k = 5, numPlanes = 4, numTables = numTables)
+      .select("query_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val exact = SimilaritySearch
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // table 0 of an L-table run uses the same plane slice as a 1-table run,
+    // so the candidate pool only grows with L: recall vs exact is monotone
+    def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
+    val r1 = recall(ids(1))
+    val r4 = recall(ids(4))
+    val r7 = recall(ids(7))
+    assert(r4 >= r1, s"recall dropped with tables: $r1 -> $r4")
+    assert(r7 >= r4, s"recall dropped with tables: $r4 -> $r7")
+    assert(r7 >= 0.9, s"7-table recall=$r7 below the measured band")
+  }
+
+  test("recallContract: boolean bound from measured recall, dropped query still surfaces") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 12L), (2L, 10L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L)) // query 2 entirely missing
+      .toDF("query_id", "vec_id")
+    val out = SimilaritySearch
+      .recallContract(exact, approx, k = 2, floor = 0.8)
+      .orderBy("query_id")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getBoolean(2)) // query 1: recall 1.0
+    assert(!out(1).getBoolean(2)) // query 2: recall 0.0, not silently absent
+  }
+
   test("IVF: index assigns every vector once; search recalls well") {
     val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
     val index = SimilaritySearch.ivfIndex(emb, "embedding", "vec_id", 16)
