@@ -201,6 +201,90 @@ object Multimodal {
     }
   }
 
+  /** Gate-checkable decode facts, one row per media row. Modality is
+    * derived from which REAL codec accepted the bytes (not from metadata),
+    * and the emitted values are chosen to be independently predictable:
+    * integer channel sums over the decoded pixels (PNG is lossless, so the
+    * decode must reproduce the encoded `(id*31 + pos) & 0xffffff` pattern
+    * bit-exactly — an oracle can recompute them with integer arithmetic),
+    * container facts (dimensions, frame count, sample rate) and an RMS
+    * bound for audio (the synthetic sine spans whole cycles, so RMS =
+    * A/√2 up to 16-bit truncation), and the byte length for raw payloads.
+    * Everything integer or boolean — no float-representation hazards in
+    * the hash compare. */
+  case class DecodeCheck(
+      doc_id: Long,
+      modality: String,
+      width: Option[Int],
+      height: Option[Int],
+      sum_r: Option[Long],
+      sum_g: Option[Long],
+      sum_b: Option[Long],
+      frames: Option[Long],
+      sample_rate: Option[Int],
+      rms_ok: Option[Boolean],
+      raw_bytes: Option[Long]
+  )
+
+  def decodeCheck(media: Dataset[MediaRow]): Dataset[DecodeCheck] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      ImageCodec.open()
+      AudioCodec.open()
+      rows.map { r =>
+        val none = DecodeCheck(
+          r.doc_id, "raw", None, None, None, None, None, None, None, None,
+          Some(r.payload.length.toLong)
+        )
+        val img =
+          try
+            Option(
+              javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload)
+              )
+            )
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(im) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < im.getHeight) {
+              var x = 0
+              while (x < im.getWidth) {
+                val rgb = im.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            DecodeCheck(
+              r.doc_id, "image",
+              Some(im.getWidth), Some(im.getHeight),
+              Some(sr), Some(sg), Some(sb),
+              None, None, None, None
+            )
+          case None =>
+            AudioCodec.decode(r.payload) match {
+              case Some(f) =>
+                // synthetic sine: amplitude 0.4 scaled by 32767, normalized
+                // by 32768, whole cycles -> RMS = A/sqrt(2) + truncation
+                val expected = 0.4 * 32767.0 / 32768.0 / math.sqrt(2.0)
+                DecodeCheck(
+                  r.doc_id, "audio", None, None, None, None, None,
+                  Some(f(2).toLong), Some(f(0).toInt),
+                  Some(math.abs(f(3) - expected) < 0.005),
+                  None
+                )
+              case None => none
+            }
+        }
+      }
+    }
+  }
+
   /** Deterministic REAL media fixtures, derived from a doc id: actual
     * PNG-encoded pixels / WAV-encoded PCM the real codecs then decode.
     * This is how the gate exercises [[ImageCodec]]/[[AudioCodec]] on

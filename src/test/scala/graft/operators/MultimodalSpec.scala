@@ -130,6 +130,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeCheck: modality from the codec, values recomputable from first principles") {
+    val docs = Seq(
+      (0L, "unused"),  // image
+      (1L, "unused"),  // audio
+      (2L, "héllo")    // raw: 6 UTF-8 bytes for 5 chars
+    ).toDF("doc_id", "text")
+    val out = Multimodal
+      .decodeCheck(Multimodal.withSyntheticMedia(docs))
+      .collect()
+      .map(r => r.doc_id -> r)
+      .toMap
+
+    val img = out(0L)
+    assert(img.modality == "image")
+    assert(img.width.contains(8) && img.height.contains(8))
+    // replay the synthetic pattern: pixel p of doc 0 is (0*31 + p) & 0xffffff
+    val expected = (0 until 64).map(p => (0L * 31 + p) & 0xffffff)
+    assert(img.sum_r.contains(expected.map(v => (v >> 16) & 0xff).sum))
+    assert(img.sum_g.contains(expected.map(v => (v >> 8) & 0xff).sum))
+    assert(img.sum_b.contains(expected.map(v => v & 0xff).sum))
+    assert(img.frames.isEmpty && img.raw_bytes.isEmpty)
+
+    val aud = out(1L)
+    assert(aud.modality == "audio")
+    assert(aud.frames.contains(400L) && aud.sample_rate.contains(8000))
+    assert(aud.rms_ok.contains(true)) // whole-cycle sine: RMS = A/sqrt(2)
+    assert(aud.width.isEmpty && aud.raw_bytes.isEmpty)
+
+    val raw = out(2L)
+    assert(raw.modality == "raw")
+    assert(raw.raw_bytes.contains(6L))
+    assert(raw.width.isEmpty && raw.frames.isEmpty)
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val media = Multimodal.withFakeMedia(
       Seq((1L, "x" * 640)).toDF("doc_id", "text")
