@@ -1200,6 +1200,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- C12 contract row: end-to-end decode verification. Modality is
+    // whichever REAL codec accepted the bytes; pixel channel sums, audio
+    // container facts and raw byte lengths are all independently
+    // recomputable by the oracle from doc_id/text arithmetic — so this row
+    // hash-checks that javax.imageio/javax.sound round-trip the synthetic
+    // containers bit-exactly, through the same per-partition plumbing the
+    // feature extractor uses.
+    "multimodal_decode_check" -> { (s, dir) =>
+      operators.Multimodal
+        .decodeCheck(
+          operators.Multimodal.withSyntheticMedia(T(s, dir, "documents"))
+        )
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // ---- C19: boilerplate span detection — 8-token spans repeated across
     // >= 3 distinct documents (the cross-doc repeated-substring signal that
     // drives template/boilerplate stripping). Explode is bounded by tokens
@@ -1442,6 +1458,47 @@ object SparkEntry {
           approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95")
+        )
+        .orderBy("event_type")
+    },
+
+    // ---- B52 contract row: the sketches' accuracy bounds, certified.
+    // Exact NDV is computed alongside the HLL estimate (hash-matched
+    // value); the approx-percentile values are rank-checked against the
+    // actual distribution in a second keyed pass (fraction <= approx-p50
+    // must reach 0.5-tol, fraction < it must not exceed 0.5+tol — robust
+    // to duplicate values). The oracle recomputes the exact NDV and pins
+    // the booleans, so sketch-accuracy regressions flip a hash-compared
+    // row instead of hiding behind "approximate".
+    "q_approx_stats_check" -> { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val tol = 0.02
+      val agg = ev
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a")
+        )
+      val ranks = ev
+        .join(broadcast(agg.select("event_type", "p50a", "p95a")), "event_type")
+        .groupBy("event_type")
+        .agg(
+          avg(when(col("value") <= col("p50a"), 1d).otherwise(0d)).as("le50"),
+          avg(when(col("value") < col("p50a"), 1d).otherwise(0d)).as("lt50"),
+          avg(when(col("value") <= col("p95a"), 1d).otherwise(0d)).as("le95"),
+          avg(when(col("value") < col("p95a"), 1d).otherwise(0d)).as("lt95")
+        )
+      agg
+        .join(ranks, "event_type")
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("ndv_ok"),
+          (col("le50") >= 0.5 - tol && col("lt50") <= 0.5 + tol).as("p50_ok"),
+          (col("le95") >= 0.95 - tol && col("lt95") <= 0.95 + tol).as("p95_ok")
         )
         .orderBy("event_type")
     },
@@ -2830,6 +2887,41 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // Sketch-accuracy contract row: exact NDV is hash-matched outright;
+    // the error-bound booleans are pinned true (see the queries-side
+    // comment for why that is not a tautology).
+    "q_approx_stats_check" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS ndv_ok, true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // Decode contract row: every value is recomputed from first principles —
+    // pixel channel sums by replaying the synthetic (id*31 + pos) & 0xffffff
+    // pattern the PNG encodes (lossless round-trip => bit-equal sums),
+    // audio container facts from the synthesis constants, raw lengths from
+    // the text bytes.
+    "multimodal_decode_check" ->
+      """WITH p AS (SELECT range AS i FROM range(0, 64))
+        |SELECT d.doc_id,
+        |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'raw' END AS modality,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 8 END AS width,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 8 END AS height,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((SELECT
+        |    sum(((d.doc_id * 31 + p.i) % 16777216) // 65536) FROM p)
+        |    AS BIGINT) END AS sum_r,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((SELECT
+        |    sum(((d.doc_id * 31 + p.i) % 65536) // 256) FROM p)
+        |    AS BIGINT) END AS sum_g,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((SELECT
+        |    sum((d.doc_id * 31 + p.i) % 256) FROM p)
+        |    AS BIGINT) END AS sum_b,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN CAST(400 AS BIGINT) END AS frames,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN 8000 END AS sample_rate,
+        |  CASE WHEN d.doc_id % 3 = 1 THEN true END AS rms_ok,
+        |  CASE WHEN d.doc_id % 3 = 2 THEN CAST(octet_length(encode(text))
+        |    AS BIGINT) END AS raw_bytes
+        |FROM documents d ORDER BY d.doc_id""".stripMargin,
     // Recall-contract rows: the engine certifies the accuracy bound by
     // running exact + approximate internally; the oracle pins the query
     // set, k, and the asserted bound. `true` is not a tautology — the
@@ -3786,5 +3878,43 @@ object SparkEntry {
         one("p_size", isNum = true)
       ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     }
+  )
+
+  /** The queries that deliberately ship WITHOUT a DuckDB oracle, each with
+    * the reason and the compensating verification. Machine-readable: Verify
+    * dumps this next to oracle_sql.json so the correctness artifact is
+    * self-documenting — a gate row reading "no_oracle" has its
+    * justification in the same directory. Every entry here must point at
+    * either a hash-matched contract row or a spec; QueriesSpec enforces
+    * that this map and oracleSql exactly partition the query set. */
+  def oracleExempt: Map[String, String] = Map(
+    "dedup_simhash" ->
+      ("simhash bit internals are not portable SQL; the band guarantee is " +
+        "pigeonhole (hamming <= d implies a band collision) and is spec'd " +
+        "on planted fixtures (DedupSpec); emitted hamming distances are " +
+        "exact in-engine values"),
+    "dedup_embedding" ->
+      ("bucketed LSH recall is probabilistic by design; precision is " +
+        "structural (in-bucket exact cosine verify) and spec'd as a subset " +
+        "of the HASH-MATCHED dedup_embedding_exact ground truth, with a " +
+        "measured recall floor (DedupSpec)"),
+    "ann_lsh" ->
+      ("approximate top-k; accuracy is gate-checked by the HASH-MATCHED " +
+        "ann_lsh_recall contract row (recall floor 0.8 per query, measured " +
+        "1.0 at the gate params)"),
+    "ann_ivf" ->
+      ("approximate top-k; accuracy is gate-checked by the HASH-MATCHED " +
+        "ann_ivf_recall contract row (recall floor 0.8 per query, measured " +
+        "0.9 at the gate params)"),
+    "multimodal_features" ->
+      ("float feature vectors are not portable SQL; the codec round-trip " +
+        "is gate-checked by the HASH-MATCHED multimodal_decode_check " +
+        "contract row (pixel channel sums, container facts and byte " +
+        "lengths recomputed by the oracle from first principles), and the " +
+        "codecs are spec'd on known pixels/samples (MultimodalSpec)"),
+    "q_approx_stats" ->
+      ("HLL/KLL sketch values are engine-specific; the accuracy bounds are " +
+        "gate-checked by the HASH-MATCHED q_approx_stats_check contract " +
+        "row (exact NDV value plus rank-checked percentile booleans)")
   )
 }

@@ -43,6 +43,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // why each remaining no-oracle query is exempt, and what verifies it
+    // instead — so a "no_oracle" row in the correctness artifact carries
+    // its justification in the same directory
+    val exempt = SparkEntry.oracleExempt
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_exempt.json"), exempt)
     spark.stop()
   }
 }

@@ -11,19 +11,24 @@ class QueriesSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val dir = SparkFixture.sfDir
 
-  test("every declared query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set(
-      // sketch internals not expressible in portable SQL (see SURVEY §6)
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "ann_lsh",
-      "ann_ivf", "multimodal_features",
-      // sketch aggregates: HLL/KLL internals are engine-specific; bounds
-      // asserted in the spec below instead
-      "q_approx_stats"
-    )
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
-    assert(missing.isEmpty, s"queries without oracle: $missing")
+  test("oracleSql and oracleExempt exactly partition the query set") {
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.oracleExempt.keySet
+    assert(missing.isEmpty, s"queries without oracle or exemption: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
+    val both = SparkEntry.oracleSql.keySet & SparkEntry.oracleExempt.keySet
+    assert(both.isEmpty, s"exempt queries that actually have oracles: $both")
+    val danglingExempt =
+      SparkEntry.oracleExempt.keySet -- SparkEntry.queries.keySet
+    assert(danglingExempt.isEmpty, s"exemptions without query: $danglingExempt")
+    // every exemption names its compensating evidence
+    SparkEntry.oracleExempt.foreach { case (k, why) =>
+      assert(
+        why.contains("HASH-MATCHED") || why.contains("spec"),
+        s"$k exemption cites neither a contract row nor a spec"
+      )
+    }
   }
 
   test("all queries execute and return rows at sf0.001") {
