@@ -719,15 +719,17 @@ object Dedup {
     val right = broadcast(
       base.select(col("id").as("b_id"), col("v").as("vb"))
     )
+    // Threshold lives in the join condition, AFTER the id ordering: && is
+    // short-circuited in codegen, so the kernel runs once per unordered
+    // pair (n²/2), not per orientation — and never again per output row
+    // via a post-projection filter (alias inlining would re-derive it).
+    // The cut compares the ROUNDED value so the condition is exactly the
+    // output predicate the oracle applies.
+    val cos = round(GraftFunctions.cosineSim(col("va"), col("vb")), 4)
     base
       .select(col("id").as("a_id"), col("v").as("va"))
-      .join(right, col("a_id") < col("b_id"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        round(GraftFunctions.cosineSim(col("va"), col("vb")), 4).as("cos")
-      )
-      .filter(col("cos") >= threshold)
+      .join(right, col("a_id") < col("b_id") && cos >= threshold)
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
   }
 
   /** Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed by
