@@ -84,10 +84,15 @@ object Bench {
     // millisecond precision, greedily added under a hard character budget so
     // the line always survives the driver's tail window regardless of how
     // many queries the suite grows to.
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would un-fix the very parse bug this line exists
+    // to fix.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val budget = 1500
     val entries = results
       .sortBy { case (_, (med, _)) => -med }
-      .map { case (k, (med, _)) => "\"" + k + "\":" + f"$med%.3f" }
+      .map { case (k, (med, _)) => "\"" + k + "\":" + ms(med) }
     val kept = entries
       .scanLeft(0)(_ + _.length + 1)
       .tail
@@ -96,7 +101,7 @@ object Bench {
       .map(_._2)
     val omitted = entries.size - kept.size
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${kept
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept
           .mkString("{", ",", "}")},"queries_omitted":$omitted,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
     )
     spark.stop()

@@ -83,12 +83,41 @@ object Multimodal {
       this
     }
 
-    /** None when ImageIO cannot decode the bytes (unknown/corrupt format). */
-    def decode(payload: Array[Byte]): Option[Array[Float]] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-      Option(img).map(features)
+    /** None when ImageIO cannot decode the bytes (unknown/corrupt format).
+      * Catches NonFatal, not just IOException: ImageIO plugin readers are
+      * known to throw RuntimeExceptions (NegativeArraySize, IllegalArgument,
+      * ArrayIndexOutOfBounds) on truncated headers that pass format
+      * sniffing — a poisoned payload must degrade to None, not kill the
+      * task. The ONE shared read path for both the feature extractor and
+      * the decode-check row, so they can never disagree on which bytes
+      * count as an image. */
+    def read(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try
+        Option(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        )
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    def decode(payload: Array[Byte]): Option[Array[Float]] =
+      read(payload).map(features)
+
+    /** Exact integer channel sums over the decoded pixels (the decode-check
+      * row's hash-compared facts). */
+    def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
     }
 
     def features(img: java.awt.image.BufferedImage): Array[Float] = {
@@ -138,6 +167,14 @@ object Multimodal {
 
     /** None when the bytes are not a parseable audio container. */
     def decode(payload: Array[Byte]): Option[Array[Float]] =
+      decodeFacts(payload).map(_._1)
+
+    /** Features plus the EXACT frame count as a Long: the feature array
+      * stores frames as a Float, which loses integer exactness past 2^24
+      * frames (~35 min at 8 kHz mono) — a hash-compared decode-check fact
+      * must not round-trip through that. NonFatal catch for the same
+      * poisoned-payload totality as [[ImageCodec.read]]. */
+    def decodeFacts(payload: Array[Byte]): Option[(Array[Float], Long)] =
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload)
@@ -145,11 +182,12 @@ object Multimodal {
         try Some(features(in))
         finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        case scala.util.control.NonFatal(_) => None
       }
 
-    private def features(in: javax.sound.sampled.AudioInputStream): Array[Float] = {
+    private def features(
+        in: javax.sound.sampled.AudioInputStream
+    ): (Array[Float], Long) = {
       val fmt = in.getFormat
       val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
       val bigEndian = fmt.isBigEndian
@@ -190,14 +228,15 @@ object Multimodal {
         }
         read = in.read(buf)
       }
-      out(2) = (nSamples / math.max(fmt.getChannels, 1)).toFloat // frames
+      val frames = nSamples / math.max(fmt.getChannels, 1)
+      out(2) = frames.toFloat
       if (nSamples > 0) {
         out(3) = math.sqrt(sumSq / nSamples).toFloat
         out(4) = peak.toFloat
         var k = 0
         while (k < 16) { out(5 + k) = (hist(k).toDouble / nSamples).toFloat; k += 1 }
       }
-      out
+      (out, frames)
     }
   }
 
@@ -237,29 +276,9 @@ object Multimodal {
           r.doc_id, "raw", None, None, None, None, None, None, None, None,
           Some(r.payload.length.toLong)
         )
-        val img =
-          try
-            Option(
-              javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(r.payload)
-              )
-            )
-          catch { case _: java.io.IOException => None }
-        img match {
+        ImageCodec.read(r.payload) match {
           case Some(im) =>
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < im.getHeight) {
-              var x = 0
-              while (x < im.getWidth) {
-                val rgb = im.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff
-                sg += (rgb >> 8) & 0xff
-                sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (sr, sg, sb) = ImageCodec.channelSums(im)
             DecodeCheck(
               r.doc_id, "image",
               Some(im.getWidth), Some(im.getHeight),
@@ -267,14 +286,14 @@ object Multimodal {
               None, None, None, None
             )
           case None =>
-            AudioCodec.decode(r.payload) match {
-              case Some(f) =>
+            AudioCodec.decodeFacts(r.payload) match {
+              case Some((f, frames)) =>
                 // synthetic sine: amplitude 0.4 scaled by 32767, normalized
                 // by 32768, whole cycles -> RMS = A/sqrt(2) + truncation
                 val expected = 0.4 * 32767.0 / 32768.0 / math.sqrt(2.0)
                 DecodeCheck(
                   r.doc_id, "audio", None, None, None, None, None,
-                  Some(f(2).toLong), Some(f(0).toInt),
+                  Some(frames), Some(f(0).toInt),
                   Some(math.abs(f(3) - expected) < 0.005),
                   None
                 )

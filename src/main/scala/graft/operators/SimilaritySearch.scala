@@ -250,7 +250,11 @@ object SimilaritySearch {
     exact
       .select("query_id", "vec_id")
       .join(
-        approx.select("query_id", "vec_id").withColumn("hit", lit(1)),
+        // distinct HERE, not trusted from the caller: a duplicate approx
+        // pair would fan out its exact row in the left join and inflate
+        // (h+d)/(n+d) toward 1 — an over-certified recall is exactly what
+        // this contract exists to prevent
+        approx.select("query_id", "vec_id").distinct().withColumn("hit", lit(1)),
         Seq("query_id", "vec_id"),
         "left"
       )
