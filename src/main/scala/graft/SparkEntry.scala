@@ -993,6 +993,23 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- C2b: the at-scale calibration loop as a gate row. Exact pair
+    // ground truth within a deterministic half-sample (quadratic only on
+    // the sample), minhash banding at FULL corpus scale, recall of
+    // sample-internal truth measured and bounded. The oracle recomputes
+    // the sample size and exact pair count (hash-matched values) and pins
+    // the recall bound.
+    "dedup_recall_sample" -> { (s, dir) =>
+      operators.Dedup.minhashSampledRecall(
+        T(s, dir, "documents"),
+        "text",
+        "doc_id",
+        threshold = 0.8,
+        modulus = 2,
+        floor = 0.8
+      )
+    },
+
     // ---- C4b: pairs → duplicate clusters via connected components (oracle:
     // recursive-CTE transitive closure over the same verified pair set).
     "dedup_clusters" -> { (s, dir) =>
@@ -2799,6 +2816,28 @@ object SparkEntry {
         |  ELSE len(list_intersect(a.s, b.s))::DOUBLE
         |       / len(list_distinct(list_concat(a.s, b.s))) END, 4) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    // Sampled-recall calibration row: sample size and exact-pair count are
+    // hash-matched values; the recall bound is pinned (engine-computed).
+    "dedup_recall_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM t
+        |), e AS (
+        |  SELECT count(*) AS exact_pairs
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |    ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |         / len(list_distinct(list_concat(a.s, b.s))) END, 4) >= 0.8
+        |), n AS (
+        |  SELECT count(*) AS n_sample FROM documents WHERE doc_id % 2 = 0
+        |)
+        |SELECT n.n_sample, e.exact_pairs, true AS recall_ok FROM n, e""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

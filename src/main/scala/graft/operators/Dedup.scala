@@ -697,6 +697,77 @@ object Dedup {
       )
   }
 
+  /** EXACT n-gram Jaccard pairs by full pairwise comparison — the text
+    * counterpart of [[exactEmbeddingPairs]]: the ground truth the banding
+    * path approximates, quadratic BY DESIGN (gate scale / samples only;
+    * see [[minhashSampledRecall]] for the at-scale use). One side
+    * broadcast, threshold short-circuited in the join condition behind
+    * the cheap id ordering. */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleK: Int = 3
+  ): DataFrame = {
+    implicit val spark: SparkSession = docs.sparkSession
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TF.wordShingles(TF.normText(col(textCol)), shingleK).as("s")
+    )
+    val jac = round(TF.jaccard(col("sa"), col("sb")), 4)
+    sh
+      .select(col("id").as("a_id"), col("s").as("sa"))
+      .join(
+        broadcast(sh.select(col("id").as("b_id"), col("s").as("sb"))),
+        col("a_id") < col("b_id") && jac >= threshold
+      )
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+  }
+
+  /** Sampled-recall calibration — the loop that keeps an approximate dedup
+    * path honest at 100 TB, packaged as an operator: draw a deterministic
+    * id-keyed sample (`idCol % modulus == 0`; key-based so both engines
+    * and both sides of a pair agree on membership with no RNG), compute
+    * the EXACT pair ground truth WITHIN the sample (quadratic only on the
+    * sample), run the approximate path at FULL corpus scale, and measure
+    * how many sample-internal ground-truth pairs it found. Output is one
+    * summary row: sample size, exact pair count (both oracle-checkable),
+    * and the recall bound as a contract boolean. */
+  def minhashSampledRecall(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      modulus: Int,
+      floor: Double
+  ): DataFrame = {
+    val sample = docs.filter(pmod(col(idCol), lit(modulus)) === 0)
+    val exact = exactJaccardPairs(sample, textCol, idCol, threshold)
+      .select("a_id", "b_id")
+    val found = minhashCandidatePairs(docs, textCol, idCol)
+      .filter(
+        pmod(col("a_id"), lit(modulus)) === 0 &&
+          pmod(col("b_id"), lit(modulus)) === 0
+      )
+    val stats = exact
+      .join(found.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
+      .agg(
+        count(lit(1)).as("exact_pairs"),
+        sum(coalesce(col("hit"), lit(0))).as("found_pairs")
+      )
+    sample
+      .agg(count(lit(1)).as("n_sample"))
+      .crossJoin(stats)
+      .select(
+        col("n_sample"),
+        col("exact_pairs"),
+        when(col("exact_pairs") === 0, lit(true))
+          .otherwise(col("found_pairs") / col("exact_pairs") >= floor)
+          .as("recall_ok")
+      )
+  }
+
   /** EXACT embedding near-duplicate pairs: every (a_id < b_id) pair with
     * cosine >= threshold, by full pairwise comparison — the oracle baseline
     * that [[embeddingNearDups]] (bucketed, probabilistic recall) and

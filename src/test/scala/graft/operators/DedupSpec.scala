@@ -423,15 +423,8 @@ class DedupSpec extends AnyFunSuite {
       val docs = spark.read
         .parquet(s"$dir/documents.parquet")
         .select("doc_id", "text")
-      val sh = docs.select(
-        col("doc_id"),
-        TF.wordShingles(TF.normText(col("text")), 3).as("s")
-      )
-      val exact = sh
-        .toDF("a_id", "sa")
-        .crossJoin(sh.toDF("b_id", "sb"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(round(TF.jaccard(col("sa"), col("sb")), 4) >= 0.8)
+      val exact = Dedup
+        .exactJaccardPairs(docs, "text", "doc_id", threshold = 0.8)
         .select("a_id", "b_id")
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
@@ -451,6 +444,42 @@ class DedupSpec extends AnyFunSuite {
         s"$dir: banding false positives ${(cand -- exact).take(5)}"
       )
     }
+  }
+
+  test("sampled recall: exact-in-sample truth vs full-corpus banding, edge cases") {
+    // the gate corpora: banding finds every exact pair, so the sampled
+    // restriction must too — and the summary's counts must match a direct
+    // computation of the sample's ground truth
+    for (dir <- Seq(SparkFixture.sfDir, SparkFixture.sfDirMid)) {
+      val docs = spark.read
+        .parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val row = Dedup
+        .minhashSampledRecall(docs, "text", "doc_id", 0.8, modulus = 2, floor = 0.8)
+        .collect()
+        .head
+      val sample = docs.filter(pmod($"doc_id", lit(2)) === 0)
+      assert(row.getAs[Long]("n_sample") == sample.count())
+      val directExact = Dedup
+        .exactJaccardPairs(sample, "text", "doc_id", 0.8)
+        .count()
+      assert(row.getAs[Long]("exact_pairs") == directExact)
+      assert(directExact > 0, s"$dir: sample lost all planted pairs")
+      assert(row.getAs[Boolean]("recall_ok"), s"$dir: recall below floor")
+    }
+    // pair-free sample: the bound is vacuously true, not null/false
+    val loners = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "this odd doc is outside the sample")
+    ).toDF("doc_id", "text")
+    val edge = Dedup
+      .minhashSampledRecall(loners, "text", "doc_id", 0.8, modulus = 2, floor = 0.8)
+      .collect()
+      .head
+    assert(edge.getAs[Long]("n_sample") == 2L)
+    assert(edge.getAs[Long]("exact_pairs") == 0L)
+    assert(edge.getAs[Boolean]("recall_ok"))
   }
 
   test("exact embedding pairs: independent re-derivation, LSH subset + measured recall") {
