@@ -80,19 +80,28 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"sf":"$sfDir"}"""
     )
-    // Stdout line: heaviest queries first (they are the perf signal), each at
-    // millisecond precision, greedily added under a hard character budget so
-    // the line always survives the driver's tail window regardless of how
-    // many queries the suite grows to.
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-    // comma-decimal locale would un-fix the very parse bug this line exists
-    // to fix.
+    println(summaryLine(results.map { case (k, (med, _)) => k -> med }, total, sfDir))
+    spark.stop()
+  }
+
+  /** The stdout contract line: heaviest queries first (they are the perf
+    * signal), each at millisecond precision, greedily added under a hard
+    * character budget so the line always survives the driver's ~2000-char
+    * tail window regardless of how many queries the suite grows to.
+    * Locale.ROOT throughout — the f-interpolator formats with the JVM
+    * default locale, and a comma-decimal locale would un-fix the very
+    * parse bug this line exists to fix. */
+  private[graft] def summaryLine(
+      medians: Seq[(String, Double)],
+      total: Double,
+      sfDir: String,
+      budget: Int = 1500
+  ): String = {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val budget = 1500
-    val entries = results
-      .sortBy { case (_, (med, _)) => -med }
-      .map { case (k, (med, _)) => "\"" + k + "\":" + ms(med) }
+    val entries = medians
+      .sortBy { case (_, med) => -med }
+      .map { case (k, med) => "\"" + k + "\":" + ms(med) }
     val kept = entries
       .scanLeft(0)(_ + _.length + 1)
       .tail
@@ -100,10 +109,7 @@ object Bench {
       .takeWhile(_._1 <= budget)
       .map(_._2)
     val omitted = entries.size - kept.size
-    println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept
-          .mkString("{", ",", "}")},"queries_omitted":$omitted,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    )
-    spark.stop()
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept
+        .mkString("{", ",", "}")},"queries_omitted":$omitted,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
   }
 }

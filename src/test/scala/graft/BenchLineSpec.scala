@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout line is a wire contract: the driver parses it out of a
+  * ~2000-char tail window. These tests pin the properties that keep it
+  * parseable — budget, ordering, and locale independence — without a Spark
+  * session. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val many =
+    (1 to 200).map(i => (s"query_with_a_long_name_$i", i * 0.017))
+
+  test("line stays under budget + wrapper overhead and stays valid") {
+    val line = Bench.summaryLine(many, many.map(_._2).sum, "/data/sf0.1")
+    assert(line.length <= 1500 + 200, s"line length ${line.length}")
+    // structural sanity a JSON parser relies on
+    assert(line.startsWith("{\"metric\":\"total\""))
+    assert(line.endsWith("\"}"))
+    assert(line.count(_ == '{') == 2 && line.count(_ == '}') == 2)
+    assert(line.contains("\"queries_omitted\":"))
+  }
+
+  test("heaviest queries survive the cut, in descending order") {
+    val line = Bench.summaryLine(many, 1.0, "sf")
+    val kept = "\"(query_with_a_long_name_\\d+)\":([0-9.]+)".r
+      .findAllMatchIn(line)
+      .map(m => m.group(2).toDouble)
+      .toSeq
+    assert(kept.nonEmpty && kept == kept.sorted.reverse)
+    assert(math.abs(kept.head - 200 * 0.017) < 0.001)
+    val omitted = "\"queries_omitted\":(\\d+)".r
+      .findFirstMatchIn(line).get.group(1).toInt
+    assert(kept.size + omitted == many.size)
+  }
+
+  test("small suites fit whole: nothing omitted") {
+    val line = Bench.summaryLine(Seq("a" -> 0.5, "b" -> 0.25), 0.75, "sf")
+    assert(line.contains("\"queries_omitted\":0"))
+    assert(line.contains("\"a\":0.500") && line.contains("\"b\":0.250"))
+  }
+
+  test("formatting ignores a comma-decimal default locale") {
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      val line = Bench.summaryLine(Seq("q" -> 1.234567), 1.234567, "sf")
+      assert(line.contains("\"q\":1.235"), line)
+      assert(!line.contains("1,23"), s"locale leaked into the wire line: $line")
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
