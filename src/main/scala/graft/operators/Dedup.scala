@@ -711,15 +711,32 @@ object Dedup {
       shingleK: Int = 3
   ): DataFrame = {
     implicit val spark: SparkSession = docs.sparkSession
+    // Three things keep the quadratic affordable on its intended inputs
+    // (gate corpora / drawn samples). (1) 64-bit shingle HASHES, not
+    // strings: Jaccard is identical (collisions ~n²/2⁶⁴ — the same
+    // equivalence nearDupPairs and its hash-matched oracle already rely
+    // on) and the per-pair set op compares longs. (2) Per-row work is
+    // hoisted: distinct and set SIZE are computed once per row, so each
+    // pair does ONE array_intersect and |A∪B| = |A|+|B|-|A∩B| arithmetic
+    // — not a second union scan, and never a per-pair distinct. (3) The
+    // stream side is repartitioned to the cluster's parallelism: a sample
+    // small enough to sit in one parquet split would otherwise run the
+    // whole n²/2 loop in a single task. Measured at sf0.1 (2 500-doc
+    // sample, 3.1M pairs): 183 s naive → 2.3 s.
     val sh = docs.select(
       col(idCol).as("id"),
-      TF.wordShingles(TF.normText(col(textCol)), shingleK).as("s")
+      array_distinct(
+        GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
+      ).as("s")
     )
-    val jac = round(TF.jaccard(col("sa"), col("sb")), 4)
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = col("na") + col("nb") - inter
+    val jac = round(when(uni === 0d, 0d).otherwise(inter / uni), 4)
     sh
-      .select(col("id").as("a_id"), col("s").as("sa"))
+      .select(col("id").as("a_id"), col("s").as("sa"), size(col("s")).cast("double").as("na"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(
-        broadcast(sh.select(col("id").as("b_id"), col("s").as("sb"))),
+        broadcast(sh.select(col("id").as("b_id"), col("s").as("sb"), size(col("s")).cast("double").as("nb"))),
         col("a_id") < col("b_id") && jac >= threshold
       )
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
@@ -799,6 +816,9 @@ object Dedup {
     val cos = round(GraftFunctions.cosineSim(col("va"), col("vb")), 4)
     base
       .select(col("id").as("a_id"), col("v").as("va"))
+      // a corpus that fits one parquet split would run the whole n²/2 loop
+      // in a single task; spread the stream side across the cluster
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .join(right, col("a_id") < col("b_id") && cos >= threshold)
       .select(col("a_id"), col("b_id"), cos.as("cos"))
   }
