@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the forked Bench main's stdout tail for a bare JSON
+// line. sbt's default LoggedOutput strategy decorates forked stdout as
+// "[info] ..." and then appends its own "[success] Total time..." line,
+// so a last-line JSON parse never succeeds (rounds 1-8: parsed:null).
+// StdoutOutput passes the forked process's streams through raw, and
+// showSuccess drops the trailing [success] line so the program's final
+// println stays the final stdout line. tools/check_bench_line.py
+// replicates the parse against a captured run.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

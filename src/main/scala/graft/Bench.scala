@@ -35,7 +35,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the summary line below must be the LAST stdout the
+    // driver sees, and WARN-level noise (e.g. WindowExec's single-partition
+    // warning from q_window_range's deliberately-global RANGE window over
+    // pre-aggregated days) competes with it for the ~2000-char tail window.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warm the catalog once (registration is metadata-only but not free).
     Tables.provider(spark, sfDir)
@@ -80,8 +84,14 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"sf":"$sfDir"}"""
     )
-    println(summaryLine(results.map { case (k, (med, _)) => k -> med }, total, sfDir))
+    // Stop Spark BEFORE printing: executor/context shutdown logs anything
+    // it still has to say first, so the summary line is the last thing on
+    // stdout — the driver's parser (bare JSON, last line of the captured
+    // tail) then always sees it. Verified by tools/check_bench_line.py
+    // against a real captured run.
     spark.stop()
+    println(summaryLine(results.map { case (k, (med, _)) => k -> med }, total, sfDir))
+    System.out.flush()
   }
 
   /** The stdout contract line: heaviest queries first (they are the perf

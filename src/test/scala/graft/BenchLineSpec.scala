@@ -40,13 +40,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"a\":0.500") && line.contains("\"b\":0.250"))
   }
 
-  test("formatting ignores a comma-decimal default locale") {
-    val prev = java.util.Locale.getDefault
-    java.util.Locale.setDefault(java.util.Locale.GERMANY)
-    try {
-      val line = Bench.summaryLine(Seq("q" -> 1.234567), 1.234567, "sf")
-      assert(line.contains("\"q\":1.235"), line)
-      assert(!line.contains("1,23"), s"locale leaked into the wire line: $line")
-    } finally java.util.Locale.setDefault(prev)
+  test("wire formatting is pinned to Locale.ROOT (comma-decimal immunity)") {
+    // No Locale.setDefault here: that mutates JVM-global state, and sbt runs
+    // suites in parallel inside the forked test JVM — a concurrent test that
+    // formats numbers could observe GERMANY and fail spuriously. Instead,
+    // build both candidate renderings explicitly and pin the wire line (and
+    // the formatter it uses) to the ROOT one.
+    val root = String.format(java.util.Locale.ROOT, "%.3f", Double.box(1.234567))
+    val german = String.format(java.util.Locale.GERMANY, "%.3f", Double.box(1.234567))
+    assert(root == "1.235" && german == "1,235") // the locales genuinely disagree
+    val line = Bench.summaryLine(Seq("q" -> 1.234567), 1.234567, "sf")
+    assert(line.contains("\"q\":" + root), line)
+    assert(!line.contains("\"q\":" + german), s"locale leaked into the wire line: $line")
   }
 }

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Replicate the driver's bench parse against a captured `sbt "runMain
+graft.Bench"` output, so the stdout contract is proven end-to-end instead
+of assumed (rounds 1-8 all produced BENCH parsed:null).
+
+The driver keeps roughly the final 2000 characters of the run's output and
+parses a bare JSON line out of it — almost certainly the last line. This
+script asserts, on a capture file (or stdin):
+
+  1. the last non-empty line is bare JSON (no sbt "[info]" decoration),
+  2. it is the summary contract line ({"metric":"total",...,"queries":{...}}),
+  3. the WHOLE line fits inside the final 2000 characters of the capture
+     (so a tail-window driver sees all of it, not a truncated prefix).
+
+Usage: tools/check_bench_line.py [captured-output-file]
+Exits non-zero with a diagnostic on any failure.
+"""
+import json
+import sys
+
+TAIL_WINDOW = 2000
+
+
+def main() -> int:
+    data = open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
+    lines = [l for l in data.splitlines() if l.strip()]
+    if not lines:
+        print("FAIL: capture is empty", file=sys.stderr)
+        return 1
+    last = lines[-1]
+    if last.lstrip().startswith("["):
+        print(f"FAIL: last line is sbt-decorated, not bare JSON: {last[:120]!r}",
+              file=sys.stderr)
+        return 1
+    try:
+        obj = json.loads(last)
+    except json.JSONDecodeError as e:
+        print(f"FAIL: last line does not json-parse ({e}): {last[:200]!r}",
+              file=sys.stderr)
+        return 1
+    for key in ("metric", "value", "unit", "queries"):
+        if key not in obj:
+            print(f"FAIL: parsed JSON missing key {key!r}: {obj}", file=sys.stderr)
+            return 1
+    if obj["metric"] != "total" or not isinstance(obj["queries"], dict):
+        print(f"FAIL: not the summary contract line: {obj}", file=sys.stderr)
+        return 1
+    tail = data[-TAIL_WINDOW:]
+    if last not in tail:
+        print(f"FAIL: summary line ({len(last)} chars) does not fit whole "
+              f"inside the final {TAIL_WINDOW}-char tail window", file=sys.stderr)
+        return 1
+    print(f"OK: last line is bare JSON, {len(last)} chars, "
+          f"{len(obj['queries'])} queries, total={obj['value']} {obj['unit']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
