@@ -1,0 +1,132 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** The AWS default credential/region provider chain, as the public SDKs
+  * document it and as the reference inherits it through
+  * `aws_config::SdkConfig` (reference: src/catalog_provider/glue.rs:44 —
+  * `GlueCatalogProvider::new(sdk_config, ...)` never takes explicit keys).
+  *
+  * Resolution order (first hit wins):
+  *
+  *   1. Environment variables — `AWS_ACCESS_KEY_ID` +
+  *      `AWS_SECRET_ACCESS_KEY` (+ optional `AWS_SESSION_TOKEN`); region
+  *      from `AWS_REGION`, then `AWS_DEFAULT_REGION`.
+  *   2. The shared credentials file — `~/.aws/credentials` (overridable via
+  *      `AWS_SHARED_CREDENTIALS_FILE`), profile selected by `AWS_PROFILE`
+  *      (default `default`); region additionally consults `~/.aws/config`
+  *      (`AWS_CONFIG_FILE`), where non-default profiles are written as
+  *      `[profile <name>]` sections per the public file-format docs.
+  *   3. Explicit [[SigV4.Credentials]] passed by the caller (the
+  *      constructors that take creds skip the chain entirely).
+  *
+  * The chain's later links in the real SDK — ECS container credentials and
+  * EC2 IMDS — need live metadata endpoints this zero-egress sandbox cannot
+  * reach, so they are intentionally absent; a deployment that relies on
+  * them passes explicit credentials instead. Everything here is pure local
+  * logic: the environment is injected (not read from globals) so specs can
+  * exercise every branch hermetically.
+  */
+object AwsCredentialsChain {
+
+  /** Injected view of the process environment + filesystem home, so the
+    * chain is testable without mutating JVM globals. */
+  final case class Env(
+      getenv: String => Option[String],
+      home: Path
+  )
+
+  /** The real process environment (what production callers use). */
+  def systemEnv: Env = Env(
+    k => Option(System.getenv(k)).filter(_.nonEmpty),
+    Paths.get(sys.props.getOrElse("user.home", "/"))
+  )
+
+  /** Resolve credentials through the chain; `None` when no link yields a
+    * complete key pair. */
+  def resolveCredentials(env: Env = systemEnv): Option[SigV4.Credentials] =
+    fromEnvVars(env).orElse(fromSharedCredentialsFile(env))
+
+  /** Resolve the region: env vars, then the selected profile's `region` key
+    * in the credentials file, then the config file. */
+  def resolveRegion(env: Env = systemEnv): Option[String] = {
+    def fromFile(path: Path, section: String): Option[String] =
+      parseIni(path).get(section).flatMap(_.get("region"))
+    env
+      .getenv("AWS_REGION")
+      .orElse(env.getenv("AWS_DEFAULT_REGION"))
+      .orElse(fromFile(credentialsFile(env), profile(env)))
+      .orElse(fromFile(configFile(env), configSection(env)))
+  }
+
+  private def fromEnvVars(env: Env): Option[SigV4.Credentials] =
+    for {
+      access <- env.getenv("AWS_ACCESS_KEY_ID")
+      secret <- env.getenv("AWS_SECRET_ACCESS_KEY")
+    } yield SigV4.Credentials(access, secret, env.getenv("AWS_SESSION_TOKEN"))
+
+  private def fromSharedCredentialsFile(env: Env): Option[SigV4.Credentials] =
+    parseIni(credentialsFile(env)).get(profile(env)).flatMap { section =>
+      for {
+        access <- section.get("aws_access_key_id")
+        secret <- section.get("aws_secret_access_key")
+      } yield SigV4.Credentials(access, secret, section.get("aws_session_token"))
+    }
+
+  private def profile(env: Env): String =
+    env.getenv("AWS_PROFILE").getOrElse("default")
+
+  /** In the CONFIG file (unlike the credentials file), non-default profiles
+    * are headed `[profile <name>]` — a documented asymmetry of the format. */
+  private def configSection(env: Env): String = profile(env) match {
+    case "default" => "default"
+    case p         => s"profile $p"
+  }
+
+  private def credentialsFile(env: Env): Path =
+    env
+      .getenv("AWS_SHARED_CREDENTIALS_FILE")
+      .map(Paths.get(_))
+      .getOrElse(env.home.resolve(".aws").resolve("credentials"))
+
+  private def configFile(env: Env): Path =
+    env
+      .getenv("AWS_CONFIG_FILE")
+      .map(Paths.get(_))
+      .getOrElse(env.home.resolve(".aws").resolve("config"))
+
+  /** Minimal INI reader for the AWS shared-file format: `[section]` headers,
+    * `key = value` lines, `#`/`;` full-line comments, keys lowercased
+    * (values kept verbatim — secret keys are case-sensitive). Malformed or
+    * unreadable files resolve to empty — the chain then falls through, the
+    * same forgiving behavior the SDKs document. */
+  private[catalog] def parseIni(path: Path): Map[String, Map[String, String]] = {
+    if (!Files.isRegularFile(path)) return Map.empty
+    val lines =
+      try Files.readAllLines(path, UTF_8).asScala.toSeq
+      catch { case _: java.io.IOException => return Map.empty }
+    val out = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    var current: Option[String] = None
+    for (raw <- lines) {
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          current = Some(line.substring(1, line.length - 1).trim)
+          out.getOrElseUpdate(current.get, Map.empty)
+        } else {
+          (current, line.indexOf('=')) match {
+            case (Some(section), eq) if eq > 0 =>
+              val key = line.substring(0, eq).trim.toLowerCase
+              val value = line.substring(eq + 1).trim
+              out(section) = out(section) + (key -> value)
+            case _ => // orphan line before any section / no '=': skip
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+}

@@ -281,4 +281,49 @@ object AwsWireGlueClient {
     new AwsWireGlueClient(
       new AwsWireGlueApi(URI.create(s"https://glue.$region.amazonaws.com"), region, creds)
     )
+
+  /** Default-chain constructor, matching how the reference inherits
+    * credentials from `SdkConfig` (glue.rs:44): env vars → shared
+    * credentials file profile ([[AwsCredentialsChain]]). Throws with an
+    * actionable message when no link of the chain yields credentials. */
+  def apply(
+      region: String,
+      env: AwsCredentialsChain.Env
+  ): AwsWireGlueClient =
+    apply(region, resolveCreds(env))
+
+  def apply(region: String): AwsWireGlueClient =
+    apply(region, AwsCredentialsChain.systemEnv)
+
+  /** Fully-default constructor: region AND credentials from the chain
+    * (`AWS_REGION`/`AWS_DEFAULT_REGION` env, then the profile's `region`
+    * key) — the zero-argument parity point with the reference's
+    * `aws_config::load_from_env()` usage. */
+  def apply(): AwsWireGlueClient = {
+    val env = AwsCredentialsChain.systemEnv
+    apply(resolveRegion(env), env)
+  }
+
+  private[catalog] def resolveCreds(
+      env: AwsCredentialsChain.Env
+  ): SigV4.Credentials =
+    AwsCredentialsChain
+      .resolveCredentials(env)
+      .getOrElse(
+        throw new GlueCatalogException(
+          "No AWS credentials found: set AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, " +
+            "configure a profile in ~/.aws/credentials (AWS_PROFILE to select), " +
+            "or pass SigV4.Credentials explicitly"
+        )
+      )
+
+  private[catalog] def resolveRegion(env: AwsCredentialsChain.Env): String =
+    AwsCredentialsChain
+      .resolveRegion(env)
+      .getOrElse(
+        throw new GlueCatalogException(
+          "No AWS region found: set AWS_REGION/AWS_DEFAULT_REGION, add a " +
+            "region key to the active profile, or pass the region explicitly"
+        )
+      )
 }

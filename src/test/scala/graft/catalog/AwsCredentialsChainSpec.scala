@@ -1,0 +1,243 @@
+package graft.catalog
+
+import java.net.{InetSocketAddress, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import java.time.Instant
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The AWS default credential/region provider chain — the behavior the
+  * reference inherits from `aws_config::SdkConfig`
+  * (reference: src/catalog_provider/glue.rs:44) — exercised hermetically:
+  * the environment is injected, profile files live in a temp dir, and the
+  * end-to-end test drives a chain-resolved client through an in-process
+  * server that re-derives the SigV4 signature from the SAME secret the
+  * chain read out of the temp credentials file.
+  */
+class AwsCredentialsChainSpec extends AnyFunSuite {
+
+  private def env(
+      home: Path,
+      vars: (String, String)*
+  ): AwsCredentialsChain.Env = {
+    val m = vars.toMap
+    AwsCredentialsChain.Env(k => m.get(k), home)
+  }
+
+  private def withHome[A](f: Path => A): A = {
+    val home = Files.createTempDirectory("aws-chain-home")
+    try f(home)
+    finally {
+      import scala.jdk.CollectionConverters._
+      Files
+        .walk(home)
+        .iterator()
+        .asScala
+        .toSeq
+        .reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private def writeAws(home: Path, name: String, content: String): Path = {
+    val dir = home.resolve(".aws")
+    Files.createDirectories(dir)
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(UTF_8))
+    p
+  }
+
+  // ---- link 1: environment variables ----
+
+  test("env vars yield credentials, session token optional") {
+    withHome { home =>
+      val e = env(home, "AWS_ACCESS_KEY_ID" -> "AKIDENV", "AWS_SECRET_ACCESS_KEY" -> "sEnv")
+      assert(AwsCredentialsChain.resolveCredentials(e).contains(
+        SigV4.Credentials("AKIDENV", "sEnv", None)))
+      val e2 = env(home,
+        "AWS_ACCESS_KEY_ID" -> "AKIDENV",
+        "AWS_SECRET_ACCESS_KEY" -> "sEnv",
+        "AWS_SESSION_TOKEN" -> "tok")
+      assert(AwsCredentialsChain.resolveCredentials(e2).contains(
+        SigV4.Credentials("AKIDENV", "sEnv", Some("tok"))))
+    }
+  }
+
+  test("env vars win over the shared credentials file") {
+    withHome { home =>
+      writeAws(home, "credentials",
+        "[default]\naws_access_key_id = AKIDFILE\naws_secret_access_key = sFile\n")
+      val e = env(home, "AWS_ACCESS_KEY_ID" -> "AKIDENV", "AWS_SECRET_ACCESS_KEY" -> "sEnv")
+      assert(AwsCredentialsChain.resolveCredentials(e)
+        .map(_.accessKeyId).contains("AKIDENV"))
+    }
+  }
+
+  test("a partial env pair (access key only) falls through to the file") {
+    withHome { home =>
+      writeAws(home, "credentials",
+        "[default]\naws_access_key_id = AKIDFILE\naws_secret_access_key = sFile\n")
+      val e = env(home, "AWS_ACCESS_KEY_ID" -> "AKIDENV")
+      assert(AwsCredentialsChain.resolveCredentials(e)
+        .map(_.accessKeyId).contains("AKIDFILE"))
+    }
+  }
+
+  // ---- link 2: shared credentials file ----
+
+  test("default profile from ~/.aws/credentials, with comments and spacing") {
+    withHome { home =>
+      writeAws(home, "credentials",
+        """# shared credentials
+          |[default]
+          |aws_access_key_id=AKIDFILE
+          |aws_secret_access_key =  sFile/with=equals
+          |; trailing comment
+          |aws_session_token = stok
+          |""".stripMargin)
+      assert(AwsCredentialsChain.resolveCredentials(env(home)).contains(
+        SigV4.Credentials("AKIDFILE", "sFile/with=equals", Some("stok"))))
+    }
+  }
+
+  test("AWS_PROFILE selects a named section; keys are case-insensitive") {
+    withHome { home =>
+      writeAws(home, "credentials",
+        """[default]
+          |aws_access_key_id = AKIDDEFAULT
+          |aws_secret_access_key = sDefault
+          |[prod]
+          |AWS_ACCESS_KEY_ID = AKIDPROD
+          |Aws_Secret_Access_Key = sProd
+          |""".stripMargin)
+      assert(AwsCredentialsChain.resolveCredentials(env(home, "AWS_PROFILE" -> "prod"))
+        .contains(SigV4.Credentials("AKIDPROD", "sProd", None)))
+    }
+  }
+
+  test("AWS_SHARED_CREDENTIALS_FILE relocates the credentials file") {
+    withHome { home =>
+      val alt = Files.createTempDirectory("aws-alt").resolve("creds.ini")
+      Files.write(alt,
+        "[default]\naws_access_key_id = AKIDALT\naws_secret_access_key = sAlt\n"
+          .getBytes(UTF_8))
+      try {
+        assert(AwsCredentialsChain
+          .resolveCredentials(env(home, "AWS_SHARED_CREDENTIALS_FILE" -> alt.toString))
+          .map(_.accessKeyId).contains("AKIDALT"))
+      } finally { Files.deleteIfExists(alt); Files.deleteIfExists(alt.getParent) }
+    }
+  }
+
+  test("missing file, missing profile, malformed file all resolve to None") {
+    withHome { home =>
+      assert(AwsCredentialsChain.resolveCredentials(env(home)).isEmpty)
+      writeAws(home, "credentials", "[other]\naws_access_key_id = x\n")
+      assert(AwsCredentialsChain.resolveCredentials(env(home)).isEmpty)
+      writeAws(home, "credentials", "not an ini file at all ===[[[")
+      assert(AwsCredentialsChain.resolveCredentials(env(home)).isEmpty)
+    }
+  }
+
+  // ---- region resolution ----
+
+  test("region: AWS_REGION > AWS_DEFAULT_REGION > profile > config file") {
+    withHome { home =>
+      val both = env(home,
+        "AWS_REGION" -> "eu-west-1", "AWS_DEFAULT_REGION" -> "us-west-2")
+      assert(AwsCredentialsChain.resolveRegion(both).contains("eu-west-1"))
+      assert(AwsCredentialsChain.resolveRegion(
+        env(home, "AWS_DEFAULT_REGION" -> "us-west-2")).contains("us-west-2"))
+      writeAws(home, "credentials", "[default]\nregion = ap-south-1\n")
+      assert(AwsCredentialsChain.resolveRegion(env(home)).contains("ap-south-1"))
+    }
+  }
+
+  test("config file uses the documented '[profile <name>]' header asymmetry") {
+    withHome { home =>
+      writeAws(home, "config",
+        "[default]\nregion = us-east-2\n[profile prod]\nregion = eu-central-1\n")
+      assert(AwsCredentialsChain.resolveRegion(env(home)).contains("us-east-2"))
+      assert(AwsCredentialsChain.resolveRegion(env(home, "AWS_PROFILE" -> "prod"))
+        .contains("eu-central-1"))
+      // a bare "[prod]" header in CONFIG must NOT match profile prod
+      writeAws(home, "config", "[prod]\nregion = wrong-region\n")
+      assert(AwsCredentialsChain.resolveRegion(env(home, "AWS_PROFILE" -> "prod")).isEmpty)
+    }
+  }
+
+  test("exhausted chain throws the actionable GlueCatalogException") {
+    withHome { home =>
+      val ex = intercept[GlueCatalogException] {
+        AwsWireGlueClient.resolveCreds(env(home))
+      }
+      assert(ex.getMessage.contains("AWS_ACCESS_KEY_ID"))
+      val exR = intercept[GlueCatalogException] {
+        AwsWireGlueClient.resolveRegion(env(home))
+      }
+      assert(exR.getMessage.contains("AWS_REGION"))
+    }
+  }
+
+  // ---- end-to-end: chain-resolved creds drive a signed wire call ----
+
+  test("chain-resolved profile credentials produce a valid SigV4 wire call") {
+    withHome { home =>
+      writeAws(home, "credentials",
+        """[default]
+          |aws_access_key_id = AKIDCHAIN
+          |aws_secret_access_key = chain/secret/KEY
+          |region = us-east-1
+          |""".stripMargin)
+      val e = env(home)
+      val creds = AwsWireGlueClient.resolveCreds(e)
+      val region = AwsWireGlueClient.resolveRegion(e)
+      assert(region == "us-east-1")
+
+      // Server verifies the signature by re-deriving it from the same file.
+      @volatile var verdict: Option[String] = Some("never called")
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", (ex: HttpExchange) => {
+        val payload = ex.getRequestBody.readAllBytes()
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        val amzDate = Option(ex.getRequestHeaders.getFirst("X-Amz-Date")).getOrElse("")
+        val signedNames = SigV4.signedHeadersOf(auth)
+        val headerValues = signedNames.flatMap { n =>
+          Option(ex.getRequestHeaders.getFirst(n)).map(n -> _)
+        }
+        val expected = SigV4.authorizationHeader(
+          method = ex.getRequestMethod,
+          canonicalUri = ex.getRequestURI.getPath,
+          canonicalQuery = "",
+          headers = headerValues,
+          payload = payload,
+          region = region,
+          service = "glue",
+          amzDateTime = amzDate,
+          creds = SigV4.Credentials("AKIDCHAIN", "chain/secret/KEY")
+        )
+        verdict =
+          if (SigV4.signatureOf(expected) == SigV4.signatureOf(auth)) None
+          else Some("signature mismatch")
+        val body = """{"DatabaseList":[{"Name":"db"}]}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server.start()
+      try {
+        val api = new AwsWireGlueApi(
+          URI.create(s"http://127.0.0.1:${server.getAddress.getPort}"),
+          region,
+          creds,
+          clock = () => Instant.parse("2026-08-14T00:00:00Z")
+        )
+        val page = api.getDatabasesPage(None, 10)
+        assert(page.databases.map(_.name) == Seq("db"))
+        assert(verdict.isEmpty, s"server signature verdict: $verdict")
+      } finally server.stop(0)
+    }
+  }
+}
