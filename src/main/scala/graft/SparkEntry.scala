@@ -836,14 +836,15 @@ object SparkEntry {
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
         )
         .groupBy(col("g"))
-        .pivot("lbl", Seq("p50", "p90", "p99"))
-        .agg(first(col("q")))
-        .select(
-          col("g").as("o_orderstatus"),
-          round(col("p50"), 2).as("p50"),
-          round(col("p90"), 2).as("p90"),
-          round(col("p99"), 2).as("p99")
+        // conditional agg, not pivot(): one row per label per group exists
+        // by construction, and pivot costs an extra exchange + two
+        // aggregate stages for the same 3-column widening
+        .agg(
+          round(min(when(col("lbl") === "p50", col("q"))), 2).as("p50"),
+          round(min(when(col("lbl") === "p90", col("q"))), 2).as("p90"),
+          round(min(when(col("lbl") === "p99", col("q"))), 2).as("p99")
         )
+        .select(col("g").as("o_orderstatus"), col("p50"), col("p90"), col("p99"))
         .orderBy(col("o_orderstatus"))
     },
 

@@ -48,9 +48,18 @@ object ExactQuantiles {
     val rows = df
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull) // percentile/quantile_cont ignore nulls
+    // localCheckpoint the aggregate-scale intermediates (`stats` here, `bCum`
+    // below): both are bounded by groups (× buckets) regardless of input
+    // size, and both sit under MULTIPLE consumers — without the checkpoint
+    // Spark re-derives the whole upstream subtree per consumer (the round-8
+    // executed plan computed the full histogram chain twice and scanned the
+    // input four times; 27 codegen stages of pure scheduling overhead).
+    // Checkpointing pins each pass to exactly one evaluation: pass 1 (stats),
+    // pass 2 (histogram), pass 3 (selection) — three input scans, period.
     val stats = rows
       .groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("vmin"), max("v").as("vmax"))
+      .localCheckpoint()
 
     // Target ranks per (group, quantile): h = p*(n-1); we need the values at
     // 0-based ranks floor(h) and ceil(h).
@@ -97,7 +106,9 @@ object ExactQuantiles {
       .partitionBy("g")
       .orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bCum = bCounts.withColumn("before", coalesce(sum("bc").over(wB), lit(0L)))
+    val bCum = bCounts
+      .withColumn("before", coalesce(sum("bc").over(wB), lit(0L)))
+      .localCheckpoint()
 
     // Locate the bucket holding each target rank: before <= k < before+bc.
     // Both sides are aggregate-scale (groups × quantiles vs groups × buckets).
@@ -119,19 +130,23 @@ object ExactQuantiles {
       .rowsBetween(Window.unboundedPreceding, 0)
     val vCum = inBucket.withColumn("cum", sum("vc").over(wV)) // rows <= v in bucket
 
-    // Value at rank k = smallest v whose in-group cumulative count exceeds k.
+    // Value at rank k = smallest v whose in-group cumulative count exceeds
+    // k — ONE conditional aggregation pulls the lo- and hi-rank values out
+    // together (min over the rows tagged with each `which`), where a
+    // groupBy-per-which + pivot would cost an extra exchange and two more
+    // aggregate stages for the same 2-rows-per-(g,quantile) result.
     val picked = located
       .join(vCum, Seq("g", "b"))
       .where(col("before") + col("cum") > col("k"))
-      .groupBy("g", "lbl", "pos", "which")
-      .agg(min("v").as("v"))
+      .groupBy("g", "lbl", "pos")
+      .agg(
+        min(when(col("which") === "lo", col("v"))).as("lo"),
+        min(when(col("which") === "hi", col("v"))).as("hi")
+      )
 
     // Interpolate exactly as Spark's Percentile: integral position returns
     // the value itself; otherwise (ceil(h)-h)*lo + (h-floor(h))*hi.
     picked
-      .groupBy("g", "lbl", "pos")
-      .pivot("which", Seq("lo", "hi"))
-      .agg(first("v"))
       .withColumn(
         "q",
         when(ceil(col("pos")) === floor(col("pos")), col("lo"))
