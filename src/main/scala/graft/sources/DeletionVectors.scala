@@ -280,4 +280,100 @@ object DeletionVectors {
 
   def cachedDeserialize(uniqueId: String, bytes: Array[Byte]): BitmapArray =
     cache.getOrElseUpdate(uniqueId, BitmapArray.deserialize(bytes))
+
+  // ---------- codegen row filter ----------
+
+  /** Per-task probe against the broadcast (qualified path → deletion
+    * vector) map, with a last-file memo: a parquet split reads one file, so
+    * the Hadoop-Path normalization and map lookup run once per file
+    * transition and the steady-state per-row cost is a single cached
+    * roaring-bitmap `contains` — no per-row string allocation, unlike the
+    * Scala-UDF formulation this replaces. */
+  final class DvProbe(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, (String, Array[Byte])]]
+  ) extends Serializable {
+    @transient private var lastPath: org.apache.spark.unsafe.types.UTF8String = _
+    @transient private var lastBitmap: BitmapArray = _
+
+    def deleted(
+        path: org.apache.spark.unsafe.types.UTF8String,
+        row: Long
+    ): Boolean = {
+      if (lastPath == null || !lastPath.equals(path)) {
+        // clone: codegen hands UTF8Strings backed by reused row buffers
+        lastPath = path.clone()
+        lastBitmap = bc.value.get(new Path(path.toString).toString) match {
+          case Some((id, bytes)) => cachedDeserialize(id, bytes)
+          case None              => null // file carries no vector: nothing deleted
+        }
+      }
+      lastBitmap != null && lastBitmap.contains(row)
+    }
+  }
+
+  /** `graft_dv_deleted`: true iff this file-local row index is marked
+    * deleted by the snapshot's vectors. Whole-stage-codegen'd (the same
+    * escalation-ladder treatment as every other hot predicate — a Scala UDF
+    * here boxed both arguments and broke the codegen span of the scan it
+    * filters). */
+  case class DvRowDeleted(
+      left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression,
+      probe: DvProbe
+  ) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.types._
+
+    override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_dv_deleted"
+
+    override protected def nullSafeEval(p: Any, r: Any): Any =
+      probe.deleted(
+        p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        r.asInstanceOf[Long]
+      )
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftDvProbe", probe, classOf[DvProbe].getName)
+      nullSafeCodeGen(ctx, ev, (p, r) => s"${ev.value} = $ref.deleted($p, $r);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): Expression = copy(left = newLeft, right = newRight)
+  }
+
+  /** Register (idempotently, keyed by vector content) the codegen'd filter
+    * for this snapshot's DV set and return `keep(file, row)`. The function
+    * name hashes the (path, uniqueId) pairs — uniqueIds pin bitmap content,
+    * so re-reads of the same snapshot reuse the registered builder and a
+    * new snapshot (new vectors) registers a fresh one instead of silently
+    * filtering with stale bitmaps. The broadcast happens only on first
+    * registration. */
+  def keepFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      dvMap: Map[String, (String, Array[Byte])]
+  ): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    dvMap.toSeq.sortBy(_._1).foreach { case (p, (id, _)) =>
+      digest.update(p.getBytes("UTF-8"))
+      digest.update(id.getBytes("UTF-8"))
+    }
+    val name = "graft_dv_deleted_" +
+      digest.digest().take(8).map("%02x".format(_)).mkString
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+      val probe = new DvProbe(spark.sparkContext.broadcast(dvMap))
+      reg.createOrReplaceTempFunction(
+        name,
+        es => DvRowDeleted(es(0), es(1), probe),
+        "built-in"
+      )
+    }
+    (file, row) => !org.apache.spark.sql.functions.call_function(name, file, row)
+  }
 }

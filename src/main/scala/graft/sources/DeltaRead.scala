@@ -569,14 +569,10 @@ object DeltaRead {
         fs.makeQualified(new Path(root, a.path)).toString ->
           (d.uniqueId, DeletionVectors.read(fs, root, d).serialize())
       }.toMap
-      val bc = spark.sparkContext.broadcast(dvMap)
-      val keep = org.apache.spark.sql.functions.udf { (path: String, idx: Long) =>
-        bc.value.get(new Path(path).toString) match {
-          case Some((id, bytes)) =>
-            !DeletionVectors.cachedDeserialize(id, bytes).contains(idx)
-          case None => true
-        }
-      }
+      // codegen'd filter (DeletionVectors.keepFunction): the probe rides
+      // whole-stage codegen with a per-file memo, so DV-carrying files pay
+      // one bitmap lookup per row instead of a boxed Scala-UDF call
+      val keep = DeletionVectors.keepFunction(spark, dvMap)
       val df = withMetaCols(reader.parquet(adds.map(a => absolute(a.path)): _*))
         .filter(keep(col("__graft_file"), col("__graft_row")))
       if (withMeta) df else df.drop("__graft_file", "__graft_row")
