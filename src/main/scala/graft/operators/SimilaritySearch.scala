@@ -80,10 +80,25 @@ object SimilaritySearch {
     for (_ <- 1 to refineIterations) {
       val members = assign(corpus, cents, vecCol, idCol)
         .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      // Deterministic mean: sum in 2^20 fixed point — scaled-long sums are
+      // exactly associative, so the centroid is bit-identical under ANY
+      // partition layout / AQE re-plan, where a float `avg` depends on
+      // reduction order (a one-neighbor recall margin on the contract rows
+      // must not hinge on summation order). Quantization is ~1e-6 per
+      // coordinate on unit-scale embeddings; headroom: |x|≤1 scaled to 2^20
+      // keeps the long sum exact past 2^40 cluster members.
       cents = members
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(
+          sum((col("x") * lit(1048576.0)).cast("long")).as("sx"),
+          count(lit(1)).as("cn")
+        )
+        .select(
+          col("centroid_id"),
+          col("pos"),
+          (col("sx").cast("double") / col("cn") / 1048576.0).as("m")
+        )
         .groupBy(col("centroid_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(
