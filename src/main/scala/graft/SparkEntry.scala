@@ -2800,6 +2800,11 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
     // C2's candidates carry no jaccard column; the exact pair set IS the
     // expected candidate set at gate scale (see the queries-side comment).
+    // CORPUS-COUPLED: banding precision is data-dependent, so a benign
+    // hash-collision false positive on a REGENERATED gate corpus can flip
+    // this row red with the operator behaving as designed — before
+    // trusting a red row after a testdata change, re-run DedupSpec's
+    // candidates==exact assertion on the new corpus.
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -482,6 +482,48 @@ class DedupSpec extends AnyFunSuite {
     assert(edge.getAs[Boolean]("recall_ok"))
   }
 
+  test("sampled recall: modulus is the scale dial (m=5; m tracking corpus growth pins the sample)") {
+    // the docstring advertises `modulus` as the dial that keeps the
+    // quadratic denominator fixed as the corpus grows; exercise a modulus
+    // other than the gate row's hardcoded 2, then prove the dial
+    val docs = spark.read
+      .parquet(s"${SparkFixture.sfDirMid}/documents.parquet")
+      .select("doc_id", "text")
+    val row = Dedup
+      .minhashSampledRecall(docs, "text", "doc_id", 0.8, modulus = 5, floor = 0.8)
+      .collect()
+      .head
+    val sample5 = docs.filter(pmod($"doc_id", lit(5)) === 0)
+    assert(row.getAs[Long]("n_sample") == sample5.count())
+    assert(
+      row.getAs[Long]("exact_pairs") ==
+        Dedup.exactJaccardPairs(sample5, "text", "doc_id", 0.8).count()
+    )
+    assert(row.getAs[Boolean]("recall_ok"))
+
+    // corpus grows 5x (disjoint id shards, per-copy token suffix as in
+    // ScaleUp); raising modulus 5x (2 -> 10) must NOT grow the sample the
+    // quadratic ground truth runs on
+    val base = docs.agg(max($"doc_id")).head.getLong(0) + 1L
+    val grown = docs
+      .withColumn("c", explode(lit((0 until 5).toArray)))
+      .select(
+        ($"doc_id" + $"c" * base).as("doc_id"),
+        concat($"text", lit(" copytoken"), $"c").as("text")
+      )
+    val sampleOrig = docs.filter(pmod($"doc_id", lit(2)) === 0).count()
+    val grownRow = Dedup
+      .minhashSampledRecall(grown, "text", "doc_id", 0.8, modulus = 10, floor = 0.8)
+      .collect()
+      .head
+    val sampleGrown = grownRow.getAs[Long]("n_sample")
+    assert(
+      sampleGrown <= (sampleOrig * 1.1).toLong + 1,
+      s"sample grew with the corpus: $sampleOrig -> $sampleGrown"
+    )
+    assert(grownRow.getAs[Boolean]("recall_ok"))
+  }
+
   test("exact embedding pairs: independent re-derivation, LSH subset + measured recall") {
     val emb = spark.read.parquet(s"${SparkFixture.sfDirMid}/embeddings.parquet")
     val exactDf = Dedup
