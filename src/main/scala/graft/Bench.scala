@@ -56,10 +56,14 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       try {
         force() // warmup: codegen + JIT
-        // drain neighbor garbage before the timed window
-        System.gc()
-        Thread.sleep(150)
+        settle() // drain neighbor garbage before the timed window
         val timed = Seq.fill(runs) {
+          // A full GC between timed runs (outside the timer) stops run i's
+          // garbage from being billed to run i+1 — round 8 measured
+          // q_case_agg's own five runs spreading 0.28-0.51 s from exactly
+          // this: a fresh-heap query on a cluster never pays its previous
+          // execution's collection.
+          System.gc()
           val t0 = System.nanoTime()
           force()
           (System.nanoTime() - t0) / 1e9
@@ -92,6 +96,27 @@ object Bench {
     spark.stop()
     println(summaryLine(results.map { case (k, (med, _)) => k -> med }, total, sfDir))
     System.out.flush()
+  }
+
+  /** GC until the heap stops shrinking — the settle cost scales with the
+    * preceding query's allocation instead of a fixed sleep (round 8's flat
+    * 150 ms was not enough after heavy neighbors: two queries ran >1.5x
+    * their own min purely from inherited garbage). A 64 MB tolerance stops
+    * the loop once only steady-state allocation remains; the 4-pass cap
+    * bounds worst-case settle at ~0.5 s. */
+  private def settle(): Unit = {
+    val rt = Runtime.getRuntime
+    var last = Long.MaxValue
+    var i = 0
+    var shrinking = true
+    while (i < 4 && shrinking) {
+      System.gc()
+      Thread.sleep(120)
+      val used = rt.totalMemory() - rt.freeMemory()
+      shrinking = used < last - (64L << 20)
+      last = used
+      i += 1
+    }
   }
 
   /** The stdout contract line: heaviest queries first (they are the perf
