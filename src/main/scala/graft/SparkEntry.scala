@@ -1965,6 +1965,21 @@ object SparkEntry {
         .orderBy("doc_id", "rn")
     },
 
+    // ---- C32: unigram-LM perplexity quality scoring (the CCNet signal) —
+    // per-document mean negative log-likelihood under an add-one-smoothed
+    // unigram model (1000-term vocabulary cap) trained on the corpus
+    // itself; high-mean_nll docs are the out-of-distribution tail that
+    // heuristic ratio scores (C9) cannot see. Per-term log-probs are
+    // quantized to integer micro-nats BEFORE aggregation
+    // (operators.Perplexity), so the per-doc sum is exact integer math —
+    // associative under any partitioning — and the only output float is
+    // one correctly-rounded IEEE division both engines compute identically.
+    "text_perplexity" -> { (s, dir) =>
+      operators.Perplexity
+        .scoreSelf(T(s, dir, "documents"), "text", "doc_id", cap = 1000)
+        .orderBy("doc_id")
+    },
+
     // ---- C24: two Lloyd iterations of k-means over the embeddings
     // (operators.KMeans) — every step engine-portable (rounded distances,
     // decimal-exact centroid means), so the ORACLE verifies whole
@@ -3471,6 +3486,35 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, score, rn FROM r
         |WHERE rn <= 5 AND doc_id < 50
         |ORDER BY doc_id, rn""".stripMargin,
+    // C32: identical model — same smoothing, same 1000-term cap with the
+    // same (count desc, term) tie-break, same micro-nat quantization; the
+    // final mean is integer-sum / count / 1e6, so both engines divide the
+    // same exact operands.
+    "text_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT term, count(*) AS c FROM t GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM cnt
+        |), lp AS (
+        |  SELECT k.term,
+        |    CAST(round(-ln((k.c + 1) / (tot.n + tot.v)) * 1e6) AS BIGINT) AS lp_micro
+        |  FROM (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 1000) k
+        |  CROSS JOIN tot
+        |), ov AS (
+        |  SELECT CAST(round(-ln(1 / (n + v)) * 1e6) AS BIGINT) AS oov_lp_micro FROM tot
+        |)
+        |SELECT t.doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN lp.lp_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  round(CAST(sum(coalesce(lp.lp_micro, ov.oov_lp_micro)) AS DOUBLE)
+        |        / count(*) / 1e6, 6) AS mean_nll
+        |FROM t LEFT JOIN lp ON t.term = lp.term CROSS JOIN ov
+        |GROUP BY t.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "emb_kmeans" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** C32: unigram language-model perplexity scoring — the CCNet-style quality
+  * signal (score each document by how surprising its tokens are under an
+  * LM trained on a reference corpus; filter the high-perplexity tail).
+  * The heuristic `TextFunctions.qualityScore` ratios catch degenerate text;
+  * this catches *out-of-distribution* text, which ratios cannot.
+  *
+  * Model: add-one-smoothed unigram over whitespace tokens with a capped
+  * vocabulary.  With N = total reference tokens, V = distinct reference
+  * terms, c(t) = reference count of term t:
+  *
+  *   p(t) = (c(t) + 1) / (N + V)   for the top-`cap` terms by count
+  *   p(oov) = 1 / (N + V)          for everything else
+  *
+  * A document's score is its mean negative log-likelihood in nats
+  * (perplexity = exp of it — monotone, so filtering thresholds either way).
+  *
+  * Engine-portability: per-term log-probs are quantized to integer
+  * MICRO-NATS (round(-ln p * 1e6) as long) before any aggregation, so the
+  * per-doc sum is exact integer arithmetic — associative under any
+  * partitioning, bit-identical in DuckDB — and the only floating point in
+  * the output is one final correctly-rounded IEEE division (same trick as
+  * the fixed-point IVF centroid refinement).
+  *
+  * Scale shape (100 TB): pass 1 builds term counts (one groupBy with
+  * map-side partials; the shuffle is vocabulary-bounded, not corpus-bound);
+  * the model is a `cap`-row TakeOrdered + a 1-row totals aggregate, both
+  * broadcast.  Pass 2 explodes tokens and LEFT-joins the broadcast model —
+  * no shuffle — then groups by doc_id: explode preserves partitioning, so
+  * every token of a doc sits in its producer's partition and partial
+  * aggregation collapses the group to one row per doc per partition BEFORE
+  * the exchange.  The doc-grain shuffle carries ~1 row per document, not
+  * per token.  Nothing is ever collected to the driver.
+  */
+object Perplexity {
+
+  /** The broadcastable model: `cap` rows of (term, lp_micro) — the top-cap
+    * terms by reference count (ties broken by term) with their smoothed
+    * log-probs in micro-nats — plus a 1-row totals frame carrying the OOV
+    * log-prob. `docs` is the REFERENCE corpus (often the corpus itself;
+    * at scale, a sampled or curated slice). */
+  def model(docs: DataFrame, textCol: String, cap: Int): (DataFrame, DataFrame) = {
+    // localCheckpoint: cnt is vocabulary-bounded and sits under THREE
+    // consumers (totals, the top-cap TakeOrdered, and totals again via the
+    // lp cross join) — without it Spark re-derives the corpus tokenize +
+    // groupBy per consumer (the executed plan scanned the corpus four
+    // times; same fix as ExactQuantiles). With it: one counting scan, one
+    // scoring scan.
+    val cnt = docs
+      .select(explode(TextFunctions.wsTokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // N and V derive from the counts frame (vocab-sized), not a second
+    // corpus scan; count(*) here is exact distinct-term count for free.
+    val totals = cnt.agg(
+      sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v")
+    )
+    val oov = totals.select(
+      lpMicro(lit(1.0), col("n") + col("v")).as("oov_lp_micro")
+    )
+    val lp = cnt
+      .orderBy(col("c").desc, col("term")) // + limit => TakeOrdered, no full sort
+      .limit(cap)
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"),
+        lpMicro(col("c") + lit(1.0), col("n") + col("v")).as("lp_micro")
+      )
+    (lp, oov)
+  }
+
+  /** round(-ln(num/den) * 1e6) as long — the micro-nat quantizer. */
+  private def lpMicro(num: Column, den: Column): Column =
+    round(-log(num.cast("double") / den) * lit(1e6)).cast("long")
+
+  /** Score `docs` under a model from `model(...)`: adds n_tokens,
+    * oov_tokens and mean_nll (nats, 6 decimals) per document. `idCols`
+    * are carried through the aggregation. */
+  def score(
+      docs: DataFrame,
+      textCol: String,
+      lp: DataFrame,
+      oov: DataFrame,
+      idCols: Seq[String]
+  ): DataFrame = {
+    val toks = docs
+      .select(idCols.map(col) :+ explode(TextFunctions.wsTokens(col(textCol))).as("term"): _*)
+      .crossJoin(broadcast(oov))
+    toks
+      .join(broadcast(lp), Seq("term"), "left")
+      .groupBy(idCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("lp_micro").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        // exact integer sum of micro-nats, then ONE IEEE division pair —
+        // identical operands on any engine give identical doubles
+        round(
+          sum(coalesce(col("lp_micro"), col("oov_lp_micro"))) / count(lit(1)) / lit(1e6),
+          6
+        ).as("mean_nll")
+      )
+  }
+
+  /** One-call form: train on `docs` itself and score every document. */
+  def scoreSelf(docs: DataFrame, textCol: String, idCol: String, cap: Int): DataFrame = {
+    val (lp, oov) = model(docs, textCol, cap)
+    score(docs, textCol, lp, oov, Seq(idCol))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class PerplexitySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // token counts: a=4, b=2, c=1, d=1  (N=8, V=4)
+  private lazy val corpus = Seq(
+    (1L, "a a b"),
+    (2L, "a a b c"),
+    (3L, "d")
+  ).toDF("doc_id", "text")
+
+  private def nll(count: Long, n: Long, v: Long): Double =
+    math.round(-math.log((count + 1.0) / (n + v)) * 1e6).toDouble
+
+  test("hand-computed micro-nat log-probs, in-vocab corpus") {
+    val out = Perplexity
+      .scoreSelf(corpus, "text", "doc_id", cap = 10)
+      .orderBy("doc_id")
+      .collect()
+    val (n, v) = (8L, 4L)
+    val la = nll(4, n, v); val lb = nll(2, n, v)
+    val lc = nll(1, n, v); val ld = nll(1, n, v)
+    val expected = Map(
+      1L -> (3L, (la + la + lb) / 3 / 1e6),
+      2L -> (4L, (la + la + lb + lc) / 4 / 1e6),
+      3L -> (1L, ld / 1 / 1e6)
+    )
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (nTok, mean) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("oov_tokens") == 0L)
+      assert(math.abs(r.getAs[Double]("mean_nll") - mean) < 6e-7)
+    }
+  }
+
+  test("vocabulary cap: terms past the top-cap score as OOV, which is the max NLL") {
+    // cap=2 keeps a(4) and b(2); c and d become OOV
+    val (lp, oov) = Perplexity.model(corpus, "text", cap = 2)
+    val kept = lp.collect().map(_.getString(0)).toSet
+    assert(kept == Set("a", "b"))
+    val out = Perplexity
+      .score(corpus, "text", lp, oov, Seq("doc_id"))
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(r => r.getAs[Long]("oov_tokens")).toSeq == Seq(0L, 1L, 1L))
+    // OOV log-prob (count 0) must exceed every kept term's NLL
+    val oovLp = oov.collect()(0).getLong(0)
+    val keptLps = lp.collect().map(_.getLong(1))
+    assert(keptLps.forall(_ < oovLp))
+    // doc 3 is pure OOV: its mean_nll is exactly the OOV NLL
+    assert(math.abs(out(2).getAs[Double]("mean_nll") - oovLp / 1e6) < 6e-7)
+  }
+
+  test("rarer tokens mean higher mean_nll (the quality-ranking property)") {
+    val out = Perplexity
+      .scoreSelf(corpus, "text", "doc_id", cap = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_nll"))
+      .toMap
+    // doc 1 is all high-frequency tokens; doc 3 is the rare singleton
+    assert(out(1L) < out(2L) && out(2L) < out(3L))
+  }
+
+  test("scoring a foreign corpus under a trained model (reference-corpus form)") {
+    val (lp, oov) = Perplexity.model(corpus, "text", cap = 10)
+    val other = Seq((9L, "a b zzz")).toDF("doc_id", "text")
+    val r = Perplexity.score(other, "text", lp, oov, Seq("doc_id")).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("oov_tokens") == 1L) // zzz unseen in training
+  }
+
+  test("deterministic under repartitioning (integer micro-nat sums)") {
+    val shuffled = corpus.repartition(7)
+    val a = Perplexity.scoreSelf(corpus, "text", "doc_id", 10).orderBy("doc_id").collect()
+    val b = Perplexity.scoreSelf(shuffled, "text", "doc_id", 10).orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}
