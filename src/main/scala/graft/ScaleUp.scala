@@ -37,8 +37,15 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(name: String): DataFrame = Tables.t(spark, src, name)
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // Sharded tables repartition to cluster parallelism before the write:
+    // the naive single-output-file layout gave every downstream scan ONE
+    // input split (an 80 MB file sits under maxPartitionBytes), so scale
+    // probes measured a one-task scan against DuckDB's row-group
+    // parallelism — a fixture artifact, not an engine property. Real data
+    // at these sizes arrives as many files/splits; make the fixture match.
+    def write(df: DataFrame, name: String, parts: Int = 1): Unit =
+      (if (parts > 1) df.repartition(parts) else df.coalesce(1))
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     // one offset base per key domain, shared across tables
     def base(df: DataFrame, key: String): Long =
@@ -69,12 +76,13 @@ object ScaleUp {
 
     write(t("region"), "region")
     write(t("nation"), "nation")
-    write(shard(t("customer"), Map("c_custkey" -> custBase)), "customer")
-    write(shard(t("supplier"), Map("s_suppkey" -> suppBase)), "supplier")
-    write(shard(t("part"), Map("p_partkey" -> partBase)), "part")
+    write(shard(t("customer"), Map("c_custkey" -> custBase)), "customer", 32)
+    write(shard(t("supplier"), Map("s_suppkey" -> suppBase)), "supplier", 32)
+    write(shard(t("part"), Map("p_partkey" -> partBase)), "part", 32)
     write(
       shard(t("orders"), Map("o_orderkey" -> orderBase, "o_custkey" -> custBase)),
-      "orders"
+      "orders",
+      32
     )
     write(
       shard(
@@ -85,11 +93,13 @@ object ScaleUp {
           "l_suppkey" -> suppBase
         )
       ),
-      "lineitem"
+      "lineitem",
+      32
     )
     write(
       shard(t("events"), Map("event_id" -> eventBase, "user_id" -> userBase)),
-      "events"
+      "events",
+      32
     )
     // per-copy token suffix (copy 0 keeps the original text) — preserves
     // token counts, run lengths and n-gram structure while keeping shingle
@@ -109,8 +119,8 @@ object ScaleUp {
         )
       )
       .drop("__copy")
-    write(docs, "documents")
-    write(shard(t("embeddings"), Map("vec_id" -> vecBase)), "embeddings")
+    write(docs, "documents", 32)
+    write(shard(t("embeddings"), Map("vec_id" -> vecBase)), "embeddings", 32)
 
     println(s"wrote ${copies}x of $src to $dst")
     spark.stop()
