@@ -1601,6 +1601,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- C33: token-budget mixture sampling — weighted sources, global
+    // token budget, deterministic per-stratum hash-order prefix. The
+    // production two-pass histogram-cutoff path (operators.Mixture) is
+    // bit-identical to the naive per-stratum window the oracle runs; the
+    // weights are exact binary fractions summing to 1.0 so the per-stratum
+    // budgets (floor(w x 4000): 1000/1000/500/500/250 x4) are float-exact
+    // in both engines.
+    "docs_mixture_budget" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      operators.Mixture
+        .sampleToTokenBudget(
+          T(s, dir, "documents"),
+          "source",
+          size(tf.wsTokens(col("text"))),
+          "doc_id",
+          weights = Map(
+            "src0" -> 0.25,
+            "src1" -> 0.25,
+            "src2" -> 0.125,
+            "src3" -> 0.125,
+            "src4" -> 0.0625,
+            "src5" -> 0.0625,
+            "src6" -> 0.0625,
+            "src7" -> 0.0625
+          ),
+          totalBudget = 4000L
+        )
+        .orderBy("doc_id")
+    },
+
     // ---- C14: lexical-diversity filter (type-token ratio + top-token
     // share). The three exact counts come from ONE codegen kernel call per
     // row (graft_diversity_stats — tokenize + distinct + top-frequency
@@ -3271,6 +3301,33 @@ object SparkEntry {
         |   OR (lang <> 'en'
         |       AND substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 1)
         |           IN ('0','1','2','3','4','5','6','7'))
+        |ORDER BY doc_id""".stripMargin,
+    // The oracle recomputes the mixture selection from first principles as
+    // the NAIVE per-stratum window (see Mixture.sampleToTokenBudgetNaive);
+    // hash-matching it certifies the production histogram-cutoff path end
+    // to end. Token counts reuse the ws_tokens normalization both engines
+    // already hash-agree on (text_tokencount).
+    "docs_mixture_budget" ->
+      """WITH w(source, wt) AS (
+        |  VALUES ('src0', 0.25), ('src1', 0.25), ('src2', 0.125),
+        |         ('src3', 0.125), ('src4', 0.0625), ('src5', 0.0625),
+        |         ('src6', 0.0625), ('src7', 0.0625)
+        |), tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), j AS (
+        |  SELECT t.doc_id, t.source, t.tokens,
+        |    md5('mix' || CAST(t.doc_id AS VARCHAR)) AS rk,
+        |    CAST(floor(w.wt / 1.0 * 4000) AS BIGINT) AS budget
+        |  FROM tok t JOIN w ON t.source = w.source
+        |), c AS (
+        |  SELECT doc_id, source, tokens, budget,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM j
+        |)
+        |SELECT doc_id, source, tokens FROM c WHERE cum <= budget
         |ORDER BY doc_id""".stripMargin,
     "text_diversity_filter" ->
       """WITH t AS (

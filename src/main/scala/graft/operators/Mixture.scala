@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget mixture sampling (C33) — compose a training corpus from
+  * weighted sources under a global token budget, the way large-scale
+  * pretraining mixes are specified ("X% web, Y% books, Z% code, N tokens
+  * total"). Given per-stratum weights and a total budget, each stratum
+  * keeps a deterministic, uniformly-sampled prefix of its documents whose
+  * token counts fit the stratum's share of the budget.
+  *
+  * Determinism over randomness: the per-stratum order is md5(seed || id) —
+  * the same idempotent content-hash trick as the stratified sampler (C13),
+  * so stage retries, re-runs and engine changes reproduce the identical
+  * corpus, and an external oracle can recompute the exact selection.
+  *
+  * The selection itself is a per-stratum PREFIX-SUM CUTOFF: order the
+  * stratum by the hash, keep documents while the running token total stays
+  * within budget. The naive formulation is a window cumsum partitioned by
+  * stratum — correct, but a hot stratum ("web" is 80% of a crawl) lands on
+  * ONE window task, the same unsplittable-partition failure mode that
+  * motivated [[ExactQuantiles]]. The production path here applies the same
+  * two-pass histogram cure to prefix selection:
+  *
+  *   1. bucket every document by the first 3 hex chars of its rank hash
+  *      (4096 buckets; lexicographic hash order == bucket-numeric order,
+  *      so bucket id is a coarse prefix of the global stratum order);
+  *   2. aggregate token sums per (stratum, bucket) — ≤ 4096 rows per
+  *      stratum — and run the cumulative window over THAT (bounded
+  *      partitions), locating the single boundary bucket where each
+  *      stratum's budget lands;
+  *   3. buckets wholly inside budget keep every document with no further
+  *      work; buckets past it drop; only the boundary bucket — an expected
+  *      1/4096 slice of the stratum — runs the exact in-bucket cumsum.
+  *
+  * Per-task memory is O(cutBuckets) for the histogram window and
+  * O(|stratum|/cutBuckets) rows for the boundary window; every other step
+  * is a map-side-partial groupBy or a broadcast join of aggregate-scale
+  * cutoff tables. The result is bit-identical to the naive window (the
+  * bucket id is a prefix of the sort key), which
+  * [[sampleToTokenBudgetNaive]] exists to prove in the spec and the DuckDB
+  * oracle recomputes independently.
+  *
+  * Cost note for 100 TB: the production path reads the input three times
+  * (histogram, whole-bucket keep, boundary slice) but shuffles almost
+  * nothing — whole-bucket keeps flow broadcast-joined with NO exchange,
+  * and only the 1/cutBuckets boundary slice is shuffled for its window.
+  * That trade is right when `tokensCol` is a materialized column (corpus
+  * tables normally carry a token count); if it is an expensive expression
+  * (regex tokenization of raw text) each pass recomputes it, and the
+  * caller should materialize the count first — still cheaper than the
+  * alternative of shuffling the whole corpus into (stratum, bucket) order
+  * for a single-scan window.
+  *
+  * Budget semantics: weights are normalized by their (key-sorted) sum;
+  * `budget_s = floor(w_s / Σw * totalBudget)` tokens. A document is kept
+  * iff the stratum's running total INCLUDING it stays ≤ budget_s (greedy
+  * prefix; the first overflowing document and everything after it drop).
+  * Strata absent from `weights` are dropped (weight 0).
+  */
+object Mixture {
+
+  /** Per-stratum token budgets: floor(normalized weight × total). Weight
+    * normalization sums in key-sorted order so the float total — and with
+    * it every budget — is independent of Map iteration order. */
+  def budgets(weights: Map[String, Double], totalBudget: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    val wSum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    require(wSum > 0.0, "weights must sum to a positive value")
+    weights.map { case (s, w) => s -> math.floor(w / wSum * totalBudget).toLong }
+  }
+
+  // (stratum, id, tokens, rank key, bucket, budget) — the shared front of
+  // both formulations. Inner-joining the broadcast budget table drops
+  // unweighted strata before any shuffle.
+  private def prepared(
+      docs: DataFrame,
+      strataCol: String,
+      tokensCol: Column,
+      idCol: String,
+      weights: Map[String, Double],
+      totalBudget: Long,
+      seed: String,
+      cutBuckets: Int
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bdg = budgets(weights, totalBudget).toSeq.toDF("s", "budget")
+    docs
+      .select(
+        col(strataCol).as("s"),
+        col(idCol).as("id"),
+        tokensCol.cast("long").as("tok")
+      )
+      .withColumn("rk", md5(concat(lit(seed), col("id").cast("string"))))
+      .withColumn(
+        "bkt",
+        (conv(substring(col("rk"), 1, 3), 16, 10)
+          .cast("int") / lit(bucketDivisor(cutBuckets))).cast("int")
+      )
+      .join(broadcast(bdg), "s")
+  }
+
+  // 3 hex chars give 4096 raw buckets; integer division COARSENS that
+  // prefix for smaller cutBuckets (4096/cutBuckets raw buckets per cut
+  // bucket), so bucket-ascending order remains a prefix of the full
+  // lexicographic hash order — the property the two-pass cutoff needs.
+  // (Modulo would fold non-adjacent hash ranges into one bucket and break
+  // it.)
+  private def bucketDivisor(cutBuckets: Int): Int = {
+    require(
+      cutBuckets > 0 && 4096 % cutBuckets == 0,
+      "cutBuckets must divide 4096 so bucket order stays a prefix of hash order"
+    )
+    4096 / cutBuckets
+  }
+
+  private def finish(kept: DataFrame, strataCol: String, idCol: String): DataFrame =
+    kept.select(
+      col("id").as(idCol),
+      col("s").as(strataCol),
+      col("tok").as("tokens")
+    )
+
+  /** Reference formulation: ONE cumulative window per stratum. Semantics
+    * ground truth for the spec and the shape of the DuckDB oracle; not the
+    * production path — a dominant stratum serializes onto a single window
+    * task. */
+  def sampleToTokenBudgetNaive(
+      docs: DataFrame,
+      strataCol: String,
+      tokensCol: Column,
+      idCol: String,
+      weights: Map[String, Double],
+      totalBudget: Long,
+      seed: String = "mix"
+  ): DataFrame = {
+    val base = prepared(docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, 4096)
+    val w = Window
+      .partitionBy("s")
+      .orderBy("rk", "id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    finish(
+      base.withColumn("cum", sum("tok").over(w)).where(col("cum") <= col("budget")),
+      strataCol,
+      idCol
+    )
+  }
+
+  /** Production path: two-pass histogram cutoff, bit-identical to the
+    * naive window (see object doc for the argument). `tokensCol` is any
+    * per-document token-count expression — e.g.
+    * `size(TextFunctions.wsTokens(col("text")))`. */
+  def sampleToTokenBudget(
+      docs: DataFrame,
+      strataCol: String,
+      tokensCol: Column,
+      idCol: String,
+      weights: Map[String, Double],
+      totalBudget: Long,
+      seed: String = "mix",
+      cutBuckets: Int = 4096
+  ): DataFrame = {
+    val base =
+      prepared(docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, cutBuckets)
+
+    // Pass 1: per-(stratum, bucket) token mass; cumulative over bucket ids.
+    // Aggregate scale (≤ strata × cutBuckets rows) — localCheckpoint pins it
+    // to one evaluation under its two consumers below, exactly the
+    // ExactQuantiles multi-consumer rule.
+    val wB = Window
+      .partitionBy("s")
+      .orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base
+      .groupBy("s", "bkt")
+      .agg(sum("tok").as("btok"), max("budget").as("budget"))
+      .withColumn("before", coalesce(sum("btok").over(wB), lit(0L)))
+      .localCheckpoint()
+
+    // Whole buckets inside budget keep every row; the (≤ one per stratum)
+    // boundary bucket carries its cumulative offset into pass 2.
+    val fullKeep = hist
+      .where(col("before") + col("btok") <= col("budget"))
+      .select("s", "bkt")
+    val boundary = hist
+      .where(col("before") <= col("budget") && col("before") + col("btok") > col("budget"))
+      .select(col("s"), col("bkt"), col("before"))
+
+    // Pass 2: exact cumsum ONLY inside boundary buckets — expected
+    // |stratum|/cutBuckets rows per window partition.
+    val wIn = Window
+      .partitionBy("s", "bkt")
+      .orderBy("rk", "id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val keptWhole = base.join(broadcast(fullKeep), Seq("s", "bkt"))
+    val keptBoundary = base
+      .join(broadcast(boundary), Seq("s", "bkt"))
+      .withColumn("cum", sum("tok").over(wIn))
+      .where(col("before") + col("cum") <= col("budget"))
+      .drop("before", "cum")
+
+    finish(keptWhole.unionByName(keptBoundary), strataCol, idCol)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** C33 token-budget mixture sampling: the production two-pass histogram
+  * cutoff must be bit-identical to the naive per-stratum window, the
+  * selection must be the exact greedy prefix of the hash order, and both
+  * must be invariant to partition layout (the determinism the gate oracle
+  * depends on).
+  */
+class MixtureSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // Deterministic synthetic corpus: stratum, id, token count. Token counts
+  // vary so budget boundaries land mid-bucket, not on clean edges.
+  private def corpus(perStratum: Map[String, Int]): DataFrame =
+    perStratum.toSeq
+      .flatMap { case (s, n) =>
+        (0 until n).map(i => (s, s.hashCode.abs.toLong * 100000 + i, 5L + (i * 7 % 23)))
+      }
+      .toDF("src", "id", "tok")
+
+  private val weights = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+
+  private def keptSet(df: DataFrame): Set[(Long, String, Long)] =
+    df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("src"), r.getAs[Long]("tokens")))
+      .toSet
+
+  test("two-pass cutoff is bit-identical to the naive window, all bucket widths") {
+    val docs = corpus(Map("a" -> 300, "b" -> 120, "c" -> 40, "unweighted" -> 25))
+    val naive =
+      Mixture.sampleToTokenBudgetNaive(docs, "src", col("tok"), "id", weights, 2000L)
+    val naiveSet = keptSet(naive)
+    assert(naiveSet.nonEmpty, "boundary must actually cut (budget < corpus)")
+    for (buckets <- Seq(4096, 256, 16, 1)) {
+      val prod = Mixture.sampleToTokenBudget(
+        docs, "src", col("tok"), "id", weights, 2000L, cutBuckets = buckets
+      )
+      assert(keptSet(prod) == naiveSet, s"cutBuckets=$buckets diverged from naive")
+    }
+  }
+
+  test("selection is the exact greedy hash-order prefix per stratum") {
+    val docs = corpus(Map("a" -> 200, "b" -> 80, "c" -> 30))
+    val budget = Mixture.budgets(weights, 1500L)
+    val kept = Mixture
+      .sampleToTokenBudget(docs, "src", col("tok"), "id", weights, 1500L)
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id")))
+      .toSet
+    // Recompute the greedy prefix driver-side from first principles.
+    val ranked = docs
+      .withColumn("rk", md5(concat(lit("mix"), col("id").cast("string"))))
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id"), r.getAs[Long]("tok"), r.getAs[String]("rk")))
+      .groupBy(_._1)
+    for ((s, rows) <- ranked if budget.contains(s)) {
+      var cum = 0L
+      val expect = rows.sortBy(r => (r._4, r._2)).takeWhile { r =>
+        cum += r._3; cum <= budget(s)
+      }
+      val expectIds = expect.map(r => (r._1, r._2)).toSet
+      assert(kept.filter(_._1 == s) == expectIds, s"stratum $s is not the greedy prefix")
+      // the prefix is maximal: the next doc in hash order would overflow
+      val keptTok = expect.map(_._3).sum
+      rows.sortBy(r => (r._4, r._2)).drop(expect.length).headOption.foreach { next =>
+        assert(keptTok + next._3 > budget(s), s"stratum $s stopped early")
+      }
+    }
+  }
+
+  test("unweighted strata drop; oversized budget keeps a stratum whole") {
+    val docs = corpus(Map("a" -> 50, "b" -> 10, "zzz" -> 40))
+    val kept = Mixture.sampleToTokenBudget(
+      docs, "src", col("tok"), "id", Map("a" -> 1.0, "b" -> 1.0), 1000000L
+    )
+    assert(kept.filter(col("src") === "zzz").count() == 0)
+    assert(kept.count() == 60, "budget above corpus size must keep every weighted doc")
+  }
+
+  test("result is invariant to input partition layout") {
+    val docs = corpus(Map("a" -> 300, "b" -> 120, "c" -> 40))
+    val one = keptSet(
+      Mixture.sampleToTokenBudget(docs.repartition(1), "src", col("tok"), "id", weights, 2000L)
+    )
+    val many = keptSet(
+      Mixture.sampleToTokenBudget(
+        docs.repartition(13, col("tok")), "src", col("tok"), "id", weights, 2000L
+      )
+    )
+    assert(one == many)
+  }
+
+  test("budgets normalize weights in key-sorted order, Map-order independent") {
+    val fwd = Mixture.budgets(Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5), 1000000L)
+    val rev = Mixture.budgets(Map("c" -> 0.5, "b" -> 0.3, "a" -> 0.2), 1000000L)
+    assert(fwd == rev)
+    assert(fwd.values.sum <= 1000000L)
+    // un-normalized weights scale to the same shares
+    val scaled = Mixture.budgets(Map("a" -> 2.0, "b" -> 3.0, "c" -> 5.0), 1000000L)
+    assert(scaled == fwd)
+  }
+
+  test("hot stratum: boundary window sees only a 1/cutBuckets slice") {
+    // 96% of docs in one stratum — the shape that serializes the naive
+    // window. The production path must still match it exactly.
+    val docs = corpus(Map("hot" -> 2400, "cold" -> 100))
+    val w = Map("hot" -> 0.9375, "cold" -> 0.0625)
+    val naive = keptSet(
+      Mixture.sampleToTokenBudgetNaive(docs, "src", col("tok"), "id", w, 8000L)
+    )
+    val prod = keptSet(
+      Mixture.sampleToTokenBudget(docs, "src", col("tok"), "id", w, 8000L, cutBuckets = 64)
+    )
+    assert(prod == naive)
+    assert(naive.count(_._2 == "hot") > 0 && naive.count(_._2 == "cold") > 0)
+  }
+
+  test("invalid arguments fail fast") {
+    intercept[IllegalArgumentException](Mixture.budgets(Map.empty, 100L))
+    intercept[IllegalArgumentException](Mixture.budgets(Map("a" -> -1.0), 100L))
+    intercept[IllegalArgumentException](Mixture.budgets(Map("a" -> 0.0), 100L))
+    intercept[IllegalArgumentException] {
+      Mixture.sampleToTokenBudget(
+        corpus(Map("a" -> 5)), "src", col("tok"), "id", weights, 100L, cutBuckets = 100
+      )
+    }
+  }
+}
