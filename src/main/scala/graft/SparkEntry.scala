@@ -1631,6 +1631,64 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- C35: epoch materialization — the over-budget half of a mixture
+    // spec ("2.4 epochs of source X"): floor(budget/total) full copies of
+    // each stratum plus a fractional final epoch = the C33 hash-prefix of
+    // the remainder. 12000 tokens over these weights gives src0/src1 two
+    // full epochs + a sliver, src2/src3 one, src4–7 a sub-epoch fraction —
+    // every arm of the operator exercised at gate scale.
+    "docs_mixture_epochs" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      operators.Mixture
+        .materializeEpochs(
+          T(s, dir, "documents"),
+          "source",
+          size(tf.wsTokens(col("text"))),
+          "doc_id",
+          weights = Map(
+            "src0" -> 0.25,
+            "src1" -> 0.25,
+            "src2" -> 0.125,
+            "src3" -> 0.125,
+            "src4" -> 0.0625,
+            "src5" -> 0.0625,
+            "src6" -> 0.0625,
+            "src7" -> 0.0625
+          ),
+          totalBudget = 12000L
+        )
+        .orderBy("doc_id", "epoch")
+    },
+
+    // ---- C34: quality-prefix curation — keep each source's BEST documents
+    // (by the C9 quality score, hash-matched in text_quality) until its
+    // token-budget share is spent. Same two-pass cutoff machinery as C33
+    // with value-range cells in place of hash-prefix buckets; the oracle
+    // recomputes the naive (quality DESC, md5, id) window selection.
+    "docs_quality_budget" -> { (s, dir) =>
+      val tf = functions.TextFunctions
+      operators.Mixture
+        .takeBestToBudget(
+          T(s, dir, "documents"),
+          "source",
+          tf.qualityScore(col("text")),
+          size(tf.wsTokens(col("text"))),
+          "doc_id",
+          weights = Map(
+            "src0" -> 0.25,
+            "src1" -> 0.25,
+            "src2" -> 0.125,
+            "src3" -> 0.125,
+            "src4" -> 0.0625,
+            "src5" -> 0.0625,
+            "src6" -> 0.0625,
+            "src7" -> 0.0625
+          ),
+          totalBudget = 4000L
+        )
+        .orderBy("doc_id")
+    },
+
     // ---- C14: lexical-diversity filter (type-token ratio + top-token
     // share). The three exact counts come from ONE codegen kernel call per
     // row (graft_diversity_stats — tokenize + distinct + top-frequency
@@ -3328,6 +3386,80 @@ object SparkEntry {
         |  FROM j
         |)
         |SELECT doc_id, source, tokens FROM c WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin,
+    // C35: full epochs from first principles (budget // total copies via a
+    // bounded sequence join) + the remainder as the same naive window the
+    // C33 oracle uses, tagged epoch n_full.
+    "docs_mixture_epochs" ->
+      """WITH w(source, wt) AS (
+        |  VALUES ('src0', 0.25), ('src1', 0.25), ('src2', 0.125),
+        |         ('src3', 0.125), ('src4', 0.0625), ('src5', 0.0625),
+        |         ('src6', 0.0625), ('src7', 0.0625)
+        |), tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, sum(tokens) AS total FROM tok GROUP BY source
+        |), ep AS (
+        |  SELECT tot.source,
+        |    CAST(floor(w.wt / 1.0 * 12000) AS BIGINT) // tot.total AS n_full,
+        |    CAST(floor(w.wt / 1.0 * 12000) AS BIGINT) % tot.total AS rem
+        |  FROM w JOIN tot ON w.source = tot.source
+        |), seq AS (
+        |  SELECT unnest(range(1000)) AS epoch
+        |), full_e AS (
+        |  SELECT t.doc_id, t.source, t.tokens, s.epoch
+        |  FROM tok t
+        |  JOIN ep ON t.source = ep.source
+        |  JOIN seq s ON s.epoch < ep.n_full
+        |), frac AS (
+        |  SELECT doc_id, source, tokens, n_full AS epoch FROM (
+        |    SELECT t.doc_id, t.source, t.tokens, ep.n_full, ep.rem,
+        |      sum(t.tokens) OVER (PARTITION BY t.source
+        |                          ORDER BY md5('mix' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM tok t JOIN ep ON t.source = ep.source
+        |  ) WHERE cum <= rem
+        |)
+        |SELECT doc_id, source, tokens, epoch FROM full_e
+        |UNION ALL
+        |SELECT doc_id, source, tokens, epoch FROM frac
+        |ORDER BY doc_id, epoch""".stripMargin,
+    // Naive-window recomputation of the C34 quality-prefix selection; the
+    // quality expression is byte-identical to text_quality's (already
+    // hash-matched), so the (quality DESC, md5, id) order is engine-stable.
+    "docs_quality_budget" ->
+      """WITH w(source, wt) AS (
+        |  VALUES ('src0', 0.25), ('src1', 0.25), ('src2', 0.125),
+        |         ('src3', 0.125), ('src4', 0.0625), ('src5', 0.0625),
+        |         ('src6', 0.0625), ('src7', 0.0625)
+        |), t AS (
+        |  SELECT doc_id, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, source, norm, string_split(norm, ' ') AS wd FROM t
+        |), q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(wd) AS BIGINT) AS tokens,
+        |    round(0.5 * (CASE WHEN len(wd) = 0 THEN 0.0
+        |                 ELSE len(list_distinct(wd))::DOUBLE / len(wd) END)
+        |        + 0.5 * least(length(norm)::DOUBLE / 200.0, 1.0), 4) AS quality
+        |  FROM u
+        |), j AS (
+        |  SELECT q.doc_id, q.source, q.tokens, q.quality,
+        |    md5('mix' || CAST(q.doc_id AS VARCHAR)) AS rk,
+        |    CAST(floor(w.wt / 1.0 * 4000) AS BIGINT) AS budget
+        |  FROM q JOIN w ON q.source = w.source
+        |), c AS (
+        |  SELECT doc_id, source, tokens, quality, budget,
+        |    sum(tokens) OVER (PARTITION BY source
+        |                      ORDER BY quality DESC, rk, doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM j
+        |)
+        |SELECT doc_id, source, tokens, quality FROM c WHERE cum <= budget
         |ORDER BY doc_id""".stripMargin,
     "text_diversity_filter" ->
       """WITH t AS (

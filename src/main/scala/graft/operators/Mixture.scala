@@ -73,9 +73,9 @@ object Mixture {
     weights.map { case (s, w) => s -> math.floor(w / wSum * totalBudget).toLong }
   }
 
-  // (stratum, id, tokens, rank key, bucket, budget) — the shared front of
-  // both formulations. Inner-joining the broadcast budget table drops
-  // unweighted strata before any shuffle.
+  // (stratum, id, tokens, rank key, bucket, budget[, order value]) — the
+  // shared front of every formulation. Inner-joining the broadcast budget
+  // table drops unweighted strata before any shuffle.
   private def prepared(
       docs: DataFrame,
       strataCol: String,
@@ -84,17 +84,20 @@ object Mixture {
       weights: Map[String, Double],
       totalBudget: Long,
       seed: String,
-      cutBuckets: Int
+      cutBuckets: Int,
+      orderCol: Option[Column] = None
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bdg = budgets(weights, totalBudget).toSeq.toDF("s", "budget")
-    docs
-      .select(
+    val base = docs.select(
+      Seq(
         col(strataCol).as("s"),
         col(idCol).as("id"),
         tokensCol.cast("long").as("tok")
-      )
+      ) ++ orderCol.map(_.cast("double").as("qv")): _*
+    )
+    base
       .withColumn("rk", md5(concat(lit(seed), col("id").cast("string"))))
       .withColumn(
         "bkt",
@@ -163,10 +166,22 @@ object Mixture {
       totalBudget: Long,
       seed: String = "mix",
       cutBuckets: Int = 4096
-  ): DataFrame = {
-    val base =
-      prepared(docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, cutBuckets)
+  ): DataFrame =
+    finish(
+      selectPrefix(
+        prepared(docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, cutBuckets),
+        cutBuckets
+      ),
+      strataCol,
+      idCol
+    )
 
+  /** The two-pass cutoff core, shared by [[sampleToTokenBudget]] and the
+    * remainder epoch of [[materializeEpochs]]: given rows carrying
+    * (s, id, tok, rk, bkt, budget [, extras]), return the rows of each
+    * stratum's hash-order prefix whose running token total fits `budget`,
+    * preserving every input column. */
+  private def selectPrefix(base: DataFrame, cutBuckets: Int): DataFrame = {
     // Pass 1: per-(stratum, bucket) token mass; cumulative over bucket ids.
     // Aggregate scale (≤ strata × cutBuckets rows) — localCheckpoint pins it
     // to one evaluation under its two consumers below, exactly the
@@ -203,6 +218,216 @@ object Mixture {
       .where(col("before") + col("cum") <= col("budget"))
       .drop("before", "cum")
 
-    finish(keptWhole.unionByName(keptBoundary), strataCol, idCol)
+    keptWhole.unionByName(keptBoundary)
+  }
+
+  /** Reference formulation of [[takeBestToBudget]]: one window per
+    * stratum ordered by (quality desc, hash, id). Spec/oracle ground
+    * truth only — same hot-stratum serialization as
+    * [[sampleToTokenBudgetNaive]]. */
+  def takeBestToBudgetNaive(
+      docs: DataFrame,
+      strataCol: String,
+      orderCol: Column,
+      tokensCol: Column,
+      idCol: String,
+      weights: Map[String, Double],
+      totalBudget: Long,
+      seed: String = "mix"
+  ): DataFrame = {
+    val base = prepared(
+      docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, 4096,
+      orderCol = Some(orderCol)
+    )
+    val w = Window
+      .partitionBy("s")
+      .orderBy(col("qv").desc, col("rk"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    finishQ(
+      base.withColumn("cum", sum("tok").over(w)).where(col("cum") <= col("budget")),
+      strataCol,
+      idCol
+    )
+  }
+
+  /** Curation variant (C34): keep the HIGHEST-`orderCol` documents of each
+    * stratum — quality score, perplexity rank, classifier logit — until the
+    * stratum's token budget is spent ("the best N tokens per source", the
+    * quality-pruning half of a pretraining mix). Order is
+    * (orderCol desc, md5(seed‖id), id): fully deterministic, ties broken by
+    * the same unbiased hash as [[sampleToTokenBudget]].
+    *
+    * Production path = the same two-pass cutoff, with VALUE-RANGE buckets
+    * standing in for hash-prefix buckets: per-stratum min/max (one
+    * partial-agg pass) define 4096 fixed-width cells over the order value;
+    * cell-descending order coarsens value-descending order exactly
+    * (disjoint ranges), so the per-(stratum, cell) token histogram + a
+    * bounded cumulative window locate the one boundary cell per stratum,
+    * whole cells keep/drop via broadcast joins with no window, and only the
+    * boundary cell runs the exact (qv desc, rk, id) cumsum. A
+    * constant-value stratum (vmax == vmin) degrades its order to the pure
+    * hash order, so it transparently switches to the hash-prefix buckets —
+    * bounded either way. Worst case for the boundary window is the
+    * population of ONE tied order value (discrete scores concentrate mass;
+    * callers with coarse scores should prefer a finer one).
+    */
+  def takeBestToBudget(
+      docs: DataFrame,
+      strataCol: String,
+      orderCol: Column,
+      tokensCol: Column,
+      idCol: String,
+      weights: Map[String, Double],
+      totalBudget: Long,
+      seed: String = "mix",
+      cutBuckets: Int = 4096
+  ): DataFrame = {
+    val base = prepared(
+      docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, cutBuckets,
+      orderCol = Some(orderCol)
+    )
+
+    // Per-stratum value range (aggregate-scale, broadcast back).
+    val stats = base
+      .groupBy("s")
+      .agg(min("qv").as("vmin"), max("qv").as("vmax"))
+      .localCheckpoint()
+
+    // Consumption bucket: DESCENDING cell index — cell 0 is the TOP of the
+    // value range so ascending-`cb` cumulative windows walk best-first.
+    // Constant-value strata fall back to the hash-prefix bucket (ascending
+    // hash == the residual (rk, id) order when qv ties everywhere).
+    val span = col("vmax") - col("vmin")
+    val withCell = base
+      .join(broadcast(stats), "s")
+      .withColumn(
+        "cb",
+        when(col("vmax") === col("vmin"), col("bkt"))
+          .otherwise(
+            lit(cutBuckets - 1) -
+              least(
+                lit(cutBuckets - 1),
+                floor((col("qv") - col("vmin")) / (span / cutBuckets)).cast("int")
+              )
+          )
+      )
+
+    // Token-mass histogram per (stratum, cell) + cumulative mass in cells
+    // strictly before (better than) each cell. Bounded window (≤ cutBuckets
+    // rows per stratum); localCheckpoint pins it under its two consumers.
+    val wB = Window
+      .partitionBy("s")
+      .orderBy("cb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = withCell
+      .groupBy("s", "cb")
+      .agg(sum("tok").as("btok"), max("budget").as("budget"))
+      .withColumn("before", coalesce(sum("btok").over(wB), lit(0L)))
+      .localCheckpoint()
+
+    val fullKeep = hist
+      .where(col("before") + col("btok") <= col("budget"))
+      .select("s", "cb")
+    val boundary = hist
+      .where(col("before") <= col("budget") && col("before") + col("btok") > col("budget"))
+      .select(col("s"), col("cb"), col("before"))
+
+    val wIn = Window
+      .partitionBy("s", "cb")
+      .orderBy(col("qv").desc, col("rk"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val keptWhole = withCell.join(broadcast(fullKeep), Seq("s", "cb"))
+    val keptBoundary = withCell
+      .join(broadcast(boundary), Seq("s", "cb"))
+      .withColumn("cum", sum("tok").over(wIn))
+      .where(col("before") + col("cum") <= col("budget"))
+      .drop("before", "cum")
+
+    finishQ(keptWhole.unionByName(keptBoundary), strataCol, idCol)
+  }
+
+  private def finishQ(kept: DataFrame, strataCol: String, idCol: String): DataFrame =
+    kept.select(
+      col("id").as(idCol),
+      col("s").as(strataCol),
+      col("tok").as("tokens"),
+      col("qv").as("quality")
+    )
+
+  /** Epoch materialization (C35) — the OVER-budget half of a mixture spec.
+    * When a stratum's token share exceeds its size, real mixes repeat the
+    * source: `n = floor(budget/total)` full epochs plus a fractional final
+    * epoch holding the remainder as a [[sampleToTokenBudget]] prefix (same
+    * seed, so the fractional subset is the stable "first slice" of the
+    * stratum's hash order). Output adds an `epoch` column (0-based); full
+    * epochs carry every document, epoch `n` carries the remainder prefix.
+    * Under-budget strata degenerate to n = 0 + the C33 selection — this
+    * operator is a strict superset of [[sampleToTokenBudget]] semantics.
+    *
+    * Scale shape: one partial-agg totals pass (aggregate-scale, broadcast
+    * back), full epochs are a map-side per-row `sequence` explode — the
+    * amplification IS the requested semantics, there is no join or
+    * shuffle in it — and the remainder reuses the C33 two-pass cutoff
+    * against per-stratum remainder budgets. Per-epoch reshuffling is the
+    * training loader's concern, not the corpus definition's: repeating
+    * the identical document set per epoch is what "2.4 epochs of
+    * Wikipedia" means in a mixture table.
+    */
+  def materializeEpochs(
+      docs: DataFrame,
+      strataCol: String,
+      tokensCol: Column,
+      idCol: String,
+      weights: Map[String, Double],
+      totalBudget: Long,
+      seed: String = "mix",
+      cutBuckets: Int = 4096
+  ): DataFrame = {
+    val base =
+      prepared(docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, cutBuckets)
+
+    // Per-stratum token totals -> full-epoch count + remainder budget.
+    val plan = base
+      .groupBy("s")
+      .agg(sum("tok").as("total"), max("budget").as("budget"))
+      .select(
+        col("s"),
+        (col("budget") / col("total")).cast("long").as("n_full"),
+        (col("budget") % col("total")).as("rem")
+      )
+      .localCheckpoint()
+
+    // Full epochs: per-row explode of [0, n_full) — no shuffle, the
+    // explode factor is the mixture's own repeat count.
+    val fullEpochs = base
+      .join(broadcast(plan.select("s", "n_full")), "s")
+      .where(col("n_full") > 0)
+      .select(
+        col("s"),
+        col("id"),
+        col("tok"),
+        explode(sequence(lit(0L), col("n_full") - 1)).as("epoch")
+      )
+
+    // Remainder: the C33 prefix with budget = rem, tagged epoch n_full.
+    // Swap the broadcast budget column for the remainder and run the same
+    // two-pass cutoff (selectPrefix operates on the `budget` column).
+    val remBase = base
+      .drop("budget")
+      .join(
+        broadcast(plan.select(col("s"), col("rem").as("budget"), col("n_full"))),
+        "s"
+      )
+    val remKept = selectPrefix(remBase, cutBuckets)
+      .select(col("s"), col("id"), col("tok"), col("n_full").as("epoch"))
+
+    fullEpochs
+      .unionByName(remKept)
+      .select(
+        col("id").as(idCol),
+        col("s").as(strataCol),
+        col("tok").as("tokens"),
+        col("epoch")
+      )
   }
 }

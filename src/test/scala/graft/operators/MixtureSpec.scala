@@ -122,6 +122,155 @@ class MixtureSpec extends AnyFunSuite {
     assert(naive.count(_._2 == "hot") > 0 && naive.count(_._2 == "cold") > 0)
   }
 
+  // C34: value-ordered curation. Quality here is deliberately COARSE
+  // (7 distinct values) so cells carry heavy ties and the hash tie-break
+  // inside the boundary cell actually decides membership.
+  private def qCorpus(perStratum: Map[String, Int]): DataFrame =
+    perStratum.toSeq
+      .flatMap { case (s, n) =>
+        (0 until n).map { i =>
+          (s, s.hashCode.abs.toLong * 100000 + i, 5L + (i * 7 % 23), (i % 7).toDouble / 10.0)
+        }
+      }
+      .toDF("src", "id", "tok", "q")
+
+  private def keptSetQ(df: DataFrame): Set[(Long, String, Long, Double)] =
+    df.collect()
+      .map(r =>
+        (r.getAs[Long]("id"), r.getAs[String]("src"), r.getAs[Long]("tokens"),
+          r.getAs[Double]("quality"))
+      )
+      .toSet
+
+  test("quality cutoff is bit-identical to the naive window, ties and all bucket widths") {
+    val docs = qCorpus(Map("a" -> 300, "b" -> 120, "c" -> 40))
+    val naive = keptSetQ(
+      Mixture.takeBestToBudgetNaive(docs, "src", col("q"), col("tok"), "id", weights, 2000L)
+    )
+    assert(naive.nonEmpty)
+    for (buckets <- Seq(4096, 64, 1)) {
+      val prod = keptSetQ(
+        Mixture.takeBestToBudget(
+          docs, "src", col("q"), col("tok"), "id", weights, 2000L, cutBuckets = buckets
+        )
+      )
+      assert(prod == naive, s"cutBuckets=$buckets diverged from naive")
+    }
+  }
+
+  test("quality selection is the exact best-first prefix per stratum") {
+    val docs = qCorpus(Map("a" -> 200, "b" -> 80, "c" -> 30))
+    val budget = Mixture.budgets(weights, 1500L)
+    val kept = Mixture
+      .takeBestToBudget(docs, "src", col("q"), col("tok"), "id", weights, 1500L)
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id")))
+      .toSet
+    val ranked = docs
+      .withColumn("rk", md5(concat(lit("mix"), col("id").cast("string"))))
+      .collect()
+      .map(r =>
+        (r.getAs[String]("src"), r.getAs[Long]("id"), r.getAs[Long]("tok"),
+          r.getAs[Double]("q"), r.getAs[String]("rk"))
+      )
+      .groupBy(_._1)
+    for ((s, rows) <- ranked if budget.contains(s)) {
+      var cum = 0L
+      val expect = rows
+        .sortBy(r => (-r._4, r._5, r._2))
+        .takeWhile { r => cum += r._3; cum <= budget(s) }
+        .map(r => (r._1, r._2))
+        .toSet
+      assert(kept.filter(_._1 == s) == expect, s"stratum $s is not the best-first prefix")
+    }
+  }
+
+  test("constant-quality stratum falls back to hash order, still matches naive") {
+    val docs = qCorpus(Map("a" -> 200, "b" -> 60))
+      .withColumn("q", when(col("src") === "b", lit(0.5)).otherwise(col("q")))
+    val w2 = Map("a" -> 0.5, "b" -> 0.5)
+    val naive = keptSetQ(
+      Mixture.takeBestToBudgetNaive(docs, "src", col("q"), col("tok"), "id", w2, 1200L)
+    )
+    val prod = keptSetQ(
+      Mixture.takeBestToBudget(docs, "src", col("q"), col("tok"), "id", w2, 1200L, cutBuckets = 64)
+    )
+    assert(prod == naive)
+    assert(naive.exists(_._2 == "b") && naive.size < 260, "stratum b must be cut mid-tie")
+  }
+
+  // C35: epoch materialization.
+  test("epochs: full copies + remainder prefix, recomputed from first principles") {
+    val docs = corpus(Map("a" -> 40, "b" -> 25, "c" -> 10))
+    val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val budgetTotal = 4000L
+    val budget = Mixture.budgets(w, budgetTotal)
+    val out = Mixture
+      .materializeEpochs(docs, "src", col("tok"), "id", w, budgetTotal)
+      .collect()
+      .map(r =>
+        (r.getAs[String]("src"), r.getAs[Long]("id"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("epoch"))
+      )
+    val rows = docs
+      .withColumn("rk", md5(concat(lit("mix"), col("id").cast("string"))))
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id"), r.getAs[Long]("tok"), r.getAs[String]("rk")))
+      .groupBy(_._1)
+    for ((s, docsS) <- rows) {
+      val total = docsS.map(_._3).sum
+      val nFull = budget(s) / total
+      val rem = budget(s) % total
+      assert(nFull >= 1, s"fixture must exercise at least one full epoch for $s")
+      val got = out.filter(_._1 == s)
+      // every full epoch carries the complete stratum
+      for (e <- 0L until nFull)
+        assert(
+          got.filter(_._4 == e).map(_._2).toSet == docsS.map(_._2).toSet,
+          s"epoch $e of $s is not the full stratum"
+        )
+      // fractional epoch = greedy hash prefix of the remainder
+      var cum = 0L
+      val expectFrac = docsS
+        .sortBy(r => (r._4, r._2))
+        .takeWhile { r => cum += r._3; cum <= rem }
+        .map(_._2)
+        .toSet
+      assert(got.filter(_._4 == nFull).map(_._2).toSet == expectFrac,
+        s"fractional epoch of $s is not the remainder prefix")
+      assert(got.forall(_._4 <= nFull))
+      // token accounting: materialized mass fits the budget with slack
+      // smaller than one document
+      val mass = got.map(_._3).sum
+      assert(mass <= budget(s))
+      assert(budget(s) - mass < docsS.map(_._3).max + 1)
+    }
+  }
+
+  test("epochs: under-budget stratum degenerates to the C33 selection at epoch 0") {
+    val docs = corpus(Map("a" -> 300, "b" -> 120, "c" -> 40))
+    val ep = Mixture
+      .materializeEpochs(docs, "src", col("tok"), "id", weights, 2000L)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("src"), r.getAs[Long]("epoch")))
+    assert(ep.forall(_._3 == 0L), "budget below every stratum size must yield only epoch 0")
+    val c33 = keptSet(
+      Mixture.sampleToTokenBudget(docs, "src", col("tok"), "id", weights, 2000L)
+    ).map(r => (r._1, r._2))
+    assert(ep.map(r => (r._1, r._2)).toSet == c33)
+  }
+
+  test("epochs: an exact-multiple budget yields whole epochs and an empty fraction") {
+    val docs = corpus(Map("a" -> 10))
+    val total = docs.agg(sum("tok")).collect()(0).getLong(0)
+    val out = Mixture
+      .materializeEpochs(docs, "src", col("tok"), "id", Map("a" -> 1.0), total * 3)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("id")))
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(out.length == 30)
+  }
+
   test("invalid arguments fail fast") {
     intercept[IllegalArgumentException](Mixture.budgets(Map.empty, 100L))
     intercept[IllegalArgumentException](Mixture.budgets(Map("a" -> -1.0), 100L))
