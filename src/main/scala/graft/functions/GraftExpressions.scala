@@ -117,6 +117,27 @@ case class ShingleHashes(child: Expression, k: Int)
   * exact longs behind Repetition.signals, replacing a chain of interpreted
   * higher-order functions (tokenize + fold + n-gram maps) with one codegen
   * kernel call. */
+/** One-pass whitespace squeeze+trim (see TextOps.squeezeWs): the codegen
+  * replacement for `trim(regexp_replace(c, "\\s+", " "))` at the head of
+  * every normText chain — same bytes out, no regex engine in the hot path.
+  */
+case class SqueezeWs(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_squeeze_ws"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.squeezeWs(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextOps.squeezeWs($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RepetitionStats(child: Expression)
     extends UnaryExpression
     with ImplicitCastInputTypes {
@@ -286,11 +307,18 @@ object GraftFunctions {
     * sessions and collide on identity hashes). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // sentinel = the newest function, so sessions registered by an older
+    // code path pick up additions (createOrReplace is idempotent)
     if (
       reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk")
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_squeeze_ws")
       )
     ) return
+    reg.createOrReplaceTempFunction(
+      "graft_squeeze_ws",
+      es => SqueezeWs(es(0)),
+      "built-in"
+    )
     reg.createOrReplaceTempFunction(
       "graft_cosine",
       es => CosineSimilarity(es(0), es(1)),
@@ -400,6 +428,15 @@ object GraftFunctions {
   def repetitionStats(text: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("graft_repetition_stats", text)
+  }
+
+  /** Session-less wrapper (registers on the ACTIVE session): normText and
+    * friends are pure Column combinators with no session in scope, and
+    * query construction always happens under an active session on the
+    * driver. */
+  def squeezeWs(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_squeeze_ws", text)
   }
 
   def diversityStats(text: Column)(implicit spark: SparkSession): Column = {

@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Canonical text form: lowercase, trimmed, whitespace collapsed to single
-    * spaces. Every downstream op (fingerprint, tokens, shingles) starts here. */
+    * spaces. Every downstream op (fingerprint, tokens, shingles) starts here.
+    * The squeeze+trim half runs as the one-pass `graft_squeeze_ws` codegen
+    * kernel (byte-identical to `trim(regexp_replace(c, "\\s+", " "))`,
+    * property-proven in GraftExpressionsSpec); `lower` stays the built-in so
+    * Unicode case mapping is Spark's own. */
   def normText(c: Column): Column =
+    lower(GraftFunctions.squeezeWs(c))
+
+  /** The regex formulation of [[normText]] — the spec's ground truth for
+    * the kernel equivalence property. */
+  def normTextReference(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Content fingerprint: md5 of the normalized text (portable across

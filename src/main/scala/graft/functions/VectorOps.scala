@@ -213,6 +213,37 @@ object TextOps {
     * Token equality is byte equality (tokens cannot contain the space
     * separator, so joining with spaces is injective — pair/triple equality
     * equals joined-string equality). */
+  /** One-pass whitespace squeeze + trim: runs of ASCII whitespace
+    * ([ \t\n\x0B\f\r] — exactly Java regex `\s`) collapse to one space,
+    * leading/trailing runs drop. Byte-identical to
+    * `trim(regexp_replace(s, "\\s+", " "))` — the [[graft.functions
+    * .TextFunctions.normText]] front — without the regex engine, the
+    * UTF8String→String→StringBuffer round-trip, or the two extra passes.
+    * Byte-wise is UTF-8-safe: multi-byte code points never contain ASCII
+    * bytes, and non-ASCII whitespace (U+00A0 …) is NOT matched by Java's
+    * default `\s`, so it must survive here too. */
+  def squeezeWs(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var pendingSpace = false
+    while (i < n) {
+      val b = bytes(i)
+      if (b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r') {
+        // leading whitespace never sets pending (o == 0 until first token)
+        pendingSpace = o > 0
+      } else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = b
+        o += 1
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
+  }
+
   def repetitionStats(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     // split on single spaces, Spark split() semantics: "" -> [""]
     val str = s.toString

@@ -139,4 +139,37 @@ class KernelPropertySpec extends AnyFunSuite {
       )
     assert(mismatch.count() == 0, mismatch.collect().mkString("; "))
   }
+
+  test("graft_squeeze_ws is byte-identical to trim(regexp_replace(\\s+)) — and so is normText") {
+    // chunks stress every boundary: ASCII whitespace runs (the \s set),
+    // non-ASCII whitespace that Java \s must NOT match, multibyte code
+    // points, case-mapping targets, empty and all-whitespace strings
+    val chunkGen: Gen[String] = Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(8)),
+      3 -> Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')).map(_.mkString),
+      2 -> Gen.oneOf("\u00A0", "\u2003", "\u1680", "\u200B"),
+      2 -> Gen.oneOf("héllo", "ÅΩß", "日本語テキスト", "emoji 🙂 bits", "Großbuchstabe"),
+      1 -> Gen.const("")
+    )
+    val strGen: Gen[String] = Gen.frequency(
+      6 -> Gen.listOf(chunkGen).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.const("   \t\r\n  "),
+      1 -> Gen.const(" x "),
+      1 -> Gen.const("a" + (" " * 500) + "b")
+    )
+    val rows = sample(strGen, 400).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val mismatch = rows
+      .toDF("id", "t")
+      .select(
+        col("id"),
+        col("t"),
+        GraftFunctions.squeezeWs(col("t")).as("k"),
+        trim(regexp_replace(col("t"), "\\s+", " ")).as("r"),
+        TextFunctions.normText(col("t")).as("nk"),
+        TextFunctions.normTextReference(col("t")).as("nr")
+      )
+      .filter(col("k") =!= col("r") || col("nk") =!= col("nr"))
+    assert(mismatch.count() == 0, mismatch.collect().take(5).mkString("; "))
+  }
 }
