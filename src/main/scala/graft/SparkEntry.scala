@@ -1660,6 +1660,17 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     },
 
+    // ---- C36: token-window chunking — fixed-size overlapping windows
+    // (chunkSize 40, overlap 8 → stride 32), the unit RAG indexing and
+    // long-document prep consume. Pure map-side explode, no shuffle; the
+    // oracle recomputes membership from the same closed-form integer
+    // arithmetic and list slicing.
+    "docs_chunk_windows" -> { (s, dir) =>
+      operators.Chunk
+        .tokenWindows(T(s, dir, "documents"), "text", "doc_id", chunkSize = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- C34: quality-prefix curation — keep each source's BEST documents
     // (by the C9 quality score, hash-matched in text_quality) until its
     // token-budget share is spent. Same two-pass cutoff machinery as C33
@@ -3426,6 +3437,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source, tokens, epoch FROM frac
         |ORDER BY doc_id, epoch""".stripMargin,
+    // C36: chunk membership from the same integer arithmetic (DuckDB `//`
+    // == Spark's truncating cast on positive ints) + 1-based inclusive
+    // list slicing (both engines clamp at the array end).
+    "docs_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 40 THEN 1
+        |         ELSE (len(w) - 40 + 31) // 32 + 1 END AS nc
+        |  FROM t
+        |), seq AS (
+        |  SELECT unnest(range(1000)) AS chunk_id
+        |), c AS (
+        |  SELECT n.doc_id, s.chunk_id,
+        |    n.w[(s.chunk_id * 32 + 1):(s.chunk_id * 32 + 40)] AS ct
+        |  FROM n JOIN seq s ON s.chunk_id < n.nc
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(ct, ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // Naive-window recomputation of the C34 quality-prefix selection; the
     // quality expression is byte-identical to text_quality's (already
     // hash-matched), so the (quality DESC, md5, id) order is engine-stable.

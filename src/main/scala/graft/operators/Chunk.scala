@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Token-window document chunking (C36) — split each document into
+  * fixed-size overlapping token windows, the unit both RAG indexing and
+  * long-document training prep consume. Chunk `k` of a document covers
+  * tokens `[k·stride, k·stride + chunkSize)` with
+  * `stride = chunkSize − overlap`; the last chunk is the (possibly
+  * shorter) remainder, and a document at or under `chunkSize` tokens is
+  * exactly one chunk — itself.
+  *
+  * Everything is closed-form integer arithmetic on the per-document token
+  * count, so chunk membership is deterministic and an external engine can
+  * recompute it exactly (the DuckDB oracle does). At scale the operator is
+  * embarrassingly parallel: one projection + a per-row `sequence` explode,
+  * NO shuffle anywhere — the chunk multiplier (~n_tokens/stride per doc)
+  * is the output semantics, not a join. 100 TB chunks at scan speed.
+  */
+object Chunk {
+
+  /** (idCol, chunk_id, n_chunk_tokens, chunk_text): overlapping
+    * token-window chunks of `textCol` after normText tokenization. */
+  def tokenWindows(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkSize: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(
+      overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)"
+    )
+    val stride = chunkSize - overlap
+    val toks: Column = TextFunctions.wsTokens(col(textCol))
+    // n_chunks = 1 for n <= chunkSize, else floor((n - chunkSize + stride - 1)
+    // / stride) + 1 — pure integer arithmetic, positive operands, so the
+    // truncating cast IS floor division (and matches DuckDB's `//`).
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ((n - chunkSize + stride - 1) / lit(stride)).cast("int") + 1
+    )
+    docs
+      .select(col(idCol), toks.as("toks"), nChunks.as("nc"))
+      .select(
+        col(idCol),
+        col("toks"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id")
+      )
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("ct")
+      )
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        size(col("ct")).as("n_chunk_tokens"),
+        array_join(col("ct"), " ").as("chunk_text")
+      )
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** C36 token-window chunking: closed-form chunk counts, exact overlap
+  * structure, and lossless reconstruction of the normalized document. */
+class ChunkSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def doc(n: Int): (Long, String) =
+    (n.toLong, (1 to n).map(i => s"w$i").mkString(" "))
+
+  test("chunk counts hit the closed form at every boundary") {
+    // chunkSize 10, overlap 3, stride 7: n<=10 -> 1; 11..17 -> 2; 18..24 -> 3
+    val docs = Seq(doc(1), doc(9), doc(10), doc(11), doc(17), doc(18), doc(24), doc(25))
+      .toDF("doc_id", "text")
+    val counts = Chunk
+      .tokenWindows(docs, "text", "doc_id", chunkSize = 10, overlap = 3)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nc"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nc"))
+      .toMap
+    assert(counts == Map(1L -> 1L, 9L -> 1L, 10L -> 1L, 11L -> 2L, 17L -> 2L,
+      18L -> 3L, 24L -> 3L, 25L -> 4L))
+  }
+
+  test("consecutive chunks share exactly `overlap` tokens; strides reconstruct the doc") {
+    val docs = Seq(doc(57), doc(40), doc(41)).toDF("doc_id", "text")
+    val chunks = Chunk
+      .tokenWindows(docs, "text", "doc_id", chunkSize = 12, overlap = 4)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+          r.getAs[String]("chunk_text").split(" ", -1).toSeq)
+      )
+      .groupBy(_._1)
+    for ((id, rows) <- chunks) {
+      val ordered = rows.sortBy(_._2).map(_._3).toSeq
+      // overlap: chunk k begins with the tokens chunk k-1 ends its stride on
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a.drop(8) == b.take(a.length - 8), s"doc $id overlap broken")
+        case _         =>
+      }
+      // reconstruction: first chunk + each later chunk minus its overlap
+      val rebuilt = ordered.head ++ ordered.tail.flatMap(_.drop(4))
+      val expected = (1 to id.toInt).map(i => s"w$i")
+      assert(rebuilt == expected, s"doc $id does not reconstruct")
+      // every full chunk has exactly chunkSize tokens, the tail the remainder
+      ordered.dropRight(1).foreach(c => assert(c.length == 12))
+    }
+  }
+
+  test("overlap 0 partitions the document") {
+    val docs = Seq(doc(20)).toDF("doc_id", "text")
+    val ordered = Chunk
+      .tokenWindows(docs, "text", "doc_id", chunkSize = 8, overlap = 0)
+      .orderBy("chunk_id")
+      .collect()
+      .map(_.getAs[String]("chunk_text").split(" ", -1).toSeq)
+    assert(ordered.map(_.length).toSeq == Seq(8, 8, 4))
+    assert(ordered.flatten.toSeq == (1 to 20).map(i => s"w$i"))
+  }
+
+  test("degenerate inputs: empty text is one empty chunk; invalid args fail fast") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = Chunk
+      .tokenWindows(docs, "text", "doc_id", chunkSize = 5, overlap = 1)
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("chunk_text") == ""))
+    intercept[IllegalArgumentException](
+      Chunk.tokenWindows(docs, "text", "doc_id", chunkSize = 5, overlap = 5)
+    )
+    intercept[IllegalArgumentException](
+      Chunk.tokenWindows(docs, "text", "doc_id", chunkSize = 0, overlap = 0)
+    )
+  }
+}
