@@ -80,7 +80,12 @@ object PlanDump {
         "boundary bucket; whole buckets keep via broadcast semi-joins and " +
         "ONLY the 1/4096 boundary slice runs an exact cumsum — no " +
         "per-stratum window over the corpus, a hot stratum cannot " +
-        "serialize into one task")
+        "serialize into one task"),
+    "docs_quality_budget" ->
+      ("quality-prefix curation: same two-pass cutoff with VALUE-RANGE " +
+        "cells (min/max pass -> cell histogram -> one boundary cell per " +
+        "stratum); whole cells keep via broadcast joins, only the " +
+        "boundary cell runs the exact (quality desc, hash, id) cumsum")
   )
 
   def main(args: Array[String]): Unit = {
