@@ -1660,6 +1660,20 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     },
 
+    // ---- B63: scalable global sequence ids — the zipWithIndex two-pass
+    // (range repartition -> per-partition counts -> offset broadcast ->
+    // partitioned window) replacing the single-task global-ORDER
+    // row_number; bit-identical to it for a total order, which the oracle
+    // recomputes directly.
+    "q_global_ids" -> { (s, dir) =>
+      operators.GlobalIds
+        .sequentialIds(
+          T(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("lang", "doc_id")
+        )
+        .orderBy("seq_id")
+    },
+
     // ---- C36: token-window chunking — fixed-size overlapping windows
     // (chunkSize 40, overlap 8 → stride 32), the unit RAG indexing and
     // long-document prep consume. Pure map-side explode, no shuffle; the
@@ -3437,6 +3451,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source, tokens, epoch FROM frac
         |ORDER BY doc_id, epoch""".stripMargin,
+    // B63: the oracle IS the naive global window the operator replaces.
+    "q_global_ids" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS seq_id
+        |FROM documents
+        |ORDER BY seq_id""".stripMargin,
     // C36: chunk membership from the same integer arithmetic (DuckDB `//`
     // == Spark's truncating cast on positive ints) + 1-based inclusive
     // list slicing (both engines clamp at the array end).
