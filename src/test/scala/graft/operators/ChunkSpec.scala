@@ -66,6 +66,33 @@ class ChunkSpec extends AnyFunSuite {
     assert(ordered.flatten.toSeq == (1 to 20).map(i => s"w$i"))
   }
 
+  test("chunking runs unchanged on a stream (stateless: projection + explode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Chunk
+      .tokenWindows(input.toDF().toDF("doc_id", "text"), "text", "doc_id", 5, 2)
+      .writeStream
+      .format("memory")
+      .queryName("chunk_stream")
+      .outputMode("append")
+      .start()
+    input.addData(doc(12), doc(3))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("chunk_stream")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"), r.getAs[String]("chunk_text")))
+      .toSet
+    val batch = Chunk
+      .tokenWindows(Seq(doc(12), doc(3)).toDF("doc_id", "text"), "text", "doc_id", 5, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"), r.getAs[String]("chunk_text")))
+      .toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("degenerate inputs: empty text is one empty chunk; invalid args fail fast") {
     val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
     val out = Chunk
