@@ -57,13 +57,22 @@ object Bench {
       try {
         force() // warmup: codegen + JIT
         settle() // drain neighbor garbage before the timed window
+        // One DISCARDED post-settle run (round 10): settle()'s GCs enqueue
+        // ContextCleaner work (broadcast/shuffle unpersists are weak-ref
+        // driven and run on a background thread), and the first run after a
+        // GC storm absorbs that drain + any re-warm the GC displaced. The
+        // driver's r9 sweep had four queries with median >1.5x their own
+        // min from exactly this shape; the discard run eats it.
+        force()
         val timed = Seq.fill(runs) {
           // A full GC between timed runs (outside the timer) stops run i's
-          // garbage from being billed to run i+1 — round 8 measured
-          // q_case_agg's own five runs spreading 0.28-0.51 s from exactly
-          // this: a fresh-heap query on a cluster never pays its previous
-          // execution's collection.
+          // garbage from being billed to run i+1 — round 6/8 findings. The
+          // short sleep after it lets the ContextCleaner finish unpersisting
+          // run i's broadcasts/shuffles BEFORE the timer starts: the cleaner
+          // is triggered by exactly this GC (weak references), and without
+          // the pause its unpersist RPCs land inside run i+1's window.
           System.gc()
+          Thread.sleep(80)
           val t0 = System.nanoTime()
           force()
           (System.nanoTime() - t0) / 1e9

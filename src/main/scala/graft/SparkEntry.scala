@@ -3425,14 +3425,20 @@ object SparkEntry {
         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS tokens
         |  FROM documents
         |), tot AS (
-        |  SELECT source, sum(tokens) AS total FROM tok GROUP BY source
+        |  -- §6 rule: DuckDB sum(BIGINT) returns HUGEINT; cast so n_full (and
+        |  -- therefore the epoch column after UNION ALL) stays BIGINT like the
+        |  -- engine's, or the driver hash sees float64 "2.0" vs long "2".
+        |  SELECT source, CAST(sum(tokens) AS BIGINT) AS total FROM tok GROUP BY source
         |), ep AS (
         |  SELECT tot.source,
         |    CAST(floor(w.wt / 1.0 * 12000) AS BIGINT) // tot.total AS n_full,
         |    CAST(floor(w.wt / 1.0 * 12000) AS BIGINT) % tot.total AS rem
         |  FROM w JOIN tot ON w.source = tot.source
         |), seq AS (
-        |  SELECT unnest(range(1000)) AS epoch
+        |  -- bound derived from the data, not a fixture-scale constant: a
+        |  -- stratum repeated >=1000 epochs would silently truncate a fixed
+        |  -- range(1000) and report a false mismatch at larger SFs.
+        |  SELECT unnest(range((SELECT coalesce(max(n_full), 0) + 1 FROM ep))) AS epoch
         |), full_e AS (
         |  SELECT t.doc_id, t.source, t.tokens, s.epoch
         |  FROM tok t
@@ -3471,7 +3477,9 @@ object SparkEntry {
         |         ELSE (len(w) - 40 + 31) // 32 + 1 END AS nc
         |  FROM t
         |), seq AS (
-        |  SELECT unnest(range(1000)) AS chunk_id
+        |  -- bound derived from max chunk count: a document over ~32k tokens
+        |  -- (nc > 1000) would silently truncate a fixed range(1000).
+        |  SELECT unnest(range((SELECT coalesce(max(nc), 0) FROM n))) AS chunk_id
         |), c AS (
         |  SELECT n.doc_id, s.chunk_id,
         |    n.w[(s.chunk_id * 32 + 1):(s.chunk_id * 32 + 40)] AS ct

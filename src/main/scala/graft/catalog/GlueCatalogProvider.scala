@@ -168,15 +168,21 @@ final class GlueCatalogProvider(client: GlueClient, spark: SparkSession) {
       table: GlueTable,
       options: TableRegistrationOptions
   ): DataFrame = {
+    val ctx = s"${table.databaseName}.${table.name}"
     val df =
       try load(table, options)
       catch {
-        case e: GlueNotImplementedException => throw e
-        case e: GlueException               => throw e
+        // Structured per-table degrade (reference glue.rs:335-346): name the
+        // db.table exactly once, preserve the exception type so callers can
+        // match on NotImplemented vs parse vs catalog failure.
+        case e: GlueNotImplementedException =>
+          if (e.getMessage.startsWith(ctx)) throw e
+          else throw new GlueNotImplementedException(s"$ctx: ${e.getMessage}")
+        case e: GlueTypeParseException =>
+          throw new GlueTypeParseException(s"$ctx: ${e.getMessage}")
+        case e: GlueException => throw e
         case e: Throwable =>
-          throw new GlueCatalogException(
-            s"${table.databaseName}.${table.name}: ${e.getMessage}"
-          )
+          throw new GlueCatalogException(s"$ctx: ${e.getMessage}")
       }
     df.createOrReplaceTempView(table.name)
     df.createOrReplaceTempView(s"${table.databaseName}_${table.name}")

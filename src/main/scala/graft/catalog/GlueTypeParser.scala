@@ -127,8 +127,20 @@ object GlueTypeParser {
       } else if (consume("decimal(")) {
         val p = number(); expect(",")
         val sc = number(); expect(")")
-        if (p < 1 || p > DecimalType.MAX_PRECISION || sc > p)
+        if (p < 1 || sc > p)
           fail(s"invalid decimal precision/scale ($p,$sc)")
+        // Valid Glue, unrepresentable in Spark: the reference maps any
+        // decimal(p,s) to Arrow Decimal256 (glue.rs:471-473); Spark tops out
+        // at Decimal(38). Raise the structured NotImplemented (the
+        // reference's GlueError::NotImplemented contract, glue.rs:335-346)
+        // rather than a parse error, so registration degrades PER TABLE —
+        // GlueCatalogProvider adds the db.table context and sibling tables
+        // stay registerable.
+        if (p > DecimalType.MAX_PRECISION)
+          throw new GlueNotImplementedException(
+            s"decimal($p,$sc) exceeds Spark's maximum decimal precision " +
+              s"${DecimalType.MAX_PRECISION} (no Decimal256 equivalent)"
+          )
         DecimalType(p, sc)
       } else if (consume("tinyint")) ByteType
       else if (consume("smallint")) ShortType

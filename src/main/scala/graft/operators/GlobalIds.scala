@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *      sort is per-partition, never global.
   *
   * The result is bit-identical to the naive global row_number whenever
-  * `orderCols` is a total order (append a unique id as the last column —
-  * the require below refuses ambiguity at gate time only probabilistically,
-  * so the caller owns uniqueness), which is what the DuckDB oracle and the
-  * equivalence spec check. Cost: one range shuffle + one hash shuffle of
+  * `orderCols` is a total order (append a unique id as the last column).
+  * Uniqueness is ENTIRELY the caller's responsibility — nothing here
+  * detects a non-total order, and ties would take arbitrary but
+  * deterministic-per-materialization ids (a full distinct-count guard
+  * would cost a second aggregation pass over the data, the wrong trade at
+  * 100 TB). The DuckDB oracle and the equivalence spec check the
+  * total-order case. Cost: one range shuffle + one hash shuffle of
   * the same data vs. the naive plan's one shuffle into one task — at
   * cluster scale the two distributed passes win by the width of the
   * cluster.

@@ -392,7 +392,11 @@ object Mixture {
       .agg(sum("tok").as("total"), max("budget").as("budget"))
       .select(
         col("s"),
-        (col("budget") / col("total")).cast("long").as("n_full"),
+        // Integer-exact floor division: `/` is DOUBLE division in Spark SQL
+        // and would round-trip through a 53-bit mantissa (wrong past ~2^53
+        // total tokens — reachable at 100 TB). SQL `DIV` stays in LONG
+        // arithmetic, matching the oracle's exact `//`.
+        expr("budget DIV total").as("n_full"),
         (col("budget") % col("total")).as("rem")
       )
       .localCheckpoint()

@@ -10,7 +10,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, length, lit, sum}
 import org.apache.spark.sql.types._
 
 /** Minimal Delta Lake table reader/writer by transaction-log replay, built
@@ -54,6 +54,14 @@ import org.apache.spark.sql.types._
   * features still refuse with a clear error.
   */
 object DeltaRead {
+
+  /** Conf key capping the total serialized deletion-vector payload
+    * [[deleteWhere]] will collect to the driver; see the guard there. */
+  val MaxDvPayloadBytesKey = "graft.delta.maxDeleteVectorPayloadBytes"
+  /** 256 MiB default: far above any plausible merge-on-read delete (a
+    * roaring bitmap of 100M scattered row deletes is ~tens of MB), far
+    * below driver-heap trouble. */
+  val DefaultMaxDvPayloadBytes: Long = 256L * 1024 * 1024
 
   private val mapper = new ObjectMapper()
 
@@ -243,7 +251,17 @@ object DeltaRead {
   }
 
   /** Replay the log and return the snapshot at `versionAsOf` (default:
-    * latest). */
+    * latest).
+    *
+    * Driver-memory bound (documented, not guarded): the active add-file
+    * list lives on the driver at ~200 B per action (path + partition values
+    * + optional DV descriptor) — ~2 GB of driver heap at a 10M-file table.
+    * That is the standard shape for delta implementations (delta-rs and
+    * delta's own Scala client hold the same list; Spark's file index holds
+    * an equivalent one for plain parquet directories), and file counts that
+    * large mean misconfigured file sizing long before they mean a snapshot
+    * problem. A DataFrame-resident snapshot is the documented growth path
+    * if a 10M-file table ever becomes real (SURVEY §5). */
   def snapshot(
       spark: SparkSession,
       tableDir: String,
@@ -612,11 +630,9 @@ object DeltaRead {
   def deleteWhere(spark: SparkSession, dir: String, condition: Column): Long = {
     val snap = snapshot(spark, dir)
     if (snap.adds.isEmpty) return -1L
-    val root = new Path(dir)
-    val fs = fsOf(root, hadoopConf(Some(spark)))
     val df = readSnapshot(spark, dir, snap, withMeta = true)
     import spark.implicits._
-    val matched = df
+    val grouped = df
       .filter(condition)
       .select(col("__graft_file").as[String], col("__graft_row").as[Long])
       .groupByKey(_._1)
@@ -624,8 +640,45 @@ object DeltaRead {
         val bm = DeletionVectors.BitmapArray.fromRowIndexes(rows.map(_._2))
         (path, bm.serialize(), bm.cardinality)
       }
-      .collect()
-    if (matched.isEmpty) return -1L
+    // Driver-memory guard: the per-file bitmaps come back to the driver to
+    // be merged and written into one DV file (that part of the protocol is
+    // inherently driver-side). Bounded at gate scale, but a delete matching
+    // most rows of a huge table would collect gigabytes — measure the
+    // payload with an aggregate-scale job over the persisted bitmaps first
+    // and refuse clearly instead of dying in collect(). The cap is
+    // conf-tunable; raising it is an explicit operator decision.
+    grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cap = spark.conf
+        .getOption(DeltaRead.MaxDvPayloadBytesKey)
+        .map(_.toLong)
+        .getOrElse(DeltaRead.DefaultMaxDvPayloadBytes)
+      val payload = grouped
+        .toDF("path", "bytes", "card")
+        .agg(coalesce(sum(length(col("bytes"))), lit(0L)))
+        .head()
+        .getLong(0)
+      if (payload > cap)
+        throw new IllegalStateException(
+          s"deleteWhere on $dir would collect $payload bytes of deletion-vector " +
+            s"bitmaps to the driver (cap $cap). The delete matches too many rows " +
+            s"for a merge-on-read DV delete — rewrite the table instead (filter + " +
+            s"overwrite), or raise ${DeltaRead.MaxDvPayloadBytesKey} explicitly."
+        )
+      val matched = grouped.collect()
+      if (matched.isEmpty) return -1L
+      deleteCommit(spark, dir, snap, matched)
+    } finally grouped.unpersist()
+  }
+
+  private def deleteCommit(
+      spark: SparkSession,
+      dir: String,
+      snap: Snapshot,
+      matched: Array[(String, Array[Byte], Long)]
+  ): Long = {
+    val root = new Path(dir)
+    val fs = fsOf(root, hadoopConf(Some(spark)))
 
     // map scanned absolute paths back to the snapshot's relative add paths
     // by qualified-path equality (same normalization as the read side)

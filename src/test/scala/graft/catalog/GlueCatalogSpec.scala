@@ -181,6 +181,55 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(spark.table("ok").count() == 5)
   }
 
+  test("decimal(p>38) degrades per-table: structured NotImplemented, siblings query") {
+    // Spark has no Decimal256 (the reference maps any decimal(p,s) to Arrow
+    // Decimal256, glue.rs:471-473). A Glue table carrying one decimal(40,2)
+    // column must become the reference's structured db.table NotImplemented
+    // contract (glue.rs:335-346) at registration — NOT a raw parse error —
+    // and must not poison sibling registrations.
+    val good = GlueTable(
+      "deg", "ok",
+      GlueStorageDescriptor(
+        location = SparkFixture.sfDir + "/region.parquet",
+        inputFormat =
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+        outputFormat =
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+        serdeInfo = GlueSerDeInfo(
+          "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+        ),
+        columns = Seq(GlueColumn("r_regionkey", "int"), GlueColumn("r_name", "string"))
+      )
+    )
+    val wide = good.copy(
+      name = "too_wide",
+      storageDescriptor = good.storageDescriptor.copy(
+        columns = Seq(
+          GlueColumn("r_regionkey", "int"),
+          GlueColumn("amount", "decimal(40,2)")
+        )
+      )
+    )
+    val p = new GlueCatalogProvider(new InMemoryGlueClient(Seq(good, wide)), spark)
+    val results = p.registerTables("deg")
+    assert(results.count(_.isRight) == 1)
+    val failure = results.collectFirst { case Left(e) => e }.get
+    assert(failure.isInstanceOf[GlueNotImplementedException],
+      s"expected NotImplemented, got ${failure.getClass}: ${failure.getMessage}")
+    assert(failure.getMessage.startsWith("deg.too_wide"))
+    assert(failure.getMessage.contains("decimal(40,2)"))
+    assert(spark.table("ok").count() == 5, "sibling table must still query")
+    // direct registration throws the same structured error
+    val direct = intercept[GlueNotImplementedException](p.registerTable("deg", "too_wide"))
+    assert(direct.getMessage.startsWith("deg.too_wide"))
+    // precision <= 38 still parses; malformed decimals are still parse errors
+    assert(GlueTypeParser.parse("decimal(38,2)") ==
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    assertThrows[GlueNotImplementedException](GlueTypeParser.parse("array<decimal(40,2)>"))
+    assertThrows[GlueTypeParseException](GlueTypeParser.parse("decimal(5,9)"))
+    assertThrows[GlueTypeParseException](GlueTypeParser.parse("decimal(0,0)"))
+  }
+
   test("LocalDirectoryGlueClient discovers hive-partitioned table dirs") {
     val root = Files.createTempDirectory("graft_local_part").toFile
     import spark.implicits._

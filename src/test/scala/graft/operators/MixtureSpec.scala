@@ -271,6 +271,40 @@ class MixtureSpec extends AnyFunSuite {
     assert(out.length == 30)
   }
 
+  test("epochs: n_full division is integer-exact at 2^53-boundary budgets") {
+    // budget = k·total − 1 at magnitudes where DOUBLE division fails: with
+    // total = 2^52 and budget = 2^53 − 1 (both exactly representable — every
+    // long ≤ 2^53 is), budget/total = 2 − 2^-52 sits EXACTLY halfway between
+    // the doubles 2 − 2^-51 and 2.0; ties-to-even rounds UP to 2.0, so a
+    // `(budget / total).cast("long")` formulation reports n_full = 2 while
+    // the true floor is 1 — and then over-materializes a whole epoch on top
+    // of a remainder of total − 1 tokens. SQL DIV must stay exact.
+    val tok = 1L << 50
+    val docs = (0 until 4).map(i => ("a", i.toLong, tok)).toDF("src", "id", "tok")
+    val total = 4 * tok // 2^52
+    val budget = (total << 1) - 1 // 2^53 − 1, odd, exactly representable
+    assert(budget.toDouble.toLong == budget, "fixture must survive budgets()'s double path")
+    assert(Mixture.budgets(Map("a" -> 1.0), budget)("a") == budget)
+    val out = Mixture
+      .materializeEpochs(docs, "src", col("tok"), "id", Map("a" -> 1.0), budget)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("id"), r.getAs[Long]("tokens")))
+    // exact: n_full = 1 (full epoch 0), remainder epoch 1 keeps 3 of 4 docs
+    // (rem = total − 1, each doc 2^50 → prefix of 3). Double division would
+    // emit epochs {0, 1} full + epoch 2 partial and overshoot the budget.
+    assert(out.map(_._1).max == 1L, "n_full must floor exactly to 1, not round to 2")
+    assert(out.count(_._1 == 0L) == 4)
+    assert(out.count(_._1 == 1L) == 3)
+    assert(out.map(_._3).sum <= budget, "materialized mass must fit the budget")
+    // and the mirrored near-boundary: budget = k·total + 1 floors DOWN to k
+    val out2 = Mixture
+      .materializeEpochs(docs, "src", col("tok"), "id", Map("a" -> 1.0), (total << 1) + 1)
+      .collect()
+      .map(r => r.getAs[Long]("epoch"))
+    assert(out2.count(_ == 0L) == 4 && out2.count(_ == 1L) == 4)
+    assert(out2.max == 1L, "rem = 1 < any doc: fractional epoch must be empty")
+  }
+
   test("invalid arguments fail fast") {
     intercept[IllegalArgumentException](Mixture.budgets(Map.empty, 100L))
     intercept[IllegalArgumentException](Mixture.budgets(Map("a" -> -1.0), 100L))

@@ -172,6 +172,24 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaRead.deleteWhere(spark, dir, $"id" === -1) == -1L)
   }
 
+  test("deleteWhere refuses past the driver DV-payload cap with a clear error") {
+    val dir = Files.createTempDirectory("graft_delta_dvcap").toString
+    DeltaRead.create(spark.range(0, 100).toDF("id").repartition(3), dir)
+    spark.conf.set(DeltaRead.MaxDvPayloadBytesKey, "8") // absurdly small
+    try {
+      val e = intercept[IllegalStateException](
+        DeltaRead.deleteWhere(spark, dir, $"id" < 50)
+      )
+      assert(e.getMessage.contains(DeltaRead.MaxDvPayloadBytesKey))
+      assert(e.getMessage.contains("cap 8"))
+      // guard refused BEFORE committing: table unchanged, still deletable
+      assert(DeltaRead.read(spark, dir).count() == 100)
+    } finally spark.conf.unset(DeltaRead.MaxDvPayloadBytesKey)
+    // with the default cap the same delete goes through
+    assert(DeltaRead.deleteWhere(spark, dir, $"id" < 50) == 1L)
+    assert(DeltaRead.read(spark, dir).count() == 50)
+  }
+
   test("inline (storageType i) deletion vectors are applied") {
     val dir = Files.createTempDirectory("graft_delta_dvi").toString
     DeltaRead.create(spark.range(0, 20).toDF("id").coalesce(1), dir)

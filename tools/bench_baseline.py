@@ -110,9 +110,12 @@ def main(sf_dir, oracle_path, bench_path=None, out_file="BASELINE.md",
                "materialized. Spark column = per-query median from "
                f"`{bench_path}` (local[32], noop sink).")
     out.append("")
+    # comp can be empty (--only selecting a pinned/contract query, or every
+    # oracle erroring) — don't ZeroDivisionError after the whole sweep ran.
+    ratio = f"{s_total / d_total:.2f}x" if d_total else "n/a"
     out.append(f"**Headline (computational oracles, DuckDB >= 50 ms): "
                f"{len(comp)} queries, DuckDB {d_total:.1f} s, Spark "
-               f"{s_total:.1f} s, ratio {s_total / d_total:.2f}x** "
+               f"{s_total:.1f} s, ratio {ratio}** "
                "(bar: <= 2x).")
     if pinned:
         ps = sum(s for _, _, s in pinned)
@@ -156,7 +159,7 @@ def main(sf_dir, oracle_path, bench_path=None, out_file="BASELINE.md",
     with open(out_file, "w") as fh:
         fh.write("\n".join(out))
     print(f"{out_file} written: {len(rows)} queries, "
-          f"computational ratio {s_total / d_total:.2f}x")
+          f"computational ratio {ratio}")
 
 
 if __name__ == "__main__":
