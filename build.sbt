@@ -41,4 +41,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // faults — measured as raised MINS on allocation-heavy queries.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms=Xmx commits the address space but pages still fault on FIRST touch:
+  // on a large heap (the driver runs ~100g) allocation-heavy queries kept
+  // page-faulting fresh G1 regions deep into the sweep — text_boilerplate_
+  // spans measured 7.6 s at 100g vs 0.7 s at 8g until the heap was
+  // pre-touched. Faulting the whole heap once at JVM start moves that cost
+  // out of every timed window.
+  "-XX:+AlwaysPreTouch",
 )
