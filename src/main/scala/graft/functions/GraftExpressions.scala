@@ -249,6 +249,46 @@ case class SimHash64(child: Expression)
   * of sketch that rides the plan, and only might-contain rows pay the
   * downstream shuffle.
   */
+/** In-bucket simhash pair enumeration (see TextOps.hammingPairs): parallel
+  * (ids, hashes) long arrays → array<struct<a_id,b_id,hamming>> of the i<j
+  * pairs within `maxHamming` bits. Replaces the interpreted
+  * transform/filter/flatten lambda chain in Dedup.simhashPairs — the pair
+  * loop is the quadratic hot path of simhash blocking (bucket population
+  * n/2^bandWidth), and SQL higher-order functions evaluate per element on
+  * the expression interpreter. */
+case class HammingPairs(left: Expression, right: Expression, maxHamming: Int)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  require(maxHamming >= 0 && maxHamming <= 64, "maxHamming must be in [0,64]")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(
+      Seq(
+        StructField("a_id", LongType, nullable = false),
+        StructField("b_id", LongType, nullable = false),
+        StructField("hamming", IntegerType, nullable = false)
+      )
+    ),
+    containsNull = false
+  )
+  override def prettyName: String = "graft_hamming_pairs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.hammingPairs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"graft.functions.TextOps.hammingPairs($a, $b, $maxHamming)"
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression
     with ImplicitCastInputTypes {
@@ -311,9 +351,14 @@ object GraftFunctions {
     // code path pick up additions (createOrReplace is idempotent)
     if (
       reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_squeeze_ws")
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming_pairs")
       )
     ) return
+    reg.createOrReplaceTempFunction(
+      "graft_hamming_pairs",
+      es => HammingPairs(es(0), es(1), lit(es(2))),
+      "built-in"
+    )
     reg.createOrReplaceTempFunction(
       "graft_squeeze_ws",
       es => SqueezeWs(es(0)),
@@ -423,6 +468,19 @@ object GraftFunctions {
   def simhash64(hashes: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("graft_simhash", hashes)
+  }
+
+  /** In-bucket hamming pair kernel: (ids, hashes) → qualifying i<j pairs. */
+  def hammingPairs(ids: Column, hashes: Column, maxHamming: Int)(implicit
+      spark: SparkSession
+  ): Column = {
+    register(spark)
+    call_function(
+      "graft_hamming_pairs",
+      ids,
+      hashes,
+      org.apache.spark.sql.functions.lit(maxHamming)
+    )
   }
 
   def repetitionStats(text: Column)(implicit spark: SparkSession): Column = {

@@ -333,4 +333,36 @@ object TextOps {
     }
     out
   }
+
+  /** In-bucket hamming pair enumeration: parallel (ids, simhashes) arrays →
+    * every i<j pair with bit_count(h_i^h_j) <= maxHamming, as
+    * array<struct<a_id,b_id,hamming>>. One xor+popcount per candidate in a
+    * tight loop — the codegen replacement for the transform/filter SQL
+    * lambda chain, whose per-element interpreter cost dominated
+    * dedup_simhash at sf10 (58.7 s -> the interpreted pairs; bucket
+    * populations of n/2^bandWidth make the pair count the hot number).
+    * Only QUALIFYING pairs materialize, like the lambda it replaces. */
+  def hammingPairs(ids: ArrayData, hashes: ArrayData, maxHamming: Int): ArrayData = {
+    val n = ids.numElements()
+    val idsA = ids.toLongArray()
+    val hsA = hashes.toLongArray()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val hi = hsA(i)
+      val ai = idsA(i)
+      var j = i + 1
+      while (j < n) {
+        val d = java.lang.Long.bitCount(hi ^ hsA(j))
+        if (d <= maxHamming) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ai, idsA(j), d)
+          )
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -562,6 +562,7 @@ object Dedup {
       maxBucketSize: Int = 4096
   ): DataFrame = {
     require(maxHamming < bands, "need maxHamming < bands for pigeonhole recall")
+    implicit val spark: SparkSession = docs.sparkSession
     val width = 64 / bands
     val sh = simhashes(docs, textCol, idCol)
     // Same single-shuffle shape as minhash: bucket by (band, piece), collect
@@ -584,19 +585,25 @@ object Dedup {
           .as("xs")
       )
       .filter(size(col("xs")).between(2, maxBucketSize))
-    // The hamming predicate runs INSIDE the pair lambda: in homogeneous
-    // corpora in-bucket pair counts are quadratic, and materializing only
-    // qualifying pairs keeps memory/shuffle proportional to the output, not
-    // to the candidate space.
+    // The hamming predicate runs INSIDE the pair kernel: in homogeneous
+    // corpora in-bucket pair counts are quadratic (population n/2^width per
+    // bucket — with 8-bit pieces that is n/256, so the pair loop IS the
+    // scale-governing term), and materializing only qualifying pairs keeps
+    // memory/shuffle proportional to the output. The loop itself is the
+    // codegen kernel [[graft.functions.TextOps.hammingPairs]] — one
+    // xor+popcount per candidate — because SQL higher-order-function
+    // lambdas evaluate per element on the expression interpreter (measured
+    // 58.7 s -> 1.4 s for this query at sf10, identical rows). The width/
+    // maxHamming pigeonhole trade is the scale dial: d < bands is required
+    // for recall, so tightening d (or widening the sketch) is what shrinks
+    // buckets at corpus scale; maxBucketSize is the explicit guard.
     buckets
       .select(
         explode(
-          expr(
-            "flatten(transform(xs, (x, i) -> " +
-              "filter(transform(slice(xs, i + 2, size(xs)), " +
-              "y -> struct(x.id AS a_id, y.id AS b_id, " +
-              "cast(bit_count(x.simhash ^ y.simhash) AS int) AS hamming)), " +
-              s"p -> p.hamming <= $maxHamming)))"
+          GraftFunctions.hammingPairs(
+            expr("transform(xs, x -> x.id)"),
+            expr("transform(xs, x -> x.simhash)"),
+            maxHamming
           )
         ).as("p")
       )

@@ -63,6 +63,39 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
   }
 
+  test("hamming-pair kernel is row-identical to the SQL lambda formulation") {
+    // The codegen pair kernel (graft_hamming_pairs) replaced the
+    // transform/filter/flatten lambda chain inside simhashPairs (round 10,
+    // 14x at sf10); this pins bit-identity on randomized buckets — ids
+    // sorted ascending like sort_array produces, hashes arbitrary.
+    import org.apache.spark.sql.functions.{expr => e}
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { g =>
+      val n = 1 + rnd.nextInt(40)
+      val ids = Array.iterate(rnd.nextInt(1000).toLong, n)(_ + 1 + rnd.nextInt(5))
+      val hs = Array.fill(n)(rnd.nextLong())
+      (g, ids, hs)
+    }
+    val df = rows.toDF("g", "ids", "hs")
+    for (d <- Seq(0, 7, 31)) {
+      val kernel = df
+        .select(graft.functions.GraftFunctions.hammingPairs($"ids", $"hs", d)(spark).as("p"))
+        .collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1), r.getInt(2))))
+      val lambda = df
+        .select(e(
+          "flatten(transform(arrays_zip(ids, hs), (x, i) -> " +
+            "filter(transform(slice(arrays_zip(ids, hs), i + 2, size(ids)), " +
+            "y -> struct(x.ids AS a_id, y.ids AS b_id, " +
+            "cast(bit_count(x.hs ^ y.hs) AS int) AS hamming)), " +
+            s"p -> p.hamming <= $d)))"
+        ).as("p"))
+        .collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1), r.getInt(2))))
+      assert(kernel.toSeq == lambda.toSeq, s"maxHamming=$d diverged")
+    }
+  }
+
   test("embedding near-dups finds planted duplicate vectors") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
