@@ -289,6 +289,57 @@ case class HammingPairs(left: Expression, right: Expression, maxHamming: Int)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** In-bucket cosine pair enumeration (see TextOps.cosinePairs): parallel
+  * (ids, vectors, norms) arrays → array<struct<a_id,b_id,cos>> of the i<j
+  * pairs with round(dot/(n_i·n_j), 4) >= threshold. Codegen replacement for
+  * the interpreted lambda scaffolding in embeddingNearDups/semanticDedup;
+  * dot = VectorOps.dotd (same fold), rounding = Spark's Round-on-double. */
+case class CosinePairs(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    threshold: Double
+) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(LongType),
+    ArrayType(ArrayType(DoubleType)),
+    ArrayType(DoubleType)
+  )
+  override def dataType: DataType = ArrayType(
+    StructType(
+      Seq(
+        StructField("a_id", LongType, nullable = false),
+        StructField("b_id", LongType, nullable = false),
+        StructField("cos", DoubleType, nullable = false)
+      )
+    ),
+    containsNull = false
+  )
+  override def prettyName: String = "graft_cosine_pairs"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    TextOps.cosinePairs(
+      a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData],
+      threshold
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b, c) => s"graft.functions.TextOps.cosinePairs($a, $b, $c, $threshold)"
+    )
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): Expression = copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression
     with ImplicitCastInputTypes {
@@ -341,6 +392,14 @@ object GraftFunctions {
         throw new IllegalArgumentException(s"expected int literal, got $other")
     }
 
+  private def litD(e: Expression): Double =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, DoubleType) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType)   => v.toDouble
+      case other =>
+        throw new IllegalArgumentException(s"expected double literal, got $other")
+    }
+
   /** Idempotently register graft_* SQL functions on the session. The
     * already-registered check asks the session's own functionRegistry (rather
     * than tracking sessions in a static set, which would leak across GC'd
@@ -351,12 +410,17 @@ object GraftFunctions {
     // code path pick up additions (createOrReplace is idempotent)
     if (
       reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming_pairs")
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_pairs")
       )
     ) return
     reg.createOrReplaceTempFunction(
       "graft_hamming_pairs",
       es => HammingPairs(es(0), es(1), lit(es(2))),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_cosine_pairs",
+      es => CosinePairs(es(0), es(1), es(2), litD(es(3))),
       "built-in"
     )
     reg.createOrReplaceTempFunction(
@@ -480,6 +544,21 @@ object GraftFunctions {
       ids,
       hashes,
       org.apache.spark.sql.functions.lit(maxHamming)
+    )
+  }
+
+  /** In-bucket cosine pair kernel: (ids, vecs, norms) → qualifying i<j
+    * pairs with their rounded cosine. */
+  def cosinePairs(ids: Column, vecs: Column, nrms: Column, threshold: Double)(implicit
+      spark: SparkSession
+  ): Column = {
+    register(spark)
+    call_function(
+      "graft_cosine_pairs",
+      ids,
+      vecs,
+      nrms,
+      org.apache.spark.sql.functions.lit(threshold)
     )
   }
 

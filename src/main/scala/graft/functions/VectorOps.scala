@@ -334,6 +334,54 @@ object TextOps {
     out
   }
 
+  /** In-bucket cosine pair enumeration: parallel (ids, vectors, norms)
+    * arrays → every i<j pair with round(dot/(n_i·n_j), 4) >= threshold, as
+    * array<struct<a_id,b_id,cos>>. The codegen replacement for the
+    * transform/filter lambda scaffolding around graft_dotd in
+    * embeddingNearDups / semanticDedup (the dot product was already a
+    * kernel; the per-pair lambda plumbing around it was interpreted).
+    * Bit-parity with the lambda formulation: the dot is [[VectorOps.dotd]]
+    * itself (same ascending fold), and the rounding replicates Spark's
+    * Round-on-double exactly (BigDecimal.valueOf canonical-string double,
+    * HALF_UP) — pinned by a randomized kernel-vs-lambda spec. */
+  def cosinePairs(
+      ids: ArrayData,
+      vecs: ArrayData,
+      nrms: ArrayData,
+      threshold: Double
+  ): ArrayData = {
+    val n = ids.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val vi = vecs.getArray(i)
+      val ni = nrms.getDouble(i)
+      val ai = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val c = roundHalfUp4(VectorOps.dotd(vi, vecs.getArray(j)) / (ni * nrms.getDouble(j)))
+        if (c >= threshold) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ai, ids.getLong(j), c)
+          )
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Spark's `round(d, 4)` semantics for DoubleType: decimal HALF_UP on the
+    * canonical string representation (BigDecimal.valueOf). */
+  def roundHalfUp4(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else
+      java.math.BigDecimal
+        .valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+
   /** In-bucket hamming pair enumeration: parallel (ids, simhashes) arrays →
     * every i<j pair with bit_count(h_i^h_j) <= maxHamming, as
     * array<struct<a_id,b_id,hamming>>. One xor+popcount per candidate in a

@@ -673,6 +673,12 @@ object Dedup {
       e.withColumn("nrm", expr("sqrt(graft_dotd(v, v))")),
       "id"
     )
+    // pair loop = graft_cosine_pairs codegen kernel (round 10): the dot
+    // product was already the graft_dotd kernel, but the per-pair lambda
+    // scaffolding around it was interpreted — same finding and same cure
+    // as simhashPairs; bit-identical rows (kernel reuses VectorOps.dotd's
+    // fold and Spark's Round-on-double semantics, spec-pinned).
+    implicit val sparkS: SparkSession = emb.sparkSession
     val dropped = members
       .filter(col("nrm") > 0d)
       .groupBy("cluster")
@@ -683,12 +689,11 @@ object Dedup {
       .filter(size(col("xs")) >= 2)
       .select(
         explode(
-          expr(
-            "flatten(transform(xs, (x, i) -> " +
-              "filter(transform(slice(xs, i + 2, size(xs)), " +
-              "y -> struct(y.id AS b_id, " +
-              "round(graft_dotd(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos)), " +
-              s"p -> p.cos >= $threshold)))"
+          graft.functions.GraftFunctions.cosinePairs(
+            expr("transform(xs, x -> x.id)"),
+            expr("transform(xs, x -> x.v)"),
+            expr("transform(xs, x -> x.nrm)"),
+            threshold
           )
         ).as("p")
       )
@@ -855,11 +860,30 @@ object Dedup {
     * widening), so values are bit-identical to [[GraftFunctions.cosineSim]].
     *
     * `numPlanes <= 0` (the default) sizes the plane count from the corpus:
-    * the smallest p in [8, 16] with n·(p+1)/2^p <= 64, i.e. 2^planes grows
+    * the smallest p in [8, 22] with n·(p+1)/2^p <= 64, i.e. 2^planes grows
     * with n so the EFFECTIVE bucket population (×(p+1) multi-probe copies)
     * stays ~64 and total pair work stays near-linear — with a fixed p the
     * in-bucket pass is n²/2^p, and the 10× scale run went 42× before this.
-    * One extra count() job. */
+    * One extra count() job.
+    *
+    * The p dial trades recall for cost EXPLICITLY: the ≤2-bit multi-probe
+    * guarantee is p-independent, but each plane is an independent
+    * sign-flip coin with P(flip) = θ/π per pair, so expected flips grow
+    * linearly in p — at cosine 0.99 (θ≈8°, the dedup regime)
+    * P(≤2 flips) ≈ 0.98 at p=16 and ≈ 0.95 at p=22, while bucket
+    * population falls 64×. The round-9 cap at p=16 saturates at n≈250k,
+    * after which in-bucket pair work goes quadratic again; p=22 covers
+    * n ≈ 2^22·64/23 ≈ 10M vectors. Measured cost shape at sf10 (500k
+    * vectors): the governing term is NOT the pair loop (kernel'd, round
+    * 10) but the probe-side shuffle — each vector ships (p+1)× with its
+    * full payload through the bucket exchange, so wall-clock grows as
+    * n·(p+1) ≈ n·log n (measured 13.9× for 10× data = 10 × 21/15 probe
+    * copies, exactly). At 1e9 vectors that is a multi-TB but keyed and
+    * spill-safe shuffle; the dial past p=22 is more probes (3-bit) or
+    * multiple tables (the L-tables argument in SURVEY §5), and the
+    * shuffle-volume cure — probing with (id, bucket) pairs only and
+    * re-joining payloads per candidate — pays 2·|pairs| vector copies
+    * instead of (p+1)·n, worthwhile only when pairs ≪ n·(p+1)/2. */
   def embeddingNearDups(
       emb: DataFrame,
       vecCol: String,
@@ -874,7 +898,7 @@ object Dedup {
       if (numPlanes > 0) numPlanes
       else {
         val n = emb.count().toDouble
-        (8 to 16).find(p => n * (p + 1) / math.pow(2, p) <= 64.0).getOrElse(16)
+        (8 to 22).find(p => n * (p + 1) / math.pow(2, p) <= 64.0).getOrElse(22)
       }
     val base = emb
       .select(
@@ -909,15 +933,17 @@ object Dedup {
           .as("xs")
       )
       .filter(size(col("xs")).between(2, maxBucketSize))
+    // pair loop = graft_cosine_pairs codegen kernel (round 10) — the
+    // interpreted lambda scaffolding around graft_dotd was the hot cost;
+    // bit-identical rows (spec-pinned kernel-vs-lambda equivalence).
     buckets
       .select(
         explode(
-          expr(
-            "flatten(transform(xs, (x, i) -> " +
-              "filter(transform(slice(xs, i + 2, size(xs)), " +
-              "y -> struct(x.id AS a_id, y.id AS b_id, " +
-              "round(graft_dotd(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos)), " +
-              s"p -> p.cos >= $threshold)))"
+          GraftFunctions.cosinePairs(
+            expr("transform(xs, x -> x.id)"),
+            expr("transform(xs, x -> x.v)"),
+            expr("transform(xs, x -> x.nrm)"),
+            threshold
           )
         ).as("p")
       )

@@ -96,6 +96,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine-pair kernel is row-identical to the SQL lambda formulation") {
+    // Same pinning as the hamming kernel: graft_cosine_pairs replaced the
+    // interpreted lambda around graft_dotd in embeddingNearDups /
+    // semanticDedup. The kernel must reproduce the lambda's values BIT
+    // exactly — same dotd fold, same Spark Round-on-double HALF_UP — on
+    // randomized buckets, including thresholds that land on rounding
+    // boundaries.
+    import org.apache.spark.sql.functions.{expr => e}
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 30).map { g =>
+      val n = 2 + rnd.nextInt(25)
+      val ids = Array.iterate(rnd.nextInt(100).toLong, n)(_ + 1 + rnd.nextInt(3))
+      val vs = Array.fill(n)(Array.fill(8)(rnd.nextDouble() * 2 - 1))
+      val nrms = vs.map(v => math.sqrt(v.map(x => x * x).sum))
+      (g, ids, vs, nrms)
+    }
+    val df = rows.toDF("g", "ids", "vs", "nrms")
+    for (t <- Seq(0.0, 0.5, 0.9)) {
+      val kernel = df
+        .select(
+          graft.functions.GraftFunctions.cosinePairs($"ids", $"vs", $"nrms", t)(spark).as("p")
+        )
+        .collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+      val lambda = df
+        .select(e(
+          "flatten(transform(arrays_zip(ids, vs, nrms), (x, i) -> " +
+            "filter(transform(slice(arrays_zip(ids, vs, nrms), i + 2, size(ids)), " +
+            "y -> struct(x.ids AS a_id, y.ids AS b_id, " +
+            "round(graft_dotd(x.vs, y.vs) / (x.nrms * y.nrms), 4) AS cos)), " +
+            s"p -> p.cos >= $t)))"
+        ).as("p"))
+        .collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+      assert(kernel.toSeq == lambda.toSeq, s"threshold=$t diverged")
+    }
+  }
+
   test("embedding near-dups finds planted duplicate vectors") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
