@@ -25,10 +25,13 @@ import scala.jdk.CollectionConverters._
   *
   * The chain's later links in the real SDK — ECS container credentials and
   * EC2 IMDS — need live metadata endpoints this zero-egress sandbox cannot
-  * reach, so they are intentionally absent; a deployment that relies on
-  * them passes explicit credentials instead. Everything here is pure local
-  * logic: the environment is injected (not read from globals) so specs can
-  * exercise every branch hermetically.
+  * reach, so they have no built-in implementation here; a deployment that
+  * relies on them plugs a [[GlueCredentialsProvider]] into the chain (the
+  * hook is consulted BEFORE the built-in links, so an explicit plug
+  * deterministically wins over ambient env vars) or passes explicit
+  * credentials. Everything here is pure local logic: the environment is
+  * injected (not read from globals) so specs can exercise every branch
+  * hermetically.
   */
 object AwsCredentialsChain {
 
@@ -46,13 +49,30 @@ object AwsCredentialsChain {
   )
 
   /** Resolve credentials through the chain; `None` when no link yields a
-    * complete key pair. */
-  def resolveCredentials(env: Env = systemEnv): Option[SigV4.Credentials] =
-    fromEnvVars(env).orElse(fromSharedCredentialsFile(env))
+    * complete key pair. Custom `providers` (IMDS, ECS, a secrets manager —
+    * whatever the deployment has) are consulted first, in order; a provider
+    * returning `None` falls through to the next link, mirroring how the SDK
+    * chain walks its links. */
+  def resolveCredentials(
+      env: Env = systemEnv,
+      providers: Seq[GlueCredentialsProvider] = Nil
+  ): Option[SigV4.Credentials] =
+    providers.view
+      .flatMap(_.credentials())
+      .headOption
+      .orElse(fromEnvVars(env))
+      .orElse(fromSharedCredentialsFile(env))
 
-  /** Resolve the region: env vars, then the selected profile's `region` key
-    * in the credentials file, then the config file. */
-  def resolveRegion(env: Env = systemEnv): Option[String] = {
+  /** Resolve the region: custom providers first (IMDS also serves the
+    * region document), then env vars, then the selected profile's `region`
+    * key in the credentials file, then the config file. */
+  def resolveRegion(
+      env: Env = systemEnv,
+      providers: Seq[GlueCredentialsProvider] = Nil
+  ): Option[String] =
+    providers.view.flatMap(_.region()).headOption.orElse(resolveRegionBuiltins(env))
+
+  private def resolveRegionBuiltins(env: Env): Option[String] = {
     def fromFile(path: Path, section: String): Option[String] =
       parseIni(path).get(section).flatMap(_.get("region"))
     env

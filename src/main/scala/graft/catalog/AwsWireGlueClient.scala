@@ -288,9 +288,10 @@ object AwsWireGlueClient {
     * actionable message when no link of the chain yields credentials. */
   def apply(
       region: String,
-      env: AwsCredentialsChain.Env
+      env: AwsCredentialsChain.Env,
+      providers: Seq[GlueCredentialsProvider] = Nil
   ): AwsWireGlueClient =
-    apply(region, resolveCreds(env))
+    apply(region, resolveCreds(env, providers))
 
   def apply(region: String): AwsWireGlueClient =
     apply(region, AwsCredentialsChain.systemEnv)
@@ -304,22 +305,36 @@ object AwsWireGlueClient {
     apply(resolveRegion(env), env)
   }
 
+  /** Custom-provider constructor: the parity point for IMDS/ECS deployments
+    * — region and credentials both come from the plugged
+    * [[GlueCredentialsProvider]]s first, falling through to the built-in
+    * chain links (env vars, shared files). */
+  def apply(providers: Seq[GlueCredentialsProvider]): AwsWireGlueClient = {
+    val env = AwsCredentialsChain.systemEnv
+    apply(resolveRegion(env, providers), env, providers)
+  }
+
   private[catalog] def resolveCreds(
-      env: AwsCredentialsChain.Env
+      env: AwsCredentialsChain.Env,
+      providers: Seq[GlueCredentialsProvider] = Nil
   ): SigV4.Credentials =
     AwsCredentialsChain
-      .resolveCredentials(env)
+      .resolveCredentials(env, providers)
       .getOrElse(
         throw new GlueCatalogException(
           "No AWS credentials found: set AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, " +
             "configure a profile in ~/.aws/credentials (AWS_PROFILE to select), " +
+            "plug a GlueCredentialsProvider (IMDS/ECS deployments), " +
             "or pass SigV4.Credentials explicitly"
         )
       )
 
-  private[catalog] def resolveRegion(env: AwsCredentialsChain.Env): String =
+  private[catalog] def resolveRegion(
+      env: AwsCredentialsChain.Env,
+      providers: Seq[GlueCredentialsProvider] = Nil
+  ): String =
     AwsCredentialsChain
-      .resolveRegion(env)
+      .resolveRegion(env, providers)
       .getOrElse(
         throw new GlueCatalogException(
           "No AWS region found: set AWS_REGION/AWS_DEFAULT_REGION, add a " +

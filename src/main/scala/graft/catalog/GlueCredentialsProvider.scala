@@ -1,0 +1,26 @@
+package graft.catalog
+
+/** Pluggable credential source for [[AwsCredentialsChain]] — the extension
+  * point for the chain links the real AWS SDK ships but this library cannot
+  * (EC2 IMDS, ECS container credentials: both need a live metadata endpoint;
+  * reference: src/catalog_provider/glue.rs:54-66 inherits them through
+  * `SdkConfig`'s default chain). A deployment running on EC2/EKS without
+  * static keys implements this against its metadata endpoint and passes it
+  * to [[AwsWireGlueClient]] — no fork needed.
+  *
+  * Contract: both methods return `None` to fall through to the next link
+  * (custom providers are consulted in order, before the built-in env-var and
+  * shared-file links, so a plugged provider deterministically wins over
+  * ambient environment). Implementations own their refresh/expiry policy —
+  * the chain calls `credentials()` at client construction; a provider
+  * serving rotating session tokens should hand out its currently-valid set.
+  */
+trait GlueCredentialsProvider {
+
+  /** Credentials from this source, or `None` to let the chain continue. */
+  def credentials(): Option[SigV4.Credentials]
+
+  /** Region from this source (IMDS also serves the region document), or
+    * `None` to let the chain continue. */
+  def region(): Option[String] = None
+}

@@ -301,6 +301,13 @@ case class CosinePairs(
     threshold: Double
 ) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
     with ImplicitCastInputTypes {
+  // NaN/Infinity would be interpolated verbatim into the generated Java in
+  // doGenCode (uncompilable), and NaN comparisons silently drop every pair
+  // on the interpreted path — mirror HammingPairs's constructor require.
+  require(
+    !threshold.isNaN && !threshold.isInfinite,
+    s"graft_cosine_pairs threshold must be finite, got $threshold"
+  )
   override def inputTypes: Seq[DataType] = Seq(
     ArrayType(LongType),
     ArrayType(ArrayType(DoubleType)),

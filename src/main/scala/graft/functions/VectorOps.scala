@@ -351,6 +351,9 @@ object TextOps {
       threshold: Double
   ): ArrayData = {
     val n = ids.numElements()
+    requireNoNulls(ids, n, "graft_cosine_pairs", "ids")
+    requireNoNulls(vecs, n, "graft_cosine_pairs", "vectors")
+    requireNoNulls(nrms, n, "graft_cosine_pairs", "norms")
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     while (i < n) {
@@ -370,6 +373,23 @@ object TextOps {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** The pair kernels are registered as user-callable SQL
+    * (graft_hamming_pairs / graft_cosine_pairs); a null array element from
+    * user SQL would otherwise surface as an opaque NPE/assertion out of
+    * toLongArray — fail fast with the function and argument named. Internal
+    * call sites (transform over non-null struct fields) never pay the throw;
+    * the O(n) scan is noise next to the O(n²) pair loop it guards. */
+  private def requireNoNulls(a: ArrayData, n: Int, fn: String, arg: String): Unit = {
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: null element at index $i of the $arg array (elements must be non-null)"
+        )
+      i += 1
+    }
   }
 
   /** Spark's `round(d, 4)` semantics for DoubleType: decimal HALF_UP on the
@@ -392,6 +412,8 @@ object TextOps {
     * Only QUALIFYING pairs materialize, like the lambda it replaces. */
   def hammingPairs(ids: ArrayData, hashes: ArrayData, maxHamming: Int): ArrayData = {
     val n = ids.numElements()
+    requireNoNulls(ids, n, "graft_hamming_pairs", "ids")
+    requireNoNulls(hashes, n, "graft_hamming_pairs", "hashes")
     val idsA = ids.toLongArray()
     val hsA = hashes.toLongArray()
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]

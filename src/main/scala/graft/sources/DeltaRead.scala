@@ -651,7 +651,17 @@ object DeltaRead {
     try {
       val cap = spark.conf
         .getOption(DeltaRead.MaxDvPayloadBytesKey)
-        .map(_.toLong)
+        .map { raw =>
+          try raw.trim.toLong
+          catch {
+            case e: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"${DeltaRead.MaxDvPayloadBytesKey} must be a byte count " +
+                  s"(long), got '$raw'",
+                e
+              )
+          }
+        }
         .getOrElse(DeltaRead.DefaultMaxDvPayloadBytes)
       val payload = grouped
         .toDF("path", "bytes", "card")

@@ -240,4 +240,121 @@ class AwsCredentialsChainSpec extends AnyFunSuite {
       } finally server.stop(0)
     }
   }
+
+  // ---- the GlueCredentialsProvider hook (the IMDS/ECS extension point) ----
+
+  /** Stands in for an IMDS/ECS provider: counts calls, serves a fixed set. */
+  private class FakeMetadataProvider(
+      creds: Option[SigV4.Credentials],
+      reg: Option[String] = None
+  ) extends GlueCredentialsProvider {
+    var credCalls = 0
+    var regionCalls = 0
+    override def credentials(): Option[SigV4.Credentials] = {
+      credCalls += 1; creds
+    }
+    override def region(): Option[String] = { regionCalls += 1; reg }
+  }
+
+  test("a plugged provider wins over env vars and the shared file") {
+    withHome { home =>
+      writeAws(home, "credentials",
+        "[default]\naws_access_key_id = AKIDFILE\naws_secret_access_key = sFile\n")
+      val e = env(home, "AWS_ACCESS_KEY_ID" -> "AKIDENV", "AWS_SECRET_ACCESS_KEY" -> "sEnv")
+      val p = new FakeMetadataProvider(
+        Some(SigV4.Credentials("AKIDIMDS", "imdsSecret", Some("imdsToken"))),
+        Some("eu-west-1")
+      )
+      assert(AwsCredentialsChain.resolveCredentials(e, Seq(p))
+        .contains(SigV4.Credentials("AKIDIMDS", "imdsSecret", Some("imdsToken"))))
+      assert(AwsCredentialsChain.resolveRegion(
+        env(home, "AWS_REGION" -> "us-east-1"), Seq(p)).contains("eu-west-1"))
+      assert(p.credCalls == 1 && p.regionCalls == 1)
+    }
+  }
+
+  test("a provider returning None falls through to the built-in links, in order") {
+    withHome { home =>
+      val empty = new FakeMetadataProvider(None, None)
+      val second = new FakeMetadataProvider(Some(SigV4.Credentials("AKID2", "s2")))
+      val e = env(home, "AWS_ACCESS_KEY_ID" -> "AKIDENV", "AWS_SECRET_ACCESS_KEY" -> "sEnv")
+      // first provider empty → second provider wins (in-order consultation)
+      assert(AwsCredentialsChain.resolveCredentials(e, Seq(empty, second))
+        .contains(SigV4.Credentials("AKID2", "s2", None)))
+      // all providers empty → env link
+      assert(AwsCredentialsChain.resolveCredentials(e, Seq(empty))
+        .contains(SigV4.Credentials("AKIDENV", "sEnv", None)))
+      // all providers empty + no built-in hit → None, and the client throws
+      // the actionable message naming the hook
+      val ex = intercept[GlueCatalogException] {
+        AwsWireGlueClient.resolveCreds(env(home), Seq(empty))
+      }
+      assert(ex.getMessage.contains("GlueCredentialsProvider"))
+      // region falls through provider → env chain
+      assert(AwsCredentialsChain.resolveRegion(
+        env(home, "AWS_REGION" -> "ap-south-1"), Seq(empty)).contains("ap-south-1"))
+    }
+  }
+
+  test("provider-sourced credentials drive a valid signed wire call end-to-end") {
+    withHome { home =>
+      // Empty ambient environment: ONLY the provider can supply creds/region
+      // — the exact shape of an EC2/EKS deployment without static keys.
+      val provider = new FakeMetadataProvider(
+        Some(SigV4.Credentials("AKIDIMDS", "imds/role/KEY", Some("imdsSessionToken"))),
+        Some("us-west-2")
+      )
+      val e = env(home)
+      val creds = AwsWireGlueClient.resolveCreds(e, Seq(provider))
+      val region = AwsWireGlueClient.resolveRegion(e, Seq(provider))
+      assert(region == "us-west-2")
+
+      // Server re-derives the signature from the provider's secret and
+      // checks the session token header rides along signed.
+      @volatile var verdict: Option[String] = Some("never called")
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", (ex: HttpExchange) => {
+        val payload = ex.getRequestBody.readAllBytes()
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        val amzDate = Option(ex.getRequestHeaders.getFirst("X-Amz-Date")).getOrElse("")
+        val token = Option(ex.getRequestHeaders.getFirst("x-amz-security-token"))
+        val signedNames = SigV4.signedHeadersOf(auth)
+        val headerValues = signedNames.flatMap { n =>
+          Option(ex.getRequestHeaders.getFirst(n)).map(n -> _)
+        }
+        val expected = SigV4.authorizationHeader(
+          method = ex.getRequestMethod,
+          canonicalUri = ex.getRequestURI.getPath,
+          canonicalQuery = "",
+          headers = headerValues,
+          payload = payload,
+          region = region,
+          service = "glue",
+          amzDateTime = amzDate,
+          creds = SigV4.Credentials("AKIDIMDS", "imds/role/KEY", Some("imdsSessionToken"))
+        )
+        verdict =
+          if (!token.contains("imdsSessionToken")) Some("session token missing")
+          else if (SigV4.signatureOf(expected) != SigV4.signatureOf(auth))
+            Some("signature mismatch")
+          else None
+        val body = """{"DatabaseList":[{"Name":"imdsdb"}]}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server.start()
+      try {
+        val api = new AwsWireGlueApi(
+          URI.create(s"http://127.0.0.1:${server.getAddress.getPort}"),
+          region,
+          creds,
+          clock = () => Instant.parse("2026-08-14T00:00:00Z")
+        )
+        val page = api.getDatabasesPage(None, 10)
+        assert(page.databases.map(_.name) == Seq("imdsdb"))
+        assert(verdict.isEmpty, s"server signature verdict: $verdict")
+      } finally server.stop(0)
+    }
+  }
 }

@@ -134,6 +134,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pair kernels fail fast on bad user input (NaN threshold, null elements)") {
+    // The kernels are user-callable SQL; a NaN threshold would be
+    // interpolated into generated Java (uncompilable) and a null array
+    // element would NPE out of toLongArray — both must be clear errors.
+    intercept[IllegalArgumentException] {
+      val nul = org.apache.spark.sql.catalyst.expressions.Literal(null)
+      graft.functions.CosinePairs(nul, nul, nul, Double.NaN)
+    }
+    val nullIds = Seq((Seq[java.lang.Long](1L, null), Seq(1L, 2L)))
+      .toDF("ids", "hs")
+    val err = intercept[Exception] {
+      nullIds.select(expr("graft_hamming_pairs(ids, hs, 3)")).collect()
+    }
+    assert(
+      err.getMessage.contains("graft_hamming_pairs") ||
+        Option(err.getCause).exists(_.getMessage.contains("graft_hamming_pairs")),
+      s"expected a named error, got: ${err.getMessage}"
+    )
+  }
+
   test("embedding near-dups finds planted duplicate vectors") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
