@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
   * the per-query MIN is emitted alongside (`queries_min`) as a
   * contamination-robust floor — a min is immune to one-sided noise like a
   * surprise full GC, so regression tracking can cross-check the median
-  * against it.
+  * against it. The sweep is SELF-HEALING (see [[selfHeal]]): a query whose
+  * median exceeds 1.5x its own min is re-measured up to 3 times, and any
+  * row still failing the ratio is counted in the summary line's
+  * `contaminated` field and listed in BENCH_FULL.json.
   *
   * Results are forced through the `noop` datasource writer, which evaluates
   * every output row/column without sink IO. NOT `count()`: the optimizer
@@ -54,17 +57,21 @@ object Bench {
       val fn = SparkEntry.queries(name)
       def force(): Unit =
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      try {
-        force() // warmup: codegen + JIT
-        settle() // drain neighbor garbage before the timed window
-        // One DISCARDED post-settle run (round 10): settle()'s GCs enqueue
-        // ContextCleaner work (broadcast/shuffle unpersists are weak-ref
-        // driven and run on a background thread), and the first run after a
-        // GC storm absorbs that drain + any re-warm the GC displaced. The
-        // driver's r9 sweep had four queries with median >1.5x their own
-        // min from exactly this shape; the discard run eats it.
+      /** One measurement block: settle + discarded run + `runs` timed
+        * executions, sorted ascending.
+        *
+        * settle() drains neighbor garbage before the timed window. The
+        * DISCARDED post-settle run (round 10): settle()'s GCs enqueue
+        * ContextCleaner work (broadcast/shuffle unpersists are weak-ref
+        * driven and run on a background thread), and the first run after a
+        * GC storm absorbs that drain + any re-warm the GC displaced. The
+        * driver's r9 sweep had four queries with median >1.5x their own
+        * min from exactly this shape; the discard run eats it.
+        */
+      def block(): Seq[Double] = {
+        settle()
         force()
-        val timed = Seq.fill(runs) {
+        Seq.fill(runs) {
           // A full GC between timed runs (outside the timer) stops run i's
           // garbage from being billed to run i+1 — round 6/8 findings. The
           // short sleep after it lets the ContextCleaner finish unpersisting
@@ -77,11 +84,14 @@ object Bench {
           force()
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> (timed(timed.size / 2), timed.head)
+      }
+      try {
+        force() // warmup: codegen + JIT
+        name -> selfHeal(() => block())
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> (-1.0, -1.0)
+          name -> QueryMeasure(-1.0, -1.0, 0, contaminated = false)
       }
     }
     // Full detail (all queries, full-precision median + min) goes to a FILE:
@@ -89,13 +99,17 @@ object Bench {
     // ~100-query map can never round-trip through it (rounds 6 and 7 both
     // produced parsed:null artifacts this way). The file is the complete
     // record; stdout carries a guaranteed-parseable summary line.
-    def jsonMap(f: ((Double, Double)) => Double): String = results
+    def jsonMap(f: QueryMeasure => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val total = results.map(_._2.median).filter(_ >= 0).sum
+    val contaminatedNames = results.collect { case (k, m) if m.contaminated => k }
+    val retried = results.collect { case (k, m) if m.retries > 0 => s""""$k":${m.retries}""" }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jsonMap(_.median)},"queries_min":${jsonMap(_.min)},"contaminated":${contaminatedNames
+          .map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},"retries":${retried.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     )
     // Stop Spark BEFORE printing: executor/context shutdown logs anything
     // it still has to say first, so the summary line is the last thing on
@@ -103,8 +117,51 @@ object Bench {
     // tail) then always sees it. Verified by tools/check_bench_line.py
     // against a real captured run.
     spark.stop()
-    println(summaryLine(results.map { case (k, (med, _)) => k -> med }, total, sfDir))
+    println(
+      summaryLine(
+        results.map { case (k, m) => k -> m.median },
+        total,
+        sfDir,
+        contaminated = contaminatedNames.size
+      )
+    )
     System.out.flush()
+  }
+
+  /** One query's sweep outcome: cleanest-block median, the floor across all
+    * blocks, how many self-healing retries it took, and whether the median
+    * STILL exceeds 1.5x the floor after them (environment contamination the
+    * sweep could not wash out — the summary line counts these). */
+  private[graft] final case class QueryMeasure(
+      median: Double,
+      min: Double,
+      retries: Int,
+      contaminated: Boolean
+  )
+
+  /** Self-healing measurement (round 11): a median more than 1.5x the
+    * query's own min means timed runs absorbed one-sided environment noise
+    * the settle didn't recover from (the driver's r9/r10 sweeps each
+    * carried 3-4 such rows — medians 3-9x their own mins on queries whose
+    * plans hadn't changed — distorting the official sf0.1 total ~30%).
+    * Re-measure with up to 3 bounded retry blocks and report the cleanest
+    * block's median against the floor observed across ALL blocks; a row
+    * still failing the ratio after retries is flagged `contaminated`, so
+    * the artifact itself says "environment, not plan" instead of leaving
+    * that to cross-round forensics. `block` must return the sorted timings
+    * of one full measurement block. */
+  private[graft] def selfHeal(block: () => Seq[Double]): QueryMeasure = {
+    var best = block()
+    var floor = best.head
+    var retries = 0
+    while (best(best.size / 2) > 1.5 * floor && retries < 3) {
+      val again = block()
+      floor = math.min(floor, again.head)
+      if (again(again.size / 2) < best(best.size / 2)) best = again
+      retries += 1
+    }
+    val median = best(best.size / 2)
+    QueryMeasure(median, floor, retries, median > 1.5 * floor)
   }
 
   /** GC until the heap stops shrinking — the settle cost scales with the
@@ -139,7 +196,8 @@ object Bench {
       medians: Seq[(String, Double)],
       total: Double,
       sfDir: String,
-      budget: Int = 1500
+      budget: Int = 1500,
+      contaminated: Int = 0
   ): String = {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -154,6 +212,6 @@ object Bench {
       .map(_._2)
     val omitted = entries.size - kept.size
     s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept
-        .mkString("{", ",", "}")},"queries_omitted":$omitted,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
+        .mkString("{", ",", "}")},"queries_omitted":$omitted,"contaminated":$contaminated,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
   }
 }

@@ -40,6 +40,37 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"a\":0.500") && line.contains("\"b\":0.250"))
   }
 
+  test("contaminated count rides the wire line") {
+    val line = Bench.summaryLine(Seq("a" -> 0.5), 0.5, "sf", contaminated = 2)
+    assert(line.contains("\"contaminated\":2"))
+    assert(Bench.summaryLine(Seq("a" -> 0.5), 0.5, "sf").contains("\"contaminated\":0"))
+  }
+
+  test("selfHeal: clean block passes through untouched, no retries") {
+    var calls = 0
+    val m = Bench.selfHeal { () => calls += 1; Seq(1.0, 1.1, 1.2) }
+    assert(calls == 1 && m.retries == 0 && !m.contaminated)
+    assert(m.median == 1.1 && m.min == 1.0)
+  }
+
+  test("selfHeal: one contaminated block is washed out by a clean retry") {
+    // First block's median is 4x its min (the driver's r10 shape:
+    // docs_quality_budget med 6.20 over min 1.07); the retry block is
+    // clean — the cleanest block's median is reported, floor spans both.
+    val blocks = Iterator(Seq(1.0, 4.0, 4.2), Seq(0.9, 1.0, 1.1))
+    val m = Bench.selfHeal(() => blocks.next())
+    assert(m.retries == 1 && !m.contaminated)
+    assert(m.median == 1.0 && m.min == 0.9)
+  }
+
+  test("selfHeal: persistent noise is bounded at 3 retries and flagged") {
+    var calls = 0
+    val m = Bench.selfHeal { () => calls += 1; Seq(1.0, 4.0, 4.2) }
+    assert(calls == 4) // initial + 3 bounded retries
+    assert(m.retries == 3 && m.contaminated)
+    assert(m.median == 4.0 && m.min == 1.0)
+  }
+
   test("wire formatting is pinned to Locale.ROOT (comma-decimal immunity)") {
     // No Locale.setDefault here: that mutates JVM-global state, and sbt runs
     // suites in parallel inside the forked test JVM — a concurrent test that
