@@ -36,6 +36,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Hash-first join selection (round 11): when a join side outgrows the
+      // broadcast threshold but a PARTITION of it still fits a local hash
+      // map (estimate <= threshold x shuffle partitions — the planner's own
+      // canBuildLocalHashMap bound), build a shuffled hash join instead of
+      // sorting both sides. The q8 probe measured the alternative: the
+      // orders-semi side crossing the broadcast estimate at sf10 flipped to
+      // a SortMergeJoin whose 60M-row lineitem sort was an 11.2x-growth
+      // superlinear term. Genuinely huge sides still fall back to SMJ (the
+      // bound fails), so the 100 TB posture is unchanged.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the summary line below must be the LAST stdout the

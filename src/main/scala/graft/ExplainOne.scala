@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Ad-hoc plan probe: run ONE SparkEntry query against a data dir, print
+  * wall-times (warmup + 3 runs) and the EXECUTED plan — after AQE has
+  * re-planned, which is the plan that actually ran, not the one `explain`
+  * prints pre-execution. The scale-investigation loop of SURVEY §5 (find a
+  * lost broadcast, a superlinear exchange, a skewed stage) works off this.
+  *
+  * Usage: runMain graft.ExplainOne <queryName> [sfDir] [heapNote]
+  */
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: ExplainOne <query> [sfDir]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false") // match Bench
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.provider(spark, sfDir)
+    val fn = SparkEntry.queries(name)
+    def run(): QueryExecution = {
+      val df = fn(spark, sfDir)
+      df.write.mode("overwrite").format("noop").save()
+      df.queryExecution
+    }
+    var qe = run() // warmup
+    val times = (1 to 3).map { _ =>
+      System.gc(); Thread.sleep(80)
+      val t0 = System.nanoTime()
+      qe = run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"== $name @ $sfDir ==")
+    println(times.map(t => f"$t%.3f").mkString("runs: ", " ", " sec"))
+    // executedPlan after execution = the AQE-final plan
+    println(qe.executedPlan.toString)
+    spark.stop()
+  }
+}

@@ -366,12 +366,24 @@ object SparkEntry {
           .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       )
-      T(s, dir, "lineitem")
-        .join(
-          T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey")
-        )
+      // The ASIA semi-join runs BEFORE the fact join (round 11): filtering
+      // orders first sends ~1/5 of the table through the orderkey join
+      // instead of semi-filtering the joined fact stream after it, and the
+      // early select drops o_custkey the moment the semi-join has used it.
+      // The fact-fact join itself is left hint-free: small scales broadcast
+      // (statically or via AQE's measured-size conversion), and when the
+      // orders side outgrows the threshold the session's
+      // preferSortMergeJoin=false (see Bench/Verify builders) picks a
+      // shuffled HASH join — the sf10 probe showed the broadcast flipping
+      // to a SortMergeJoin one decade up, and the 60M-row lineitem sort was
+      // the whole 11.2x superlinear term. A pinned shuffle_hash hint was
+      // measured worse: it blocks the AQE broadcast at small scale.
+      val ordersAsia = T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
         .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
+      T(s, dir, "lineitem")
+        .join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
         .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(

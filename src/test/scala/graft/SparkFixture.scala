@@ -12,6 +12,9 @@ object SparkFixture {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match the Bench/Verify sessions so plan-asserting specs see the
+      // same join selection (hash-first under the local-hash-map bound)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.glue", "graft.catalog.GlueTableCatalog")
       .config("spark.sql.catalog.glue.root", "/root/testdata/sf0.001")
