@@ -347,6 +347,74 @@ case class CosinePairs(
   ): Expression = copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** [[CosinePairs]] with canonical-bucket emission (see
+  * TextOps.cosinePairsCanon): takes the per-element bucket0 array and the
+  * bucket being processed, emits a pair only when this bucket is the
+  * canonical common probe bucket of the pair — exactly-once across the
+  * multi-probe exchange, so embeddingNearDups needs no distinct() and
+  * skips ~p/(p+1) of the candidate dot products. */
+case class CosinePairsCanon(
+    ids: Expression,
+    vecs: Expression,
+    nrms: Expression,
+    b0s: Expression,
+    bucket: Expression,
+    threshold: Double
+) extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression
+    with ImplicitCastInputTypes {
+  require(
+    !threshold.isNaN && !threshold.isInfinite,
+    s"graft_cosine_pairs_canon threshold must be finite, got $threshold"
+  )
+  override def children: Seq[Expression] = Seq(ids, vecs, nrms, b0s, bucket)
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(LongType),
+    ArrayType(ArrayType(DoubleType)),
+    ArrayType(DoubleType),
+    ArrayType(IntegerType),
+    IntegerType
+  )
+  override def dataType: DataType = ArrayType(
+    StructType(
+      Seq(
+        StructField("a_id", LongType, nullable = false),
+        StructField("b_id", LongType, nullable = false),
+        StructField("cos", DoubleType, nullable = false)
+      )
+    ),
+    containsNull = false
+  )
+  override def prettyName: String = "graft_cosine_pairs_canon"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+    TextOps.cosinePairsCanon(
+      a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData],
+      e.asInstanceOf[Int],
+      threshold
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b, c, d, e) =>
+        s"graft.functions.TextOps.cosinePairsCanon($a, $b, $c, $d, $e, $threshold)"
+    )
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]
+  ): Expression = copy(
+    ids = newChildren(0),
+    vecs = newChildren(1),
+    nrms = newChildren(2),
+    b0s = newChildren(3),
+    bucket = newChildren(4)
+  )
+}
+
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression
     with ImplicitCastInputTypes {
@@ -417,7 +485,7 @@ object GraftFunctions {
     // code path pick up additions (createOrReplace is idempotent)
     if (
       reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_pairs")
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_pairs_canon")
       )
     ) return
     reg.createOrReplaceTempFunction(
@@ -428,6 +496,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_cosine_pairs",
       es => CosinePairs(es(0), es(1), es(2), litD(es(3))),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_cosine_pairs_canon",
+      es => CosinePairsCanon(es(0), es(1), es(2), es(3), es(4), litD(es(5))),
       "built-in"
     )
     reg.createOrReplaceTempFunction(
@@ -565,6 +638,29 @@ object GraftFunctions {
       ids,
       vecs,
       nrms,
+      org.apache.spark.sql.functions.lit(threshold)
+    )
+  }
+
+  /** Canonical-bucket cosine pair kernel (see TextOps.cosinePairsCanon):
+    * adds the per-element bucket0 array and the processed bucket, emitting
+    * each qualifying pair exactly once across the multi-probe exchange. */
+  def cosinePairsCanon(
+      ids: Column,
+      vecs: Column,
+      nrms: Column,
+      b0s: Column,
+      bucket: Column,
+      threshold: Double
+  )(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function(
+      "graft_cosine_pairs_canon",
+      ids,
+      vecs,
+      nrms,
+      b0s,
+      bucket,
       org.apache.spark.sql.functions.lit(threshold)
     )
   }

@@ -375,6 +375,74 @@ object TextOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[cosinePairs]] with CANONICAL-BUCKET emission for the 1-bit
+    * multi-probe LSH exchange (embeddingNearDups): a pair (i, j) lands in
+    * every probe bucket the two vectors share, so the plain kernel emits
+    * each qualifying pair once per common bucket and a distinct() must
+    * collapse the copies — measured at sf10 as 169M pre-distinct rows for
+    * 10.4M pairs, with the distinct exchange alone costing ~9s of an 18.8s
+    * operator. Both vectors probe {b0} ∪ {b0 ^ 2^k}, so inside ONE bucket
+    * their bucket0s differ in at most 2 bits and the COMMON-bucket set is a
+    * pure function of (b0_i, b0_j):
+    *
+    *   hamming 0 → {b0} ∪ flips — canonical: b0 itself (the identity probe)
+    *   hamming 1 → {b0_i, b0_j} — canonical: min
+    *   hamming 2 (bits a,b) → {b0_i^2^a, b0_i^2^b} — canonical: min
+    *
+    * Emitting only when THIS bucket is the canonical one makes emission
+    * exactly-once (the canonical bucket always holds both vectors), so the
+    * distinct disappears — and the check runs BEFORE the dot product, so
+    * ~(1 - 1/(p+1)) of the candidate dots are skipped too. Values are the
+    * same [[cosinePairs]] values (same dotd fold, same rounding); row-set
+    * equality with the distinct() formulation is spec-pinned. Only
+    * qualifying pairs materialize. */
+  def cosinePairsCanon(
+      ids: ArrayData,
+      vecs: ArrayData,
+      nrms: ArrayData,
+      b0s: ArrayData,
+      bucket: Int,
+      threshold: Double
+  ): ArrayData = {
+    val n = ids.numElements()
+    requireNoNulls(ids, n, "graft_cosine_pairs_canon", "ids")
+    requireNoNulls(vecs, n, "graft_cosine_pairs_canon", "vectors")
+    requireNoNulls(nrms, n, "graft_cosine_pairs_canon", "norms")
+    requireNoNulls(b0s, n, "graft_cosine_pairs_canon", "bucket0s")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val vi = vecs.getArray(i)
+      val ni = nrms.getDouble(i)
+      val ai = ids.getLong(i)
+      val bi = b0s.getInt(i)
+      var j = i + 1
+      while (j < n) {
+        val bj = b0s.getInt(j)
+        val d = bi ^ bj
+        val canon = java.lang.Integer.bitCount(d) match {
+          case 0 => bi
+          case 1 => math.min(bi, bj)
+          case 2 =>
+            val lo = java.lang.Integer.lowestOneBit(d)
+            math.min(bi ^ lo, bi ^ (d ^ lo))
+          case _ => bucket - 1 // >2 bits: no common probe bucket; never emit
+        }
+        if (canon == bucket) {
+          val c = roundHalfUp4(VectorOps.dotd(vi, vecs.getArray(j)) / (ni * nrms.getDouble(j)))
+          if (c >= threshold) {
+            out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](ai, ids.getLong(j), c)
+            )
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** The pair kernels are registered as user-callable SQL
     * (graft_hamming_pairs / graft_cosine_pairs); a null array element from
     * user SQL would otherwise surface as an opaque NPE/assertion out of

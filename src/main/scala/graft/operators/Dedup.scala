@@ -873,17 +873,27 @@ object Dedup {
     * P(≤2 flips) ≈ 0.98 at p=16 and ≈ 0.95 at p=22, while bucket
     * population falls 64×. The round-9 cap at p=16 saturates at n≈250k,
     * after which in-bucket pair work goes quadratic again; p=22 covers
-    * n ≈ 2^22·64/23 ≈ 10M vectors. Measured cost shape at sf10 (500k
-    * vectors): the governing term is NOT the pair loop (kernel'd, round
-    * 10) but the probe-side shuffle — each vector ships (p+1)× with its
-    * full payload through the bucket exchange, so wall-clock grows as
-    * n·(p+1) ≈ n·log n (measured 13.9× for 10× data = 10 × 21/15 probe
-    * copies, exactly). At 1e9 vectors that is a multi-TB but keyed and
-    * spill-safe shuffle; the dial past p=22 is more probes (3-bit) or
-    * multiple tables (the L-tables argument in SURVEY §5), and the
-    * shuffle-volume cure — probing with (id, bucket) pairs only and
-    * re-joining payloads per candidate — pays 2·|pairs| vector copies
-    * instead of (p+1)·n, worthwhile only when pairs ≪ n·(p+1)/2. */
+    * n ≈ 2^22·64/23 ≈ 10M vectors.
+    *
+    * Cost anatomy, MEASURED at sf10 (200k vectors, p=16; round 11): the
+    * probe-side payload shuffle — each vector shipping (p+1)× — was the
+    * r10 hypothesis but measured at only ~1s of the 18.8s operator. The
+    * real governing term was DUPLICATE PAIR EMISSION: a qualifying pair
+    * collides in nearly every probe bucket its two vectors share (up to
+    * p+1 of them), so the plain pair kernel emitted 169M rows for 10.4M
+    * distinct pairs and the distinct() exchange (~9s) plus the redundant
+    * dot products (~5s) dominated. The cure is canonical-bucket emission
+    * (TextOps.cosinePairsCanon): within one bucket the two bucket0s differ
+    * in ≤2 bits, making the common-probe-bucket set a pure function of
+    * (b0_i, b0_j) — each pair is emitted ONLY in its canonical common
+    * bucket, checked before the dot product. Exactly-once emission: no
+    * distinct, ~p/(p+1) of candidate dots skipped. The r10-documented
+    * alternative — probing with (id, bucket) only and re-joining payloads
+    * per candidate — was measured OUT: clustered corpora make candidate
+    * pairs ≫ n·(p+1)/2 (303M vs 1.7M at sf10), so 2·|pairs| payload
+    * copies would dwarf the (p+1)·n it saves. At 1e9 vectors the probe
+    * shuffle is multi-TB but keyed and spill-safe; the dial past p=22 is
+    * more probes (3-bit) or multiple tables (SURVEY §5). */
   def embeddingNearDups(
       emb: DataFrame,
       vecCol: String,
@@ -917,6 +927,7 @@ object Dedup {
           col("id"),
           col("v"),
           col("nrm"),
+          col("bucket0"),
           explode(
             expr(
               s"array_union(array(bucket0), " +
@@ -925,29 +936,42 @@ object Dedup {
             )
           ).as("bucket")
         )
-      else base.withColumnRenamed("bucket0", "bucket")
+      else
+        base.select(
+          col("id"),
+          col("v"),
+          col("nrm"),
+          col("bucket0"),
+          col("bucket0").as("bucket")
+        )
     val buckets = probed
       .groupBy("bucket")
       .agg(
-        sort_array(collect_list(struct(col("id"), col("v"), col("nrm"))))
-          .as("xs")
+        sort_array(
+          collect_list(struct(col("id"), col("v"), col("nrm"), col("bucket0")))
+        ).as("xs")
       )
       .filter(size(col("xs")).between(2, maxBucketSize))
-    // pair loop = graft_cosine_pairs codegen kernel (round 10) — the
-    // interpreted lambda scaffolding around graft_dotd was the hot cost;
-    // bit-identical rows (spec-pinned kernel-vs-lambda equivalence).
+    // pair loop = graft_cosine_pairs_canon codegen kernel (rounds 10/11):
+    // canonical-bucket emission makes each qualifying pair exactly-once
+    // across the multi-probe exchange (no distinct needed) and skips the
+    // dot product for every non-canonical collision — see the kernel's
+    // scaladoc; row-set equality with the distinct() formulation is
+    // spec-pinned. (Single-probe: bucket0 == bucket for every element, the
+    // hamming-0 canon rule degenerates to "emit here", same rows as before.)
     buckets
       .select(
         explode(
-          GraftFunctions.cosinePairs(
+          GraftFunctions.cosinePairsCanon(
             expr("transform(xs, x -> x.id)"),
             expr("transform(xs, x -> x.v)"),
             expr("transform(xs, x -> x.nrm)"),
+            expr("transform(xs, x -> x.bucket0)"),
+            col("bucket"),
             threshold
           )
         ).as("p")
       )
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.cos").as("cos"))
-      .distinct()
   }
 }

@@ -168,6 +168,67 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("canonical-bucket emission = plain kernel + distinct, row for row") {
+    // Round 11: embeddingNearDups dropped its distinct() in favor of
+    // canonical-bucket exactly-once emission (graft_cosine_pairs_canon).
+    // This pins row-SET equality against the round-10 formulation — the
+    // plain graft_cosine_pairs kernel over the same multi-probe exchange
+    // followed by distinct() — on randomized corpora, across plane counts
+    // and thresholds. Values must match bit-exactly (same dotd fold, same
+    // rounding); only the emission discipline differs.
+    import graft.functions.GraftFunctions
+    val rnd = new scala.util.Random(23)
+    // clustered corpus: near-dup groups (the multi-bucket-collision regime
+    // that made duplicates dominate) plus uniform background noise
+    val rows = (0 until 60).flatMap { g =>
+      val center = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      (0 until (1 + rnd.nextInt(3))).map { m =>
+        val v = center.map(x => x + rnd.nextFloat() * 0.02f)
+        ((g * 10 + m).toLong, v)
+      }
+    } ++ (0 until 50).map(i => ((1000 + i).toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    for (planes <- Seq(4, 8); t <- Seq(0.4, 0.95)) {
+      val canon = Dedup
+        .embeddingNearDups(df, "embedding", "vec_id", threshold = t, numPlanes = planes)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the round-10 formulation, inlined
+      implicit val s: org.apache.spark.sql.SparkSession = spark
+      val base = df
+        .select(
+          $"vec_id".as("id"),
+          $"embedding".cast("array<double>").as("v"),
+          GraftFunctions.hyperplaneBucket($"embedding", planes).as("bucket0")
+        )
+        .withColumn("nrm", expr("sqrt(graft_dotd(v, v))"))
+        .filter($"nrm" > 0d)
+      val old = base
+        .select(
+          $"id", $"v", $"nrm",
+          explode(expr(
+            s"array_union(array(bucket0), transform(sequence(0, ${planes - 1}), " +
+              s"b -> cast(bucket0 ^ shiftleft(1, b) AS int)))"
+          )).as("bucket")
+        )
+        .groupBy("bucket")
+        .agg(sort_array(collect_list(struct($"id", $"v", $"nrm"))).as("xs"))
+        .filter(size($"xs").between(2, 4096))
+        .select(explode(GraftFunctions.cosinePairs(
+          expr("transform(xs, x -> x.id)"),
+          expr("transform(xs, x -> x.v)"),
+          expr("transform(xs, x -> x.nrm)"),
+          t)).as("p"))
+        .select($"p.a_id", $"p.b_id", $"p.cos")
+        .distinct()
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(canon.length == canon.distinct.length, s"duplicate emission at p=$planes t=$t")
+      assert(canon.toSet == old.toSet, s"row sets diverged at p=$planes t=$t")
+      assert(canon.nonEmpty, s"vacuous comparison at p=$planes t=$t")
+    }
+  }
+
   test("dedupAgainstCorpus drops incoming near-dups of the reference only") {
     val reference = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta"),
