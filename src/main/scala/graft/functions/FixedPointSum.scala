@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{
+  Add,
+  AttributeReference,
+  BitwiseAnd,
+  BitwiseNot,
+  BitwiseOr,
+  EqualTo,
+  EvalMode,
+  Expression,
+  If,
+  ImplicitCastInputTypes,
+  IsNull,
+  Literal,
+  NumericEvalContext,
+  ShiftRight,
+  ShiftRightUnsigned,
+  UnaryExpression
+}
+import org.apache.spark.sql.types._
+
+/** Fixed-point 128-bit arithmetic for the exact-decimal aggregation path.
+  *
+  * The rsum/ravg contract (SparkEntry) is an exact DECIMAL(30,10) sum with a
+  * rounded presentation — order-independent across merge topologies, unlike
+  * a double sum. Spark's decimal aggregation pays for that exactness per
+  * ROW: `cast(double as decimal(30,10))` goes through
+  * `BigDecimal.valueOf(d)` (a Double.toString allocation) and the sum
+  * buffer at precision > 18 leaves the compact-long representation, so
+  * every update allocates and carries BigDecimal arithmetic. Measured at
+  * sf10 (60M rows, 4 aggregated columns): 3.7 s for the decimal sums vs
+  * 0.66 s for unchecked double sums — a 5.6x tax dominating q1.
+  *
+  * This kernel keeps the exactness and drops the tax: each double converts
+  * ONCE to a scaled long (value x 1e10, exact 128-bit mantissa arithmetic,
+  * round-half-away-from-zero — [[DecimalOps.scaled1e10]], no allocation),
+  * and groups accumulate in a two-long 128-bit integer buffer (exact,
+  * order-independent, wrap-free up to +/-1.7e28 in value terms — the same
+  * headroom DECIMAL(38,10) gives the decimal sum). The result surfaces as
+  * DECIMAL(38,10), so downstream round/cast contracts are unchanged.
+  *
+  * Semantics note, deliberate: Spark's double->decimal cast rounds the
+  * SHORTEST decimal representation of the double (BigDecimal.valueOf);
+  * this kernel rounds the double's exact binary value — DuckDB-style. The
+  * two can differ by 1e-10 on a row whose 10th fractional digit sits on a
+  * rounding boundary; the outer round(, 2) the contract applies absorbs
+  * that at the same tolerance that already exists between Spark and the
+  * DuckDB oracle today (hash-equality across the gate is re-verified with
+  * this kernel in place).
+  */
+object DecimalOps {
+
+  /** Exact `round(|d| * 1e10)` (half away from zero), as a signed long.
+    * The double's value is mant x 2^e2 exactly; x1e10 = mant x 5^10 x
+    * 2^(e2+10), computed in 128 bits (mant <= 2^53, 5^10 < 2^24) and
+    * shifted with a half-ulp addend for the rounding. Throws on NaN,
+    * infinity, or |d| > ~9.2e8 (the scaled-long capacity) — callers
+    * aggregate business measures, not astronomy; the contract is explicit
+    * rather than silently saturating. */
+  def scaled1e10(d: Double): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new ArithmeticException(s"graft_fixed_sum10: non-finite input $d")
+    val bits = java.lang.Double.doubleToRawLongBits(d)
+    val neg = bits < 0
+    var be = ((bits >> 52) & 0x7ff).toInt
+    var mant = bits & 0x000fffffffffffffL
+    if (be == 0) be = 1 else mant |= (1L << 52)
+    val e2 = be - 1075 // |d| = mant * 2^e2
+    // P = mant * 5^10 (unsigned 128-bit in pHi:pLo)
+    val pLo = mant * 9765625L
+    val pHi = Math.multiplyHigh(mant, 9765625L)
+    val sh = e2 + 10
+    val mag: Long =
+      if (sh >= 0) {
+        // left shift: the whole 128-bit P must fit 63 bits after the shift
+        if (pHi != 0 || sh >= 64 || (pLo >>> (63 - sh)) != 0)
+          throw new ArithmeticException(
+            s"graft_fixed_sum10: |$d| overflows the scaled-long capacity (~9.2e8)"
+          )
+        pLo << sh
+      } else {
+        val k = -sh
+        if (k >= 78) 0L // P < 2^77: even the half-addend shifts to zero
+        else {
+          // P' = P + 2^(k-1), then P' >>> k (unsigned 128-bit)
+          val addLo = if (k - 1 < 64) 1L << (k - 1) else 0L
+          val addHi = if (k - 1 >= 64) 1L << (k - 1 - 64) else 0L
+          val sLo = pLo + addLo
+          val carry = ((pLo & addLo) | ((pLo | addLo) & ~sLo)) >>> 63
+          val sHi = pHi + addHi + carry
+          val (res, overflowHi) =
+            if (k < 64) ((sLo >>> k) | (sHi << (64 - k)), sHi >>> k)
+            else if (k == 64) (sHi, 0L)
+            else (sHi >>> (k - 64), 0L)
+          if (overflowHi != 0 || res < 0)
+            throw new ArithmeticException(
+              s"graft_fixed_sum10: |$d| overflows the scaled-long capacity (~9.2e8)"
+            )
+          res
+        }
+      }
+    if (neg) -mag else mag
+  }
+
+  /** (hi, lo) signed 128-bit scaled sum -> Decimal(38, 10). Runs once per
+    * GROUP (evaluate), so BigInteger construction cost is irrelevant. */
+  def dec128(hi: Long, lo: Long): org.apache.spark.sql.types.Decimal = {
+    val bi = java.math.BigInteger
+      .valueOf(hi)
+      .shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(bi, 10), 38, 10)
+  }
+}
+
+/** Scalar conversion: double -> scaled long (x 1e10), codegen'd to the
+  * static [[DecimalOps.scaled1e10]] — the per-row half of the fixed-point
+  * sum. */
+case class ToScaled10(child: Expression)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_to_scaled10"
+
+  override protected def nullSafeEval(a: Any): Any =
+    DecimalOps.scaled1e10(a.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DecimalOps.scaled1e10($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Group evaluation: (hi, lo) buffer -> Decimal(38,10), via
+  * [[DecimalOps.dec128]]. */
+case class FromFixed128(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = DecimalType(38, 10)
+  override def prettyName: String = "graft_from_fixed128"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecimalOps.dec128(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DecimalOps.dec128($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Exact fixed-point sum of a double column at scale 10, 128-bit buffer —
+  * see [[DecimalOps]]. SQL: `graft_fixed_sum10(x)` -> DECIMAL(38,10);
+  * null on an all-null/empty group, like SUM. The update/merge expressions
+  * are pure long arithmetic (wrap-around adds + the classic carry-out
+  * formula `((a&b)|((a|b)&~s)) >>> 63`), so whole-stage codegen fuses them
+  * into the hash-aggregate update loop — the win over the BigDecimal
+  * buffer path. All long arithmetic is explicitly LEGACY eval mode: the
+  * low-word add MUST wrap (it is mod-2^64 limb arithmetic), and ANSI-mode
+  * overflow checks would both break it and cost a branch. */
+case class FixedPointSum(child: Expression)
+    extends DeclarativeAggregate
+    with ImplicitCastInputTypes {
+
+  private val legacyCtx = NumericEvalContext(EvalMode.LEGACY)
+
+  private def add(l: Expression, r: Expression): Expression = Add(l, r, legacyCtx)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DecimalType(38, 10)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fixed_sum10"
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, cnt)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  /** 128-bit accumulate of a sign-extended 64-bit addend. */
+  private def acc128(
+      curHi: Expression,
+      curLo: Expression,
+      xHi: Expression,
+      xLo: Expression
+  ): (Expression, Expression) = {
+    val newLo = add(curLo, xLo)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(
+        BitwiseAnd(curLo, xLo),
+        BitwiseAnd(BitwiseOr(curLo, xLo), BitwiseNot(newLo))
+      ),
+      Literal(63)
+    )
+    (add(add(curHi, xHi), carry), newLo)
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val x = If(IsNull(child), Literal(0L), ToScaled10(child))
+    val (nHi, nLo) = acc128(hi, lo, ShiftRight(x, Literal(63)), x)
+    Seq(
+      nHi,
+      nLo,
+      If(IsNull(child), cnt, add(cnt, Literal(1L)))
+    )
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val (nHi, nLo) = acc128(hi.left, lo.left, hi.right, lo.right)
+    Seq(nHi, nLo, add(cnt.left, cnt.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(
+      EqualTo(cnt, Literal(0L)),
+      Literal(null, DecimalType(38, 10)),
+      FromFixed128(hi, lo)
+    )
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]
+  ): Expression = copy(child = newChildren(0))
+}

@@ -563,6 +563,19 @@ object GraftFunctions {
       es => TopKAggregate(es(0), es(1), lit(es(2))),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "graft_fixed_sum10",
+      es => FixedPointSum(es(0)),
+      "built-in"
+    )
+  }
+
+  /** Exact fixed-point decimal sum (scale 10, 128-bit buffer) of a double
+    * column — the codegen replacement for sum(cast(x as decimal(30,10))),
+    * returning DECIMAL(38,10). See [[FixedPointSum]]. */
+  def fixedSum10(c: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_fixed_sum10", c)
   }
 
   /** Bounded-heap per-group top-k: array<struct<id,score>> best-first. */

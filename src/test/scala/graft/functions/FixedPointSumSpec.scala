@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** graft_fixed_sum10 — the 128-bit fixed-point replacement for
+  * sum(cast(x as decimal(30,10))). Pins (a) the per-row conversion against
+  * BigDecimal ground truth on exact binary values, (b) group results
+  * against the decimal path under the contract's round(2) presentation,
+  * (c) SUM null semantics, (d) the explicit overflow contract. */
+class FixedPointSumSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("scaled1e10 matches exact-binary HALF_UP ground truth") {
+    val rnd = new scala.util.Random(31)
+    val cases = Seq(0.0, -0.0, 1.0, -1.0, 0.07, 123.45, -99999.99, 1e-11,
+      -1e-11, 1.5e-10, 2.5e-10, 0.5e-10, 4.9e-11, 5.1e-11, 9.1e8, -9.1e8,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE) ++
+      Seq.fill(20000)(rnd.nextDouble() * 2e6 - 1e6) ++
+      Seq.fill(5000)(rnd.nextDouble() * 1e-8) ++
+      Seq.fill(5000)(math.pow(10, rnd.nextDouble() * 18 - 9) * (if (rnd.nextBoolean()) 1 else -1))
+    for (d <- cases if math.abs(d) < 9.2e8) {
+      // ground truth: the double's EXACT binary value, scaled, HALF_UP
+      val expected = new java.math.BigDecimal(d)
+        .movePointRight(10)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+      assert(DecimalOps.scaled1e10(d) == expected, s"d=$d")
+    }
+    intercept[ArithmeticException](DecimalOps.scaled1e10(1e10))
+    intercept[ArithmeticException](DecimalOps.scaled1e10(Double.NaN))
+    intercept[ArithmeticException](DecimalOps.scaled1e10(Double.PositiveInfinity))
+  }
+
+  test("dec128 reassembles the signed 128-bit sum") {
+    assert(DecimalOps.dec128(0L, 0L).toBigDecimal == BigDecimal(0).setScale(10))
+    assert(DecimalOps.dec128(0L, 12345L).toBigDecimal == BigDecimal("0.0000012345"))
+    assert(DecimalOps.dec128(-1L, -12345L).toBigDecimal == BigDecimal("-0.0000012345"))
+    // a value needing both words: 2^64 * 1e-10
+    assert(
+      DecimalOps.dec128(1L, 0L).toBigDecimal ==
+        BigDecimal(BigInt(1) << 64, 10)
+    )
+  }
+
+  test("group sums match the decimal path under the round(2) contract") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 40000).map { i =>
+      (i % 13, (rnd.nextInt(20000000) / 100.0) * (1 - rnd.nextInt(10) / 100.0) *
+        (if (rnd.nextInt(5) == 0) -1 else 1))
+    }
+    val df = rows.toDF("g", "x")
+    graft.functions.GraftFunctions.register(spark)
+    val cmp = df
+      .groupBy("g")
+      .agg(
+        round(sum($"x".cast("decimal(30,10)")), 2).cast("double").as("dec"),
+        round(expr("graft_fixed_sum10(x)"), 2).cast("double").as("fix")
+      )
+      .filter($"dec" =!= $"fix")
+    assert(cmp.count() == 0)
+  }
+
+  test("null semantics match SUM: empty/all-null group is null, nulls skipped") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq[(Int, java.lang.Double)](
+      (1, null), (1, null), (2, 1.5), (2, null), (2, 2.5)
+    ).toDF("g", "x")
+    val out = df
+      .groupBy("g")
+      .agg(expr("graft_fixed_sum10(x)").cast("double").as("f"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out(1) == null)
+    assert(out(2) == 4.0)
+  }
+
+  test("merge across partitions is exact and order-independent") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(0, 100000, 1, 16)
+      .select((col("id") % 7).as("g"), (col("id").cast("double") / 100.0 + 0.07).as("x"))
+    val expected = df
+      .groupBy("g")
+      .agg(sum($"x".cast("decimal(30,10)")).cast("double").as("d"))
+    val got = df
+      .groupBy("g")
+      .agg(expr("graft_fixed_sum10(x)").cast("double").as("f"))
+    val joined = expected.join(got, "g").filter(abs($"d" - $"f") > 1e-6)
+    assert(joined.count() == 0)
+  }
+}
