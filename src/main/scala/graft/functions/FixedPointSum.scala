@@ -105,6 +105,22 @@ object DecimalOps {
     if (neg) -mag else mag
   }
 
+  /** Order-preserving fixed bucket of a double: the top `bits` bits of the
+    * sign-corrected IEEE-754 bit pattern (negatives bit-flipped, positives
+    * sign-bit-set — the classic radix-sort key), so
+    * d1 <= d2 => bucket(d1) <= bucket(d2) with NO data-dependent boundaries.
+    * ExactQuantiles' histogram pass uses this instead of min/max-scaled
+    * buckets, which removes the whole min/max pre-pass (a full input scan)
+    * from the operator. At `bits` = 20 a binade splits into 2^8 slices;
+    * occupancy is bounded by the distinct (exponent, 8-mantissa-bit)
+    * prefixes present — thousands for real-world measures, 2^bits hard cap.
+    * NaNs map above every number (Spark's sort order). */
+  def orderedBucket(d: Double, bits: Int): Int = {
+    val b = java.lang.Double.doubleToRawLongBits(d)
+    val key = if (b < 0) ~b else b | java.lang.Long.MIN_VALUE
+    (key >>> (64 - bits)).toInt
+  }
+
   /** (hi, lo) signed 128-bit scaled sum -> Decimal(38, 10). Runs once per
     * GROUP (evaluate), so BigInteger construction cost is irrelevant. */
   def dec128(hi: Long, lo: Long): org.apache.spark.sql.types.Decimal = {
@@ -131,6 +147,26 @@ case class ToScaled10(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.DecimalOps.scaled1e10($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scalar order-preserving double bucket (see [[DecimalOps.orderedBucket]]):
+  * codegen'd, used by ExactQuantiles' single-pass histogram. */
+case class DoubleOrderBucket(child: Expression, bits: Int)
+    extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_double_bucket"
+
+  override protected def nullSafeEval(a: Any): Any =
+    DecimalOps.orderedBucket(a.asInstanceOf[Double], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DecimalOps.orderedBucket($a, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -568,6 +568,11 @@ object GraftFunctions {
       es => FixedPointSum(es(0)),
       "built-in"
     )
+    reg.createOrReplaceTempFunction(
+      "graft_double_bucket",
+      es => DoubleOrderBucket(es(0), lit(es(1))),
+      "built-in"
+    )
   }
 
   /** Exact fixed-point decimal sum (scale 10, 128-bit buffer) of a double

@@ -14,23 +14,27 @@ import org.apache.spark.sql.functions._
   * Spark's `(ceil(h)-h)*lo + (h-floor(h))*hi` formula) from keyed shuffles
   * and bounded windows only:
   *
-  *   1. per-group count/min/max (one partial-agg pass) → the target ranks
-  *      `floor(h)`/`ceil(h)` for each requested quantile, `h = p·(n−1)`;
-  *   2. a fixed-width histogram pass: bucket id per row, partial-agg
-  *      groupBy (group, bucket) — at most `buckets` rows per group — then a
-  *      cumulative window over bucket ids (partition size ≤ `buckets`)
-  *      locates which bucket holds each target rank;
-  *   3. only rows in located buckets (expected n/buckets of the data, one
-  *      keyed semi-join) are re-read; ties collapse via a
-  *      (group, bucket, value) partial agg BEFORE the in-bucket cumulative
-  *      window, so the window partition is the bucket's DISTINCT values —
-  *      a million-row run of one repeated value costs one row.
+  *   1. histogram pass: every row gets an ORDER-PRESERVING FIXED bucket —
+  *      the top 20 bits of the sign-corrected IEEE-754 bit pattern
+  *      ([[graft.functions.DecimalOps.orderedBucket]]) — then a partial-agg
+  *      groupBy (group, bucket). No data-dependent boundaries, so no
+  *      min/max pre-pass: round 11 removed what was a whole extra input
+  *      scan (+ its broadcast + checkpoint) from the r10 shape. A
+  *      cumulative window over bucket ids (partition = one group's
+  *      occupied buckets, ≤ 2^20 rows hard cap, thousands in practice)
+  *      locates which bucket holds each target rank `floor(h)`/`ceil(h)`,
+  *      `h = p·(n−1)`, with per-group `n` summed from the histogram itself;
+  *   2. selection pass: only rows in located buckets (one broadcast
+  *      semi-structure join against the scan) are re-read; ties collapse
+  *      via a (group, bucket, value) partial agg BEFORE the in-bucket
+  *      cumulative window, so the window partition is the bucket's
+  *      DISTINCT values — a million-row run of one repeated value costs
+  *      one row.
   *
-  * Per-task memory is O(buckets + distinct values in one bucket): the
-  * histogram bounds expected occupancy at n/buckets, and value skew (the
-  * worst case for occupancy) is exactly what the tie-collapse absorbs.
-  * Three keyed shuffles + two bounded windows, no per-group value buffering
-  * anywhere — the plan survives a 100× scale-up where `percentile()` dies.
+  * Per-task memory is O(occupied buckets + distinct values in one bucket).
+  * Two input scans (histogram + selection), keyed exchanges, two bounded
+  * windows, no per-group value buffering anywhere — the plan survives a
+  * 100× scale-up where `percentile()` dies.
   *
   * Returns the long form (group, label, q) — one row per group × quantile;
   * callers pivot the labels into columns.
@@ -42,35 +46,44 @@ object ExactQuantiles {
       groupCol: String,
       valueCol: String,
       ps: Seq[(String, Double)],
-      buckets: Int = 8192
+      bucketBits: Int = 20
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rows = df
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull) // percentile/quantile_cont ignore nulls
-    // localCheckpoint the aggregate-scale intermediates (`stats` here, `bCum`
-    // below): both are bounded by groups (× buckets) regardless of input
-    // size, and both sit under MULTIPLE consumers — without the checkpoint
-    // Spark re-derives the whole upstream subtree per consumer (the round-8
-    // executed plan computed the full histogram chain twice and scanned the
-    // input four times; 27 codegen stages of pure scheduling overhead).
-    // Checkpointing pins each pass to exactly one evaluation: pass 1 (stats),
-    // pass 2 (histogram), pass 3 (selection) — three input scans, period.
-    val stats = rows
-      .groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("vmin"), max("v").as("vmax"))
+      .withColumn("b", expr(s"graft_double_bucket(v, $bucketBits)"))
+
+    // Histogram pass: fixed order-preserving buckets, partial-agg counts,
+    // cumulative window per group. localCheckpoint pins the aggregate-scale
+    // result to ONE evaluation: it sits under multiple consumers (stats,
+    // located, and through them cand), and without the checkpoint Spark
+    // re-derives the whole scan+agg subtree per consumer (the round-8
+    // executed plan scanned the input four times; 27 codegen stages of
+    // pure scheduling overhead).
+    val wB = Window
+      .partitionBy("g")
+      .orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bCum = rows
+      .groupBy("g", "b")
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("before", coalesce(sum("bc").over(wB), lit(0L)))
       .localCheckpoint()
+
+    // Per-group n comes from the histogram itself — no separate stats scan.
+    val stats = bCum.groupBy("g").agg(sum("bc").as("n"))
 
     // Target ranks per (group, quantile): h = p*(n-1); we need the values at
     // 0-based ranks floor(h) and ceil(h).
     val pArr = array(ps.map { case (lbl, p) =>
       struct(lit(lbl).as("lbl"), lit(p).as("p"))
     }: _*)
-    val targets = stats
+    val wanted = stats
       .select(col("g"), col("n"), explode(pArr).as("t"))
       .select(col("g"), col("t.lbl").as("lbl"), col("t.p").as("p"), col("n"))
       .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
-    val wanted = targets
       .select(
         col("g"),
         col("lbl"),
@@ -84,34 +97,8 @@ object ExactQuantiles {
       )
       .select(col("g"), col("lbl"), col("pos"), col("w.which").as("which"), col("w.k").as("k"))
 
-    // Histogram pass: fixed-width buckets over [vmin, vmax]. Degenerate
-    // groups (all values equal) collapse into bucket 0.
-    val bucketed = rows
-      .join(broadcast(stats.select("g", "vmin", "vmax")), "g")
-      .withColumn(
-        "b",
-        when(col("vmax") === col("vmin"), lit(0))
-          .otherwise(
-            least(
-              lit(buckets - 1),
-              floor(
-                (col("v") - col("vmin")) /
-                  ((col("vmax") - col("vmin")) / buckets)
-              ).cast("int")
-            )
-          )
-      )
-    val bCounts = bucketed.groupBy("g", "b").agg(count(lit(1)).as("bc"))
-    val wB = Window
-      .partitionBy("g")
-      .orderBy("b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bCum = bCounts
-      .withColumn("before", coalesce(sum("bc").over(wB), lit(0L)))
-      .localCheckpoint()
-
     // Locate the bucket holding each target rank: before <= k < before+bc.
-    // Both sides are aggregate-scale (groups × quantiles vs groups × buckets).
+    // Both sides are aggregate-scale (groups × quantiles vs occupied buckets).
     val located = wanted
       .join(bCum, Seq("g"))
       .where(col("k") >= col("before") && col("k") < col("before") + col("bc"))
@@ -120,7 +107,7 @@ object ExactQuantiles {
     // Selection pass: only rows in located buckets; collapse ties first so
     // the in-bucket window ranks DISTINCT values.
     val cand = located.select("g", "b").distinct()
-    val inBucket = bucketed
+    val inBucket = rows
       .join(broadcast(cand), Seq("g", "b"))
       .groupBy("g", "b", "v")
       .agg(count(lit(1)).as("vc"))

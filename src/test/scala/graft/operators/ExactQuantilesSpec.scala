@@ -25,9 +25,9 @@ class ExactQuantilesSpec extends AnyFunSuite {
       .flatMap(r => PS.map { case (lbl, _) => (r.getString(0), lbl) -> r.getAs[Double](lbl) })
       .toMap
 
-  private def viaOperator(df: org.apache.spark.sql.DataFrame, buckets: Int): Map[(String, String), Double] =
+  private def viaOperator(df: org.apache.spark.sql.DataFrame, bucketBits: Int): Map[(String, String), Double] =
     ExactQuantiles
-      .groupQuantiles(df, "g", "v", PS, buckets = buckets)
+      .groupQuantiles(df, "g", "v", PS, bucketBits = bucketBits)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
@@ -49,11 +49,11 @@ class ExactQuantilesSpec extends AnyFunSuite {
     rows += (("a", null)); rows += (("b", null))
     val df = rows.result().toDF("g", "v")
     val expected = viaBuiltin(df)
-    for (buckets <- Seq(4, 256, 8192)) { // coarse buckets stress the selection pass
-      val got = viaOperator(df, buckets)
+    for (bits <- Seq(2, 8, 20)) { // coarse buckets stress the selection pass
+      val got = viaOperator(df, bits)
       assert(got.keySet == expected.keySet)
       for ((k, e) <- expected)
-        assert(math.abs(got(k) - e) < 1e-9, s"$k buckets=$buckets: got ${got(k)}, want $e")
+        assert(math.abs(got(k) - e) < 1e-9, s"$k bits=$bits: got ${got(k)}, want $e")
     }
   }
 
