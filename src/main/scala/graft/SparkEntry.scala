@@ -799,6 +799,7 @@ object SparkEntry {
     // grouping combinations in one pass over the fact table.
     "q_grouping_sets" -> { (s, dir) =>
       Tables.provider(s, dir)
+      graft.functions.GraftFunctions.register(s)
       // Pre-aggregate by the full key BEFORE the grouping sets: Spark plans
       // GROUPING SETS as Expand (one input copy per set), so expanding the
       // fact table triples the scanned rows — 18M Expand rows at sf1 for a
@@ -806,10 +807,12 @@ object SparkEntry {
       // makes Expand run on a handful of rows; count(*) folds into sum(n).
       // Identical semantics (grouping() flags derive from the set
       // expansion, not the base rows): the unchanged oracle hash-matches.
+      // The 60M-row pre-agg sum rides graft_fixed_sum10 (round 11), same
+      // exact-decimal contract as rsum.
       s.sql(
         """WITH pre AS (
           |  SELECT l_returnflag, l_linestatus, count(*) AS pn,
-          |    sum(CAST(l_quantity AS DECIMAL(30,10))) AS pqty
+          |    graft_fixed_sum10(l_quantity) AS pqty
           |  FROM lineitem GROUP BY l_returnflag, l_linestatus
           |)
           |SELECT l_returnflag, l_linestatus,
