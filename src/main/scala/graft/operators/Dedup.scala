@@ -662,9 +662,25 @@ object Dedup {
     val c0 =
       if (kEff <= flatAssignMaxK) KMeans.seeds(e, "v", "id", kEff)
       else KMeans.seedsSampled(e, "v", "id", kEff, n)
-    val a1 = assign(e, c0)
-    val c1 = KMeans.updateCentroids(e, a1, "v", "id")
-    val a2 = assign(e, c1)
+    // Pin each Lloyd-iteration frame (round 11): a1/a2 are n skinny
+    // (id, cluster) rows, c1 is k centroid rows. Every one of them has
+    // MULTIPLE downstream consumers (assignTwoLevel alone reads its
+    // `cents` argument from four places plus a count() job; a2 feeds the
+    // member join, the pair pass, and the final output), and without the
+    // pin Spark re-derives the entire upstream chain — scan, coarse
+    // assign, fine assign, centroid update — once per consumer: the sf10
+    // executed plan repeated the full assignment subtree inside itself.
+    // Values are bit-deterministic by construction (rounded distances,
+    // ties to lowest id, exact fixed-point sums), so pinning cannot
+    // change results — it is the standard persist-per-iteration shape of
+    // iterative ML on Spark. Measured (with the updateCentroids
+    // fixed-point swap): dedup_semantic 17-18s -> 11.2s at sf10 (500k
+    // vectors, k=800); the remaining cost is the SemDeDup contract
+    // itself — in-cluster pair dots plus two O(sqrt k)-per-point
+    // assignment passes.
+    val a1 = assign(e, c0).localCheckpoint()
+    val c1 = KMeans.updateCentroids(e, a1, "v", "id").localCheckpoint()
+    val a2 = assign(e, c1).localCheckpoint()
     // norms and the in-cluster pair dot products ride the graft_dotd
     // codegen kernel — bit-identical fold order to the previous
     // aggregate(zip_with(...)) Column formulation the oracle mirrors

@@ -163,14 +163,20 @@ object KMeans {
       .select(col(idCol), col("b.cid").as("cluster"))
   }
 
-  /** One Lloyd update: per-dimension mean (exact decimal sum, rounded to 6)
-    * of each cluster's members. Clusters that lost all members disappear. */
+  /** One Lloyd update: per-dimension mean (exact fixed-point sum, rounded
+    * to 6) of each cluster's members. Clusters that lost all members
+    * disappear. The sum rides `graft_fixed_sum10` (round 11): the
+    * n×dim posexploded rows previously went through a DECIMAL(30,10)
+    * aggregate whose per-row BigDecimal.valueOf + non-compact buffers were
+    * the same ~4x tax q1 paid — the kernel keeps the exact-sum contract
+    * (same rounded means, oracle hash unchanged) in pure long arithmetic. */
   def updateCentroids(
       points: DataFrame,
       assigned: DataFrame,
       vecCol: String,
       idCol: String
-  ): DataFrame =
+  ): DataFrame = {
+    GraftFunctions.register(points.sparkSession)
     points
       .join(assigned, idCol)
       .select(
@@ -179,10 +185,14 @@ object KMeans {
       )
       .groupBy(col("cid"), col("pos"))
       .agg(
-        round(sum(col("x").cast("decimal(30,10)")).cast("double") / count(lit(1)), 6)
-          .as("m")
+        round(
+          call_function("graft_fixed_sum10", col("x")).cast("double") /
+            count(lit(1)),
+          6
+        ).as("m")
       )
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
+  }
 }
