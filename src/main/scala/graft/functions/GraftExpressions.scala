@@ -457,6 +457,56 @@ case class BloomMightContain(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Unigram-LM document scoring against a bounded literal model (see
+  * [[LmScorer]]): `graft_lm_score(tokens, terms, lp_micros, oov_lp_micro)`
+  * returns struct(n_tokens, oov_tokens, sum_micro) per row. The model rides
+  * the EXPRESSION, not the row stream: the scorer map is built once from
+  * the model values and shipped via `addReferenceObj` (the BloomMightContain
+  * shape), so the per-row code is one loop of hash lookups inside
+  * whole-stage codegen. Null tokens array -> null result. The SQL builder
+  * requires the model arguments foldable; model size is vocabulary-capped
+  * upstream ([[graft.operators.Perplexity]]), never corpus-scale. */
+case class LmScore(
+    child: Expression,
+    terms: Seq[String],
+    lps: Seq[Long],
+    oovLp: Long
+) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(terms.length == lps.length, "graft_lm_score: model arrays must align")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("oov_tokens", LongType, nullable = false),
+      StructField("sum_micro", LongType, nullable = false)
+    )
+  )
+  override def prettyName: String = "graft_lm_score"
+
+  // Built once per (driver plan | executor deserialization); executors reach
+  // it through the codegen references array, never per row.
+  @transient private lazy val scorer: LmScorer =
+    new LmScorer(
+      terms.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray,
+      lps.toArray,
+      oovLp
+    )
+
+  override protected def nullSafeEval(a: Any): Any =
+    scorer.score(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref =
+      ctx.addReferenceObj("graftLmScorer", scorer, classOf[LmScorer].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.score($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + typed column helpers for the graft expressions. */
 object GraftFunctions {
 
@@ -485,9 +535,34 @@ object GraftFunctions {
     // code path pick up additions (createOrReplace is idempotent)
     if (
       reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_pairs_canon")
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lm_score")
       )
     ) return
+    reg.createOrReplaceTempFunction(
+      "graft_lm_score",
+      { es =>
+        require(
+          es.length == 4 && es(1).foldable && es(2).foldable && es(3).foldable,
+          "graft_lm_score(tokens, terms, lp_micros, oov_lp_micro): the model " +
+            "arguments must be literals (the scorer map is built at planning)"
+        )
+        val t = es(1).eval().asInstanceOf[ArrayData]
+        val l = es(2).eval().asInstanceOf[ArrayData]
+        require(t != null && l != null, "graft_lm_score: model arrays must not be null")
+        val terms = (0 until t.numElements()).map(i => t.getUTF8String(i).toString)
+        val lps = l.toLongArray().toSeq
+        val oov = es(3).eval() match {
+          case x: Long => x
+          case x: Int  => x.toLong
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_lm_score: oov_lp_micro must be an integer literal, got $other"
+            )
+        }
+        LmScore(es(0), terms, lps, oov)
+      },
+      "built-in"
+    )
     reg.createOrReplaceTempFunction(
       "graft_hamming_pairs",
       es => HammingPairs(es(0), es(1), lit(es(2))),

