@@ -618,6 +618,10 @@ object SparkEntry {
         )
         .groupBy(col("l_suppkey"))
         .agg(rsum(revenue).as("total_rev"))
+        // consumed by both the supplier join and the max; pin at
+        // aggregate scale (|suppkeys| rows) so the fact scan + suppkey
+        // aggregation execute once, not once per consumer
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_rev")).as("mx"))
       T(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -655,7 +659,15 @@ object SparkEntry {
     // fraction of the whole.
     "q11_important_parts" -> { (s, dir) =>
       val li = T(s, dir, "lineitem")
-      val pr = li.groupBy(col("l_partkey")).agg(rsum(revenue).as("value"))
+      // `pr` feeds BOTH join sides (the rows and the broadcast average);
+      // without pinning, the executed plan nests the whole fact-table
+      // scan + partkey aggregation inside the broadcast subtree and runs
+      // it twice. localCheckpoint bounds the pin at aggregate scale
+      // (|partkeys| rows, not |lineitem|).
+      val pr = li
+        .groupBy(col("l_partkey"))
+        .agg(rsum(revenue).as("value"))
+        .localCheckpoint()
       val tot = pr.agg(
         (dsum(col("value")) /
           count(col("value"))).as("av")
