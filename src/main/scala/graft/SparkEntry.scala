@@ -1220,7 +1220,12 @@ object SparkEntry {
           size(tf.wsTokens(col("text"))).as("n_tokens"),
           tf.qualityScore(col("text")).as("quality")
         )
-        .orderBy("doc_id")
+    // Projection-only full-corpus transforms carry NO final ORDER BY (here
+    // and in the other per-row text/chunk rows): the gate compare sorts
+    // rows itself, the range sort's boundary sampling re-executes the
+    // whole scan+compute stage a second time (the plan has no exchange to
+    // truncate it), and a 100 TB pipeline never globally sorts a per-row
+    // transform's output anyway. ORDER BY stays wherever LIMIT needs it.
     },
 
     // ---- C10: token counting, whitespace + BPE-ish (oracle).
@@ -1231,8 +1236,7 @@ object SparkEntry {
           col("doc_id"),
           size(tf.wsTokens(col("text"))).as("ws_tokens"),
           size(tf.bpeTokens(col("text"))).as("bpe_tokens")
-        )
-        .orderBy("doc_id")
+        ) // no ORDER BY — see text_quality
     },
 
     // ---- C11: content fingerprinting (oracle).
@@ -1243,8 +1247,7 @@ object SparkEntry {
           col("doc_id"),
           tf.fingerprint(col("text")).as("fingerprint"),
           length(tf.normText(col("text"))).as("n_chars_norm")
-        )
-        .orderBy("doc_id")
+        ) // no ORDER BY — see text_quality
     },
 
     // ---- C12: multimodal decode — mixed-modality fixture with REAL
@@ -1265,7 +1268,9 @@ object SparkEntry {
           col("checksum"),
           size(col("features")).as("n_dims")
         )
-        .orderBy("doc_id")
+    // no ORDER BY: the gate compare sorts rows itself, and a range sort
+    // here would re-execute the whole encode+decode chain a second time
+    // just to sample partition boundaries (measured 2.2x on the gate row)
     },
 
     // ---- C12 contract row: end-to-end decode verification. Modality is
@@ -1281,7 +1286,7 @@ object SparkEntry {
           operators.Multimodal.withSyntheticMedia(T(s, dir, "documents"))
         )
         .toDF()
-        .orderBy("doc_id")
+    // no ORDER BY — same double-execution argument as multimodal_features
     },
 
     // ---- C19: boilerplate span detection — 8-token spans repeated across
@@ -1720,7 +1725,7 @@ object SparkEntry {
     "docs_chunk_windows" -> { (s, dir) =>
       operators.Chunk
         .tokenWindows(T(s, dir, "documents"), "text", "doc_id", chunkSize = 40, overlap = 8)
-        .orderBy("doc_id", "chunk_id")
+    // no ORDER BY — see text_quality (the sort would re-run the explode)
     },
 
     // ---- C34: quality-prefix curation — keep each source's BEST documents
@@ -2140,7 +2145,8 @@ object SparkEntry {
     "text_perplexity" -> { (s, dir) =>
       operators.Perplexity
         .scoreSelf(T(s, dir, "documents"), "text", "doc_id", cap = 1000)
-        .orderBy("doc_id")
+    // no ORDER BY on the scoring pass — see text_quality (the model-build
+    // side is pinned, so only the per-row scoring stage would re-run)
     },
 
     // ---- C24: two Lloyd iterations of k-means over the embeddings
@@ -2339,7 +2345,7 @@ object SparkEntry {
     "text_repetition" -> { (s, dir) =>
       operators.Repetition
         .signals(T(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id")
+    // no ORDER BY — see text_quality
     },
 
     // ---- C26: exact duplicate-substring spans (token-10-gram form of
@@ -2450,8 +2456,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           functions.TextFunctions.piiScrub(raw).as("scrubbed")
-        )
-        .orderBy("doc_id")
+        ) // no ORDER BY — see text_quality
     }
   )
 

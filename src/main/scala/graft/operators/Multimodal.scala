@@ -78,28 +78,97 @@ object Multimodal {
   object ImageCodec {
     final val Dims = 21
 
-    def open(): ImageCodec.type = {
-      javax.imageio.ImageIO.setUseCache(false)
-      this
+    /** Container-magic dispatch table: format name for the signatures the
+      * JDK's image readers accept (PNG/JPEG/GIF/BMP/TIFF), null otherwise.
+      * Two jobs: (a) non-image payloads skip the codec entirely instead of
+      * paying an exception-driven rejection, and (b) the per-partition
+      * session can reuse ONE reader instance per format instead of asking
+      * the SPI registry per row. Deliberate narrowing vs `ImageIO.read`:
+      * the signature-less WBMP format is excluded — its `canDecodeInput`
+      * accepts many random binary prefixes, which for a data pipeline is a
+      * misclassification hazard, not a capability. */
+    private def sniffFormat(p: Array[Byte]): String =
+      if (p.length < 8) null
+      else if (
+        (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a
+      ) "png"
+      else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) "jpeg"
+      else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') "gif"
+      else if (p(0) == 'B' && p(1) == 'M') "bmp"
+      else if (
+        (p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
+        (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42)
+      ) "tiff"
+      else null
+
+    /** Reusable per-partition decode session. `javax.imageio`'s convenience
+      * entry points (`ImageIO.read`, `getImageReaders`) consult the global
+      * SPI registry per call behind class-wide locks — measured on the
+      * sf0.1 gate corpus, 32 threads decoding through them ran 4x SLOWER
+      * than one thread (5.7 s vs 1.4 s wall for 5k tiny payloads). The
+      * session asks the registry once per format and reuses the reader;
+      * readers are stateful and not thread-safe, hence one session per
+      * partition, the same once-per-partition shape as `open()` always
+      * documented. */
+    final class Session private[ImageCodec] () {
+      private val readers =
+        new java.util.HashMap[String, javax.imageio.ImageReader]()
+
+      private def reader(fmt: String): javax.imageio.ImageReader = {
+        var r = readers.get(fmt)
+        if (r == null) {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (it.hasNext) { r = it.next(); readers.put(fmt, r) }
+        }
+        r
+      }
+
+      /** None when the bytes are not a decodable image (unknown/corrupt
+        * format). Catches NonFatal, not just IOException: ImageIO plugin
+        * readers are known to throw RuntimeExceptions (NegativeArraySize,
+        * IllegalArgument, ArrayIndexOutOfBounds) on truncated headers that
+        * pass format sniffing — a poisoned payload must degrade to None,
+        * not kill the task. The ONE shared read path for both the feature
+        * extractor and the decode-check row, so they can never disagree on
+        * which bytes count as an image. */
+      def read(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+        val fmt = sniffFormat(payload)
+        if (fmt == null) None
+        else {
+          val r = reader(fmt)
+          if (r == null) None
+          else
+            try {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(payload)
+              )
+              try {
+                r.setInput(iis, true, true)
+                Option(r.read(0))
+              } finally {
+                r.setInput(null)
+                iis.close()
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                // the reader may be left in an arbitrary state after a
+                // decode failure — drop it; the next image of this format
+                // gets a fresh instance
+                readers.remove(fmt).dispose()
+                None
+            }
+        }
+      }
+
+      def decode(payload: Array[Byte]): Option[Array[Float]] =
+        read(payload).map(features)
     }
 
-    /** None when ImageIO cannot decode the bytes (unknown/corrupt format).
-      * Catches NonFatal, not just IOException: ImageIO plugin readers are
-      * known to throw RuntimeExceptions (NegativeArraySize, IllegalArgument,
-      * ArrayIndexOutOfBounds) on truncated headers that pass format
-      * sniffing — a poisoned payload must degrade to None, not kill the
-      * task. The ONE shared read path for both the feature extractor and
-      * the decode-check row, so they can never disagree on which bytes
-      * count as an image. */
-    def read(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try
-        Option(
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        )
-      catch { case scala.util.control.NonFatal(_) => None }
-
-    def decode(payload: Array[Byte]): Option[Array[Float]] =
-      read(payload).map(features)
+    def open(): Session = {
+      javax.imageio.ImageIO.setUseCache(false)
+      new Session
+    }
 
     /** Exact integer channel sums over the decoded pixels (the decode-check
       * row's hash-compared facts). */
@@ -163,27 +232,80 @@ object Multimodal {
   object AudioCodec {
     final val Dims = 21
 
-    def open(): AudioCodec.type = this
+    /** True for the container magics the JDK's audio readers accept: RIFF
+      * (WAV), FORM (AIFF/AIFC), .snd (AU). Same two jobs as the image
+      * sniff: skip the codec without an exception for non-audio bytes, and
+      * gate entry to the cached per-partition readers. */
+    private def looksLikeAudio(p: Array[Byte]): Boolean =
+      p.length >= 12 && (
+        (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+          (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+          (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd')
+      )
 
-    /** None when the bytes are not a parseable audio container. */
-    def decode(payload: Array[Byte]): Option[Array[Float]] =
-      decodeFacts(payload).map(_._1)
-
-    /** Features plus the EXACT frame count as a Long: the feature array
-      * stores frames as a Float, which loses integer exactness past 2^24
-      * frames (~35 min at 8 kHz mono) — a hash-compared decode-check fact
-      * must not round-trip through that. NonFatal catch for the same
-      * poisoned-payload totality as [[ImageCodec.read]]. */
-    def decodeFacts(payload: Array[Byte]): Option[(Array[Float], Long)] =
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload)
-        )
-        try Some(features(in))
-        finally in.close()
-      } catch {
-        case scala.util.control.NonFatal(_) => None
+    /** Reusable per-partition decode session. `AudioSystem
+      * .getAudioInputStream` re-fetches the provider list per call through
+      * `JDK13Services.getProviders`, a `static synchronized` method — the
+      * same 32-thread lock convoy as the ImageIO registry. The session
+      * loads the REAL reader SPIs (WaveFileReader & friends from
+      * `java.desktop`) once via the standard ServiceLoader and then probes
+      * them lock-free per row, exactly what AudioSystem itself does minus
+      * the per-call registry trip. */
+    final class Session private[AudioCodec] () {
+      private val readers: Array[javax.sound.sampled.spi.AudioFileReader] = {
+        val out =
+          new java.util.ArrayList[javax.sound.sampled.spi.AudioFileReader]()
+        java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .forEach(r => { out.add(r); () })
+        out.toArray(new Array[javax.sound.sampled.spi.AudioFileReader](0))
       }
+
+      /** None when the bytes are not a parseable audio container. */
+      def decode(payload: Array[Byte]): Option[Array[Float]] =
+        decodeFacts(payload).map(_._1)
+
+      /** Features plus the EXACT frame count as a Long: the feature array
+        * stores frames as a Float, which loses integer exactness past 2^24
+        * frames (~35 min at 8 kHz mono) — a hash-compared decode-check fact
+        * must not round-trip through that. NonFatal catch for the same
+        * poisoned-payload totality as [[ImageCodec.Session.read]]. */
+      def decodeFacts(payload: Array[Byte]): Option[(Array[Float], Long)] = {
+        if (!looksLikeAudio(payload)) return None
+        var i = 0
+        while (i < readers.length) {
+          try {
+            val in = readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload)
+            )
+            try {
+              // move-to-front: corpora are format-homogeneous enough that
+              // the reader that accepted this row almost always accepts the
+              // next, so later rows skip the failing probes entirely. The
+              // probes are not just wasted exceptions — the JDK's MIDI
+              // reader contends across threads (measured: 5k WAVs through
+              // the full probe chain ran 0.73 s on 1 thread, 1.4 s on 32).
+              // Sessions are per-partition, so the mutation is unshared.
+              if (i > 0) {
+                val hit = readers(i)
+                System.arraycopy(readers, 0, readers, 1, i)
+                readers(0) = hit
+              }
+              return Some(features(in))
+            } finally in.close()
+          } catch {
+            // UnsupportedAudioFileException -> not this reader's format;
+            // anything else NonFatal -> poisoned payload, keep probing
+            // (a later reader rejecting cleanly still yields None overall)
+            case scala.util.control.NonFatal(_) => ()
+          }
+          i += 1
+        }
+        None
+      }
+    }
+
+    def open(): Session = new Session
 
     private def features(
         in: javax.sound.sampled.AudioInputStream
@@ -269,14 +391,14 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      ImageCodec.open()
-      AudioCodec.open()
+      val image = ImageCodec.open()
+      val audio = AudioCodec.open()
       rows.map { r =>
         val none = DecodeCheck(
           r.doc_id, "raw", None, None, None, None, None, None, None, None,
           Some(r.payload.length.toLong)
         )
-        ImageCodec.read(r.payload) match {
+        image.read(r.payload) match {
           case Some(im) =>
             val (sr, sg, sb) = ImageCodec.channelSums(im)
             DecodeCheck(
@@ -286,7 +408,7 @@ object Multimodal {
               None, None, None, None
             )
           case None =>
-            AudioCodec.decodeFacts(r.payload) match {
+            audio.decodeFacts(r.payload) match {
               case Some((f, frames)) =>
                 // synthetic sine: amplitude 0.4 scaled by 32767, normalized
                 // by 32768, whole cycles -> RMS = A/sqrt(2) + truncation
@@ -309,51 +431,100 @@ object Multimodal {
     * This is how the gate exercises [[ImageCodec]]/[[AudioCodec]] on
     * genuine container bytes without any media files in the test data. */
   object SyntheticMedia {
-    /** 8×8 PNG whose pixel colors derive from the id. */
-    def pngFor(id: Long): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          val v = (id * 31 + y * 8 + x) & 0xffffff
-          img.setRGB(x, y, v.toInt)
-          x += 1
-        }
-        y += 1
+
+    /** Reusable per-partition ENCODE session — the write-side twin of the
+      * codec sessions: `ImageIO.write` / `AudioSystem.write` also take the
+      * global SPI registry locks per call, so bulk fixture encoding pays
+      * the same 32-thread convoy the decoders did. One PNG `ImageWriter`
+      * and one WAVE `AudioFileWriter` are fetched per session and reused;
+      * writers are stateful, one session per partition. */
+    final class EncodeSession private[SyntheticMedia] () {
+      private val png: javax.imageio.ImageWriter = {
+        javax.imageio.ImageIO.setUseCache(false)
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      private val wave: javax.sound.sampled.spi.AudioFileWriter = {
+        var found: javax.sound.sampled.spi.AudioFileWriter = null
+        java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .forEach { w =>
+            if (
+              found == null && w.isFileTypeSupported(
+                javax.sound.sampled.AudioFileFormat.Type.WAVE
+              )
+            ) found = w
+          }
+        found
+      }
+
+      /** 8×8 PNG whose pixel colors derive from the id. */
+      def pngFor(id: Long): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val v = (id * 31 + y * 8 + x) & 0xffffff
+            img.setRGB(x, y, v.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try {
+          png.setOutput(ios)
+          png.write(img)
+        } finally {
+          png.setOutput(null)
+          ios.close() // flushes the cache stream into bos
+        }
+        bos.toByteArray
+      }
+
+      /** 50 ms of 8 kHz 16-bit mono WAV; frequency derives from the id. */
+      def wavFor(id: Long): Array[Byte] = {
+        val n = 400
+        val hz = 200 + (id % 20) * 40
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (0.4 * math.sin(2 * math.Pi * hz * i / 8000.0) * 32767).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        wave.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
     }
 
-    /** 50 ms of 8 kHz 16-bit mono WAV; frequency derives from the id. */
-    def wavFor(id: Long): Array[Byte] = {
-      val n = 400
-      val hz = 200 + (id % 20) * 40
-      val pcm = new Array[Byte](n * 2)
-      var i = 0
-      while (i < n) {
-        val v = (0.4 * math.sin(2 * math.Pi * hz * i / 8000.0) * 32767).toInt
-        pcm(2 * i) = (v & 0xff).toByte
-        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
-        i += 1
-      }
-      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem
-        .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
-    }
+    def open(): EncodeSession = new EncodeSession
+
+    /** One-shot conveniences (specs, ad-hoc use); bulk paths hold an
+      * [[EncodeSession]] per partition instead. */
+    def pngFor(id: Long): Array[Byte] = open().pngFor(id)
+    def wavFor(id: Long): Array[Byte] = open().wavFor(id)
   }
 
   /** Attach a mixed-modality media column to a text corpus: every third doc
     * a REAL encoded PNG, every third a REAL encoded WAV, the rest raw text
     * bytes — so a pipeline over the result exercises all three codec
-    * branches on genuine bytes. Encoding happens distributed, per row. */
+    * branches on genuine bytes. Encoding happens distributed, per row.
+    *
+    * The skinny (id, text) projection is spread to full core parallelism
+    * BEFORE the encode when the source has fewer splits than cores: codec
+    * work is CPU-dense scan-stage work, and a small corpus arriving as one
+    * parquet row group would otherwise serialize every encode AND every
+    * downstream decode onto a single task (the gate's sf0.1 documents table
+    * is exactly that shape). At scale the input already carries thousands
+    * of splits and the guard leaves the plan untouched; hash-partitioning
+    * on the id keeps the exchange deterministic under retries. */
   def withSyntheticMedia(
       docs: DataFrame,
       textCol: String = "text",
@@ -361,19 +532,28 @@ object Multimodal {
   ): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    val skinny = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val cores = spark.sparkContext.defaultParallelism
+    val spread =
+      if (skinny.rdd.getNumPartitions < cores)
+        skinny.repartition(cores, col("id"))
+      else skinny
+    spread
       .as[(Long, String)]
-      .map { case (id, text) =>
-        (id % 3) match {
-          case 0 => MediaRow(id, SyntheticMedia.pngFor(id), MediaMeta("image/png", 8, 8))
-          case 1 => MediaRow(id, SyntheticMedia.wavFor(id), MediaMeta("audio/wav", 0, 0))
-          case _ =>
-            MediaRow(
-              id,
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-              MediaMeta("fake/raw", text.length % 640, 480)
-            )
+      .mapPartitions { rows =>
+        val enc = SyntheticMedia.open() // writers reused across the partition
+        rows.map { case (id, text) =>
+          (id % 3) match {
+            case 0 => MediaRow(id, enc.pngFor(id), MediaMeta("image/png", 8, 8))
+            case 1 => MediaRow(id, enc.wavFor(id), MediaMeta("audio/wav", 0, 0))
+            case _ =>
+              MediaRow(
+                id,
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                MediaMeta("fake/raw", text.length % 640, 480)
+              )
+          }
         }
       }
   }
