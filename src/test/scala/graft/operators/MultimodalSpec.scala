@@ -172,4 +172,47 @@ class MultimodalSpec extends AnyFunSuite {
     // 640 bytes / 64 = 10 frames, stride 4 -> frames 0,4,8
     assert(frames.select("frame_no").collect().map(_.getInt(0)).toSeq == Seq(0, 4, 8))
   }
+
+  // --- per-partition codec Session edge cases (the SPI-registry-avoiding
+  // paths are stateful by design; these pin the statefulness as safe) ---
+
+  test("encode session reuse is byte-identical to fresh sessions") {
+    val s = Multimodal.SyntheticMedia.open()
+    // reused writer across calls must not leak state between images/waves
+    val p1 = s.pngFor(3L); val p2 = s.pngFor(42L)
+    assert(p2.sameElements(Multimodal.SyntheticMedia.open().pngFor(42L)))
+    assert(p1.sameElements(Multimodal.SyntheticMedia.open().pngFor(3L)))
+    val w1 = s.wavFor(4L); val w2 = s.wavFor(19L)
+    assert(w2.sameElements(Multimodal.SyntheticMedia.open().wavFor(19L)))
+    assert(w1.sameElements(Multimodal.SyntheticMedia.open().wavFor(4L)))
+  }
+
+  test("image session: corrupt body after valid magic degrades to None, session stays usable") {
+    val s = Multimodal.ImageCodec.open()
+    val good = pngBytes(4, 4, 0x123456)
+    // valid PNG signature, garbage body: must reject (not throw) ...
+    val poisoned = good.take(8) ++ Array.fill[Byte](16)(0x5a)
+    assert(s.read(poisoned).isEmpty)
+    // ... and the same session must still decode the next valid image
+    // (the failed reader instance is dropped and re-created)
+    val img = s.read(good)
+    assert(img.exists(i => i.getWidth == 4 && i.getHeight == 4))
+    // sub-8-byte payloads and non-image magics short-circuit to None
+    assert(s.read(Array[Byte](1, 2, 3)).isEmpty)
+    assert(s.read("RIFFxxxxWAVEfmt ".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("audio session: move-to-front keeps decoding across formats and rejects non-audio") {
+    val s = Multimodal.AudioCodec.open()
+    val wav = wavBytes(8000f, 0.05, 0.4, 300)
+    // first decode reorders the reader list; later decodes must still work
+    assert(s.decodeFacts(wav).exists(_._2 == 400L))
+    assert(s.decodeFacts(wavBytes(16000f, 0.05, 0.4, 500)).exists(_._2 == 800L))
+    // PNG bytes: audio magic sniff rejects without consulting any reader
+    assert(s.decodeFacts(pngBytes(2, 2, 0)).isEmpty)
+    // RIFF magic with a garbage body: readers probe and all reject cleanly
+    assert(s.decodeFacts("RIFF0000WAVEjunkjunkjunk".getBytes("US-ASCII")).isEmpty)
+    // the session still works after the failed probe chain
+    assert(s.decodeFacts(wav).exists(_._2 == 400L))
+  }
 }
