@@ -1670,8 +1670,7 @@ object SparkEntry {
             "src7" -> 0.0625
           ),
           totalBudget = 4000L
-        )
-        .orderBy("doc_id")
+        ) // no ORDER BY — see text_quality
     },
 
     // ---- C35: epoch materialization — the over-budget half of a mixture
@@ -1699,8 +1698,7 @@ object SparkEntry {
             "src7" -> 0.0625
           ),
           totalBudget = 12000L
-        )
-        .orderBy("doc_id", "epoch")
+        ) // no ORDER BY — see text_quality
     },
 
     // ---- B63: scalable global sequence ids — the zipWithIndex two-pass
@@ -1753,8 +1751,7 @@ object SparkEntry {
             "src7" -> 0.0625
           ),
           totalBudget = 4000L
-        )
-        .orderBy("doc_id")
+        ) // no ORDER BY — see text_quality
     },
 
     // ---- C14: lexical-diversity filter (type-token ratio + top-token
@@ -2375,8 +2372,7 @@ object SparkEntry {
       // oracle mirrors, while larger corpora keep clusters bounded
       operators.Dedup
         .semanticDedup(T(s, dir, "embeddings"), "embedding", "vec_id",
-          threshold = 0.4)
-        .orderBy("vec_id")
+          threshold = 0.4) // no ORDER BY — see text_quality
     },
 
     // ---- C25+C26 composed: the repetition gate a corpus-prep pipeline

@@ -678,9 +678,16 @@ object Dedup {
     // vectors, k=800); the remaining cost is the SemDeDup contract
     // itself — in-cluster pair dots plus two O(sqrt k)-per-point
     // assignment passes.
-    val a1 = assign(e, c0).localCheckpoint()
-    val c1 = KMeans.updateCentroids(e, a1, "v", "id").localCheckpoint()
-    val a2 = assign(e, c1).localCheckpoint()
+    // ... gated on corpus size (late round 11): below ~100k vectors the
+    // three BLOCKING checkpoint jobs cost more than re-deriving the tiny
+    // frames (measured ~0.3 s of pure job overhead at the 2k-vector gate
+    // scale), and the n count is already paid for the k heuristic. Values
+    // are identical pinned or not — the pin only truncates lineage.
+    def pin(df: DataFrame): DataFrame =
+      if (n >= 100000L) df.localCheckpoint() else df
+    val a1 = pin(assign(e, c0))
+    val c1 = pin(KMeans.updateCentroids(e, a1, "v", "id"))
+    val a2 = pin(assign(e, c1))
     // norms and the in-cluster pair dot products ride the graft_dotd
     // codegen kernel — bit-identical fold order to the previous
     // aggregate(zip_with(...)) Column formulation the oracle mirrors

@@ -128,6 +128,36 @@ object Mixture {
       col("tok").as("tokens")
     )
 
+  /** Inputs whose optimizer-estimated size is at or below this many bytes
+    * take the ONE-WINDOW cutoff instead of the two-pass histogram
+    * machinery (0 or negative disables the switch — always machinery).
+    * The two formulations are bit-identical (spec + oracle proven); the
+    * choice is pure plan adaptivity, the same class of decision as AQE's
+    * join-strategy re-plan: below the threshold even a 100%-hot stratum
+    * is a few seconds of one-task window work, while the machinery's
+    * fixed cost — two aggregate passes, a checkpoint, three input reads —
+    * dominates. A 100 TB input exceeds any sane setting by orders of
+    * magnitude and always gets the machinery. */
+  val OneWindowMaxBytesKey = "graft.mixture.oneWindowMaxBytes"
+  private val OneWindowMaxBytesDefault: Long = 256L << 20
+
+  /** Plan-stats size gate (no job: file-size based for scans). Measured on
+    * the parent `docs` frame, whose width upper-bounds the skinny
+    * (s, id, tok, rk) frame the window would actually sort. */
+  private def oneWindowOk(docs: DataFrame): Boolean = {
+    val raw = docs.sparkSession.conf
+      .get(OneWindowMaxBytesKey, OneWindowMaxBytesDefault.toString)
+    val limit =
+      try raw.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$OneWindowMaxBytesKey must be a byte count, got '$raw'"
+          )
+      }
+    limit > 0 && docs.queryExecution.optimizedPlan.stats.sizeInBytes <= limit
+  }
+
   /** Reference formulation: ONE cumulative window per stratum. Semantics
     * ground truth for the spec and the shape of the DuckDB oracle; not the
     * production path — a dominant stratum serializes onto a single window
@@ -170,7 +200,8 @@ object Mixture {
     finish(
       selectPrefix(
         prepared(docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, cutBuckets),
-        cutBuckets
+        cutBuckets,
+        oneWindow = oneWindowOk(docs)
       ),
       strataCol,
       idCol
@@ -181,7 +212,25 @@ object Mixture {
     * (s, id, tok, rk, bkt, budget [, extras]), return the rows of each
     * stratum's hash-order prefix whose running token total fits `budget`,
     * preserving every input column. */
-  private def selectPrefix(base: DataFrame, cutBuckets: Int): DataFrame = {
+  private def selectPrefix(
+      base: DataFrame,
+      cutBuckets: Int,
+      oneWindow: Boolean
+  ): DataFrame = {
+    // Small input (caller-decided via [[oneWindowOk]] on the PARENT frame —
+    // `base` itself carries a broadcast join whose non-CBO stats estimate
+    // is a product, useless as a gate): one exact cumsum window, the naive
+    // formulation inline, preserving every input column as contracted.
+    if (oneWindow) {
+      val w = Window
+        .partitionBy("s")
+        .orderBy("rk", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      return base
+        .withColumn("cum", sum("tok").over(w))
+        .where(col("cum") <= col("budget"))
+        .drop("cum")
+    }
     // Pass 1: per-(stratum, bucket) token mass; cumulative over bucket ids.
     // Aggregate scale (≤ strata × cutBuckets rows) — localCheckpoint pins it
     // to one evaluation under its two consumers below, exactly the
@@ -286,6 +335,20 @@ object Mixture {
       docs, strataCol, tokensCol, idCol, weights, totalBudget, seed, cutBuckets,
       orderCol = Some(orderCol)
     )
+
+    // Small input: one exact best-first window — bit-identical to the
+    // cell machinery below (spec + oracle proven); see [[oneWindowOk]].
+    if (oneWindowOk(docs)) {
+      val w = Window
+        .partitionBy("s")
+        .orderBy(col("qv").desc, col("rk"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      return finishQ(
+        base.withColumn("cum", sum("tok").over(w)).where(col("cum") <= col("budget")),
+        strataCol,
+        idCol
+      )
+    }
 
     // Per-stratum value range (aggregate-scale, broadcast back).
     val stats = base
@@ -422,7 +485,7 @@ object Mixture {
         broadcast(plan.select(col("s"), col("rem").as("budget"), col("n_full"))),
         "s"
       )
-    val remKept = selectPrefix(remBase, cutBuckets)
+    val remKept = selectPrefix(remBase, cutBuckets, oneWindow = oneWindowOk(docs))
       .select(col("s"), col("id"), col("tok"), col("n_full").as("epoch"))
 
     fullEpochs
