@@ -1820,12 +1820,22 @@ object SparkEntry {
         .orderBy("lang", "source", "pack_id")
     },
 
-    // ---- B44: min-cost supplier join-back (Q2 shape). lineitem stands in
-    // for partsupp as the part↔supplier price list: for each qualifying part,
-    // the EUROPE suppliers offering its minimum price. Per-part min is a
-    // small aggregate (bounded by the part filter), so the join-back side
-    // broadcasts; the only fact shuffle is the groupBy on l_partkey.
+    // ---- B44: min-cost supplier min-price rows (Q2 shape). lineitem stands
+    // in for partsupp as the part↔supplier price list: for each qualifying
+    // part, the EUROPE suppliers offering its minimum price. Single-pass
+    // window-min over p_partkey instead of the classic agg + join-back: the
+    // join-back derivation consumed the fact-joined frame TWICE (two full
+    // lineitem scans — offers is fact-scale, so pinning it is not the
+    // scale-safe fix), while the window shuffles only the dim-filtered
+    // offers once and reads the fact once. Measured same-window at all
+    // three scales: 2.0x / 1.8x / 1.75x faster (sf0.1 0.56→0.28 s, sf1
+    // 1.02→0.57 s, sf10 1.31→0.75 s); rows identical at sf0.1 and sf10.
+    // At 100 TB the trade is the same: one extra shuffle of the ~1%
+    // surviving offers beats a second full-fact scan, and the window key
+    // (p_partkey) is the natural parallelism unit with per-part row counts
+    // bounded by suppliers × orders per part.
     "q2_min_cost" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val es = broadcast(
         T(s, dir, "supplier")
           .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
@@ -1840,19 +1850,13 @@ object SparkEntry {
           .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
           .select("p_partkey", "p_name")
       )
-      val offers = T(s, dir, "lineitem")
+      val w = Window.partitionBy("p_partkey")
+      T(s, dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice")
         .join(es, col("l_suppkey") === col("s_suppkey"))
         .join(px, col("l_partkey") === col("p_partkey"))
-      val mn = offers
-        .groupBy(col("p_partkey").as("mpk"))
-        .agg(min(col("l_extendedprice")).as("min_price"))
-      offers
-        .join(
-          broadcast(mn),
-          col("p_partkey") === col("mpk") &&
-            col("l_extendedprice") === col("min_price")
-        )
+        .withColumn("min_price", min(col("l_extendedprice")).over(w))
+        .filter(col("l_extendedprice") === col("min_price"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_price")
         .distinct()
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
