@@ -2,19 +2,40 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the executed plan of one query (arg 1) at sf0.001. */
+/** Dev tool: print one gate query's timed medians and EXECUTED plan at a
+  * given SF dir, under the exact Bench session configuration — the loop
+  * used for every per-query plan audit in SURVEY §5 (lost broadcasts,
+  * double-evaluated subtrees, missing runtime filters show up here first).
+  *
+  * Usage: runMain graft.PlanProbe <queryName> <sfDir>
+  * Extra session confs for A/B probes (semicolon-separated k=v):
+  *   SPARK_GRAFT_PROBE_CONF="spark.sql.optimizer.runtime.bloomFilter.enabled=true"
+  */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q11_important_parts")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val q = args(0); val dir = args(1)
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.join.preferSortMergeJoin","false")
+      .config("spark.ui.enabled","false")
+    // extra confs: SPARK_GRAFT_PROBE_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-    df.collect()
-    println(df.queryExecution.executedPlan.toString)
-    spark.stop()
+    Tables.provider(spark, dir)
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.write.mode("overwrite").format("noop").save()  // warm
+    val times = (1 to 5).map { _ =>
+      System.gc(); Thread.sleep(80)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"TIMES median=${times(2)}%.3f min=${times.head}%.3f")
+    println(df.queryExecution.executedPlan.toString.take(6000))
   }
 }
