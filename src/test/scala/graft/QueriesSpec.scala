@@ -53,6 +53,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("q2 plan scans the fact table exactly once (window-min, no join-back)") {
+    // The agg + join-back formulation derived the fact-joined frame twice
+    // (two full lineitem scans); the window-min reformulation must keep it
+    // to ONE — a second FileScan over lineitem is the regression this pins.
+    val plan = SparkEntry
+      .queries("q2_min_cost")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem.parquet")
+    )
+    assert(factScans == 1, s"expected 1 lineitem scan, found $factScans:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), "expected the per-part window min")
+  }
+
   test("q6 pushes filters into the parquet scan and prunes columns") {
     val qe = SparkEntry
       .queries("q6_forecast_revenue")(spark, dir)
