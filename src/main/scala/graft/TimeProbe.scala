@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time one query (arg 1) at a given SF dir (arg 2), n runs (arg 3). */
+/** Dev tool: time one query (arg 1) at a given SF dir (arg 2), n runs
+  * (arg 3); any further `key=value` args become session confs (e.g. the
+  * graft.* adaptive-cutoff gates). Session config mirrors Bench's. */
 object TimeProbe {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_dsv2_catalog")
@@ -11,9 +13,15 @@ object TimeProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    args.drop(3).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).collect().length
