@@ -62,9 +62,15 @@ object ScaleUp {
 
     /** `copies` shards of `df`, each key column offset into its own range. */
     def shard(df: DataFrame, offsets: Map[String, Long]): DataFrame = {
+      // Pre-repartition the SOURCE before the explode: each sf0.1 table is
+      // one parquet row group = one input split, so without this the whole
+      // xN explode runs as a single map task (measured: the copies=1000
+      // lineitem map wrote its ~30 GB shuffle single-threaded for 40+ min;
+      // 32-way it is minutes). A tiny shuffle of the un-exploded rows buys
+      // full-width parallelism for the expensive part.
       // a generator must be the top-level expression of its column — the
       // long-typed sequence avoids wrapping the explode in a cast
-      val exploded = df.withColumn(
+      val exploded = df.repartition(32).withColumn(
         "__copy",
         explode(sequence(lit(0L), lit((copies - 1).toLong)))
       )
