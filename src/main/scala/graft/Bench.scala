@@ -46,6 +46,18 @@ object Bench {
       // superlinear term. Genuinely huge sides still fall back to SMJ (the
       // bound fails), so the 100 TB posture is unchanged.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // Scale-adaptive shuffle width (round 11, from the sf100 probe):
+      // shuffle WRITES at fine granularity and let AQE coalesce reads back
+      // to its 64 MB advisory target. At gate scale AQE coalesces to a
+      // handful of tasks as before; at sf100 the width keeps each task's
+      // working set under memory — the flat-32 layout there pushed the
+      // orders-side build past the local-hash-map bound (join flipped to
+      // SortMergeJoin, 600M-row sort spilled through the heap: q8 57 s,
+      // session-window 65 s; with this conf 25 s / 38 s, nothing else
+      // changed). This is one fixed setting for every scale factor — the
+      // same move a real cluster makes by having more reduce slots than
+      // one box — not per-SF tuning.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the summary line below must be the LAST stdout the

@@ -22,6 +22,7 @@ object ExplainOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.join.preferSortMergeJoin", "false") // match Bench
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256") // match Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

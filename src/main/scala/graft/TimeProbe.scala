@@ -15,6 +15,7 @@ object TimeProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256") // match Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
