@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 
 /** Ad-hoc plan probe: run ONE SparkEntry query against a data dir, print
@@ -15,16 +14,7 @@ object ExplainOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(sys.error("usage: ExplainOne <query> [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false") // match Bench
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256") // match Bench
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchSession.builder().getOrCreate() // byte-identical to Bench
     spark.sparkContext.setLogLevel("ERROR")
     Tables.provider(spark, sfDir)
     val fn = SparkEntry.queries(name)

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print one gate query's timed medians and EXECUTED plan at a
   * given SF dir, under the exact Bench session configuration — the loop
@@ -14,16 +13,10 @@ import org.apache.spark.sql.SparkSession
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val q = args(0); val dir = args(1)
-    val b = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.sql.adaptive.enabled","true")
-      .config("spark.sql.join.preferSortMergeJoin","false")
-      .config("spark.ui.enabled","false")
+    val b = BenchSession.builder() // byte-identical to Bench's session
     // extra confs: SPARK_GRAFT_PROBE_CONF="k=v;k=v"
-    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_PROBE_CONF")
+      .foreach(s => BenchSession.applyOverrides(b, s.split(";")))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.provider(spark, dir)

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time one query (arg 1) at a given SF dir (arg 2), n runs
   * (arg 3); any further `key=value` args become session confs (e.g. the
@@ -10,19 +9,11 @@ object TimeProbe {
     val name = args.headOption.getOrElse("q_dsv2_catalog")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256") // match Bench
-      .config("spark.ui.enabled", "false")
+    // overrides go on the BUILDER (static SQL confs reject post-hoc set)
+    val spark = BenchSession
+      .applyOverrides(BenchSession.builder(), args.drop(3))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.drop(3).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
-    }
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).collect().length

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,14 +10,8 @@ object Verify {
     // the driver always passes exactly two args and gets the full dump)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.join.preferSortMergeJoin", "false") // match Bench
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256") // match Bench
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same confs as Bench (one definition, BenchSession) at verify's width
+    val spark = BenchSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -45,11 +39,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // why each remaining no-oracle query is exempt, and what verifies it
-    // instead — so a "no_oracle" row in the correctness artifact carries
-    // its justification in the same directory
+    // why each remaining no-oracle query is exempt, and WHICH hash-matched
+    // contract row (or spec) verifies it instead — so a "no_oracle" row in
+    // the correctness artifact is tied to its passing contract row by key,
+    // machine-readably, in the same directory
     val exempt = SparkEntry.oracleExempt
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val c = SparkEntry.oracleExemptContract.getOrElse(k, "")
+        s"""${q(k)}: {"reason": ${q(v)}, "contract": ${q(c)}}"""
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_exempt.json"), exempt)
     spark.stop()
   }

@@ -395,15 +395,34 @@ object DeltaRead {
         v <= version && checkpoint.forall(v > _._1)
       }
       .foreach { s =>
+        val commitName = s.getPath.getName
+        // structured per-line errors: a foreign/corrupt log must name the
+        // commit file and line, never die as a bare Jackson/NPE stack or —
+        // worse — skip the line and return a silently-wrong snapshot
+        def bad(lineNo: Int, why: String, cause: Throwable = null) =
+          throw new IllegalArgumentException(
+            s"malformed delta commit $commitName line $lineNo: $why",
+            cause
+          )
         readUtf8(fs, s.getPath)
           .split("\n")
           .iterator
-          .filter(_.nonEmpty)
-          .foreach { line =>
-            val node = mapper.readTree(line)
+          .zipWithIndex
+          .filter(_._1.nonEmpty)
+          .foreach { case (line, idx) =>
+            val node =
+              try mapper.readTree(line)
+              catch {
+                case e: com.fasterxml.jackson.core.JacksonException =>
+                  bad(idx + 1, s"unparseable JSON (${e.getOriginalMessage})", e)
+              }
+            if (node == null || !node.isObject)
+              bad(idx + 1, "line is not a JSON action object")
             requireSupported(node)
             val add = node.get("add")
             if (add != null) {
+              if (!add.hasNonNull("path"))
+                bad(idx + 1, "add action without a path")
               val p = add.get("path").asText()
               val pv = Option(add.get("partitionValues"))
                 .filter(_.isObject)
@@ -423,13 +442,22 @@ object DeltaRead {
               )
             }
             val remove = node.get("remove")
-            if (remove != null) active -= remove.get("path").asText()
+            if (remove != null) {
+              if (!remove.hasNonNull("path"))
+                bad(idx + 1, "remove action without a path")
+              active -= remove.get("path").asText()
+            }
             val meta = node.get("metaData")
             if (meta != null && meta.hasNonNull("schemaString"))
               schema = Some(
-                DataType
-                  .fromJson(meta.get("schemaString").asText())
-                  .asInstanceOf[StructType]
+                try
+                  DataType
+                    .fromJson(meta.get("schemaString").asText())
+                    .asInstanceOf[StructType]
+                catch {
+                  case e: Exception =>
+                    bad(idx + 1, s"invalid metaData.schemaString: ${e.getMessage}", e)
+                }
               )
             if (meta != null && meta.hasNonNull("partitionColumns"))
               partitionColumns = meta

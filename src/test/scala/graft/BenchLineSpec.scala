@@ -71,6 +71,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(m.median == 4.0 && m.min == 1.0)
   }
 
+  test("parsePrior round-trips our own BENCH_FULL.json shape") {
+    val json =
+      """{"metric":"total","value":12.5,"unit":"sec","runs":5,""" +
+        """"queries":{"q1":0.42,"dedup_incremental":14.39,"neg":-1.0},""" +
+        """"queries_min":{"q1":0.40},"contaminated":[],"retries":{},"sf":"/root/testdata/sf0.1"}"""
+    val (sf, qs) = Bench.parsePrior(json)
+    assert(sf == "/root/testdata/sf0.1")
+    assert(qs == Map("q1" -> 0.42, "dedup_incremental" -> 14.39, "neg" -> -1.0))
+  }
+
+  test("parsePrior degrades to empty on garbage instead of throwing") {
+    assert(Bench.parsePrior("not json at all") == ("", Map.empty))
+    assert(Bench.parsePrior("") == ("", Map.empty))
+  }
+
+  test("cross-round trigger: >3x a >=50ms prior, never on failed runs") {
+    // the round-11 shape this axis exists for: stable-slow block, median~min
+    assert(Bench.regressedVsPrior(14.39, Some(0.87)))
+    assert(!Bench.regressedVsPrior(2.0, Some(0.8))) // 2.5x: inside band
+    assert(!Bench.regressedVsPrior(0.12, Some(0.01))) // prior under floor
+    assert(!Bench.regressedVsPrior(5.0, None)) // new query, no prior
+    assert(!Bench.regressedVsPrior(-1.0, Some(1.0))) // failed run
+  }
+
+  test("regressed_vs_prior count rides the wire line") {
+    val line =
+      Bench.summaryLine(Seq("a" -> 0.5), 0.5, "sf", regressedVsPrior = 3)
+    assert(line.contains("\"regressed_vs_prior\":3"))
+    assert(Bench.summaryLine(Seq("a" -> 0.5), 0.5, "sf")
+      .contains("\"regressed_vs_prior\":0"))
+  }
+
   test("wire formatting is pinned to Locale.ROOT (comma-decimal immunity)") {
     // No Locale.setDefault here: that mutates JVM-global state, and sbt runs
     // suites in parallel inside the forked test JVM — a concurrent test that

@@ -29,6 +29,22 @@ class QueriesSpec extends AnyFunSuite {
         s"$k exemption cites neither a contract row nor a spec"
       )
     }
+    // …and the machine-readable contract map mirrors it exactly: same keys,
+    // and every named contract row is itself an ORACLED gate query (so the
+    // exemption chains to a hash-matched row, never to another exemption)
+    assert(
+      SparkEntry.oracleExemptContract.keySet == SparkEntry.oracleExempt.keySet,
+      "oracleExemptContract keys must equal oracleExempt keys"
+    )
+    SparkEntry.oracleExemptContract.foreach { case (k, c) =>
+      if (c.startsWith("spec:"))
+        assert(c.length > "spec:".length, s"$k names an empty spec")
+      else
+        assert(
+          SparkEntry.oracleSql.contains(c),
+          s"$k's contract row '$c' is not an oracled gate query"
+        )
+    }
   }
 
   test("all queries execute and return rows at sf0.001") {

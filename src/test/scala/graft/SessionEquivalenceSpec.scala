@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-12 q_session_window reformulation: the one-shuffle LAG
+  * rollup must be EXACTLY Spark's native `session_window` semantics —
+  * including at the only point a batch reformulation could diverge, an
+  * event landing exactly gap after its predecessor. Empirical ground truth
+  * (asserted below, not assumed): the native operator merges INCLUSIVELY —
+  * the exact-gap event CONTINUES the session — so the rollup's split
+  * condition must be strictly `delta > gap`, and a `delta >= gap` variant
+  * would be wrong in a way the gate data (which has no exact-gap pairs)
+  * could never catch. */
+class SessionEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sfDir
+
+  /** The pre-round-12 native formulation (kept for the D2 streaming path),
+    * as a batch reference — same exact-sum discipline as the gate query so
+    * the comparison can be exact, not tolerance-based. */
+  private def nativeRollup(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def rsum(c: org.apache.spark.sql.Column) =
+      round(call_function("graft_fixed_sum10", c), 2).cast("double")
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        rsum(col("value")).as("session_value")
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        rsum(col("session_value")).as("total_value")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  test("LAG rollup == native session_window on the events table") {
+    val events = Tables.t(spark, dir, "events")
+    val lagForm = SparkEntry
+      .sessionRollup(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val native = nativeRollup(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(lagForm.length == native.length && lagForm.nonEmpty)
+    lagForm.zip(native).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("exact-gap boundary: native session_window merges inclusively and " +
+    "the rollup's strict > split matches it") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2025-06-01 12:00:00")
+    // user 1: second event exactly 30 min after the first (the boundary);
+    // user 2: 29m59s gap (inside); user 3: 30m01s gap (outside)
+    val events = Seq(
+      (1L, 10L, t0, 1.0),
+      (1L, 11L, new Timestamp(t0.getTime + 30 * 60000L), 1.0),
+      (2L, 20L, t0, 1.0),
+      (2L, 21L, new Timestamp(t0.getTime + 30 * 60000L - 1000), 1.0),
+      (3L, 30L, t0, 1.0),
+      (3L, 31L, new Timestamp(t0.getTime + 30 * 60000L + 1000), 1.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+
+    def sessions(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val native = sessions(nativeRollup(events))
+    val rollup = sessions(SparkEntry.sessionRollup(events))
+
+    // the native contract, measured: exact-gap CONTINUES (inclusive merge)
+    assert(native == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    assert(rollup == native, "LAG rollup must BE session_window semantics")
+  }
+}

@@ -43,6 +43,59 @@ class DeltaReadSpec extends AnyFunSuite {
       == 99L * 100L / 2L)
   }
 
+  test("adversarial commit logs: structured errors naming file+line, never " +
+    "bare parser stacks or silent skips") {
+    // the one reader a user points at FOREIGN data first: every malformed
+    // shape must surface as IllegalArgumentException carrying the commit
+    // file name and line number — not a Jackson/NPE stack (undebuggable)
+    // and not a skipped line (silently wrong snapshot)
+    def freshTable(): String = {
+      val dir = Files.createTempDirectory("graft_delta_fuzz").toString
+      DeltaRead.create(spark.range(0, 10).coalesce(1).toDF("id"), dir)
+      dir
+    }
+    val cases: Seq[(String, String)] = Seq(
+      // (malformed line, error fragment expected besides file+line)
+      ("""{"add":{"path":"x.parquet","size":1""", "unparseable JSON"), // truncated
+      ("""not json at all""", "unparseable JSON"),
+      ("""42""", "not a JSON action object"), // valid JSON, wrong shape
+      ("""{"add":{"size":10}}""", "add action without a path"),
+      ("""{"remove":{"dataChange":true}}""", "remove action without a path"),
+      ("""{"metaData":{"id":"m","schemaString":"{broken"}}""",
+        "invalid metaData.schemaString")
+    )
+    cases.foreach { case (line, fragment) =>
+      val dir = freshTable()
+      writeCommit(dir, 1L, Seq(line))
+      val e = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, dir))
+      assert(
+        e.getMessage.contains("00000000000000000001.json") &&
+          e.getMessage.contains("line 1") && e.getMessage.contains(fragment),
+        s"for line <$line> got: ${e.getMessage}"
+      )
+    }
+    // the line NUMBER is the offending line's, not always 1
+    val dir2 = freshTable()
+    writeCommit(dir2, 1L, Seq("""{"commitInfo":{"op":"x"}}""", """{"add":{}}"""))
+    val e2 = intercept[IllegalArgumentException](DeltaRead.snapshot(spark, dir2))
+    assert(e2.getMessage.contains("line 2"), e2.getMessage)
+
+    // …and the VALID oddballs stay valid (Delta contract, not strictness
+    // for its own sake): unknown actions are ignorable, duplicate add of
+    // one path dedups last-wins, remove of a never-added path is a no-op
+    val dir3 = freshTable()
+    val keep = dataFiles(dir3).head
+    writeCommit(dir3, 1L, Seq(
+      """{"someFutureAction":{"x":1}}""",
+      s"""{"add":{"path":"$keep","size":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$keep","size":2,"dataChange":true}}""",
+      """{"remove":{"path":"never_added.parquet","dataChange":true}}"""
+    ))
+    val snap = DeltaRead.snapshot(spark, dir3)
+    assert(snap.files == Seq(keep))
+    assert(snap.adds.head.size == 2, "duplicate add must dedup last-wins")
+  }
+
   test("log replay honors remove actions and versionAsOf time travel") {
     val dir = Files.createTempDirectory("graft_delta_tt").toString
     DeltaRead.create(spark.range(0, 50).toDF("id").repartition(2), dir)
