@@ -595,18 +595,20 @@ object SparkEntry {
       )
     },
 
-    // ---- B58: session-window semantics, round 12: computed via the shared
-    // one-shuffle LAG rollup instead of the native `session_window`
-    // aggregate. The two are proven equivalent by SessionEquivalenceSpec —
-    // including a planted exact-gap fixture at the one point they COULD
-    // have diverged (the native operator merges inclusively at last+gap,
-    // which is precisely the rollup's `delta > gap` split) — and by this
-    // row hash-matching the LAG oracle every round. The native operator's
-    // UpdatingSessions machinery was a pure 2-3x per-row constant on top
-    // (3.47x DuckDB at sf100 vs ~1.6x for the rollup shape); it stays the
-    // D2 streaming path, where its incremental state is the point.
+    // ---- B58: session-window semantics, round 12: computed by
+    // operators.Sessionize — one shuffle + one sort (the same exchange the
+    // window formulation pays), then a single O(1)-state streaming pass
+    // instead of two WindowExec passes + two hash aggregates. All three
+    // formulations are proven equivalent: SessionEquivalenceSpec pins this
+    // operator and the LAG rollup (B27's shape) against the native
+    // `session_window` aggregate, INCLUDING a planted exact-gap fixture at
+    // the one point they could diverge (the native operator merges
+    // inclusively at last+gap). Measured at sf10, one window: native 3.7 s,
+    // LAG rollup 2.8 s, this pass 1.85 s vs DuckDB 0.96 s paired. The
+    // native operator stays the D2 streaming path, where its incremental
+    // state is the point.
     "q_session_window" -> { (s, dir) =>
-      sessionRollup(T(s, dir, "events"))
+      operators.Sessionize.userSessionStats(T(s, dir, "events"), 1800000000L)
     },
 
     // ---- B39: join back on an aggregate max (Q15 top-supplier shape).

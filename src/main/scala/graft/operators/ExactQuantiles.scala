@@ -72,20 +72,32 @@ object ExactQuantiles {
       .withColumn("before", coalesce(sum("bc").over(wB), lit(0L)))
       .localCheckpoint()
 
-    // Per-group n comes from the histogram itself — no separate stats scan.
-    val stats = bCum.groupBy("g").agg(sum("bc").as("n"))
-
-    // Target ranks per (group, quantile): h = p*(n-1); we need the values at
-    // 0-based ranks floor(h) and ceil(h).
+    // Per-group n rides the histogram as an unbounded window over the SAME
+    // g-partitioning the cumulative window already forced — round 12: this
+    // replaces a separate stats aggregate, the (g, quantile) "wanted" build,
+    // and their join back onto the histogram (three aggregate-scale stages
+    // of pure scheduling overhead) with one extra window pass + an inline
+    // explode over the histogram rows (|buckets| × |ps| × 2 short-lived
+    // rows, filtered immediately by the rank-location predicate).
     val pArr = array(ps.map { case (lbl, p) =>
       struct(lit(lbl).as("lbl"), lit(p).as("p"))
     }: _*)
-    val wanted = stats
-      .select(col("g"), col("n"), explode(pArr).as("t"))
-      .select(col("g"), col("t.lbl").as("lbl"), col("t.p").as("p"), col("n"))
-      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+    val wN = Window.partitionBy("g")
+    // Locate the bucket holding each target rank k ∈ {floor(h), ceil(h)},
+    // h = p*(n-1): before <= k < before+bc.
+    val located = bCum
+      .withColumn("n", sum("bc").over(wN))
+      .select(
+        col("g"), col("b"), col("bc"), col("before"), col("n"),
+        explode(pArr).as("t")
+      )
+      .withColumn("lbl", col("t.lbl"))
+      .withColumn("pos", col("t.p") * (col("n") - 1).cast("double"))
       .select(
         col("g"),
+        col("b"),
+        col("bc"),
+        col("before"),
         col("lbl"),
         col("pos"),
         explode(
@@ -95,14 +107,16 @@ object ExactQuantiles {
           )
         ).as("w")
       )
-      .select(col("g"), col("lbl"), col("pos"), col("w.which").as("which"), col("w.k").as("k"))
-
-    // Locate the bucket holding each target rank: before <= k < before+bc.
-    // Both sides are aggregate-scale (groups × quantiles vs occupied buckets).
-    val located = wanted
-      .join(bCum, Seq("g"))
-      .where(col("k") >= col("before") && col("k") < col("before") + col("bc"))
-      .select("g", "lbl", "pos", "which", "k", "b", "before")
+      .where(col("w.k") >= col("before") && col("w.k") < col("before") + col("bc"))
+      .select(
+        col("g"),
+        col("lbl"),
+        col("pos"),
+        col("w.which").as("which"),
+        col("w.k").as("k"),
+        col("b"),
+        col("before")
+      )
 
     // Selection pass: only rows in located buckets; collapse ties first so
     // the in-bucket window ranks DISTINCT values.
@@ -125,6 +139,11 @@ object ExactQuantiles {
     val picked = located
       .join(vCum, Seq("g", "b"))
       .where(col("before") + col("cum") > col("k"))
+      // one explicit g-repartition of the ~|groups × quantiles × 2| tail
+      // rows: hashpartitioning(g) satisfies the clustering of BOTH this
+      // aggregate (g, lbl, pos) and the caller's label pivot (g), so the
+      // tail runs on a single exchange instead of two (round 12)
+      .repartition(col("g"))
       .groupBy("g", "lbl", "pos")
       .agg(
         min(when(col("which") === "lo", col("v"))).as("lo"),

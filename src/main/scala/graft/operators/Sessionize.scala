@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.DecimalOps
+
+/** One-pass batch sessionization rollup (B58/B27's production shape at
+  * scale).
+  *
+  * Semantics: gap-based sessions (an event more than `gapMicros` after its
+  * predecessor opens a new session — the inclusive-merge contract of
+  * Spark's `session_window`, pinned by SessionEquivalenceSpec), rolled up
+  * to one row per user: (n_sessions, max_session_events, total_value),
+  * with the gate's exact-decimal discipline — per-session values are exact
+  * fixed-point sums rounded to 2 dp, user totals are exact fixed-point
+  * sums OF those rounded session values, rounded to 2 dp
+  * ([[DecimalOps.scaled1e10]], the same kernel `graft_fixed_sum10` uses,
+  * so this operator hash-matches the declarative rollup bit-for-bit).
+  *
+  * Why imperative: the declarative formulations were measured, not
+  * guessed, before reaching for mapPartitions (the documented last
+  * resort). At sf10, paired windows: native `session_window` aggregate
+  * 3.7 s (UpdatingSessions machinery), LAG + cumulative-sum windows 2.8 s
+  * (one shuffle + one sort + two row-at-a-time WindowExec passes + two
+  * hash aggregates) — both >2x the single-node baseline (0.96 s). After
+  * the user_id shuffle + (user_id, ts, event_id) sort — which this
+  * operator shares with the window formulation — every user's events are
+  * CONTIGUOUS, so the remaining four operators collapse into one streaming
+  * pass with O(1) state per partition (current user, last ts, three
+  * accumulators), no window buffering, no hash tables, emitting one row
+  * per user directly.
+  *
+  * Scale posture: identical to the window formulation — ONE hash exchange
+  * on user_id (AQE-splittable; a pathological hot user lands one task in
+  * either shape), the sort Spark would do anyway, then linear streaming.
+  * Accumulators use Math.addExact: overflow of the +/-9.2e8-value-unit
+  * fixed-point capacity fails loudly (the kernel's documented contract)
+  * instead of wrapping.
+  */
+object Sessionize {
+
+  /** round(scaled / 1e10, 2) HALF_UP, as double — exactly Spark's
+    * `round(decimal(38,10), 2).cast(double)` on the fixed-sum result. */
+  private def round2(scaled: Long): Double =
+    new JBigDecimal(java.math.BigInteger.valueOf(scaled), 10)
+      .setScale(2, RoundingMode.HALF_UP)
+      .doubleValue()
+
+  def userSessionStats(events: DataFrame, gapMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sorted = events
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value")
+      )
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .as[(Long, Long, Long, Double)]
+    sorted
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Double)] {
+          private var cur: (Long, Long, Long, Double) = _
+          private var hasCur = it.hasNext
+          if (hasCur) cur = it.next()
+
+          override def hasNext: Boolean = hasCur
+
+          override def next(): (Long, Long, Long, Double) = {
+            val user = cur._1
+            var lastTs = cur._2
+            var nSessions = 1L
+            var sessEvents = 1L
+            var maxEvents = 0L
+            var sessScaled = DecimalOps.scaled1e10(cur._4)
+            var totalScaled = 0L
+            def closeSession(): Unit = {
+              if (sessEvents > maxEvents) maxEvents = sessEvents
+              totalScaled =
+                Math.addExact(totalScaled, DecimalOps.scaled1e10(round2(sessScaled)))
+            }
+            hasCur = false
+            while (!hasCur && it.hasNext) {
+              val r = it.next()
+              if (r._1 != user) { cur = r; hasCur = true }
+              else {
+                if (r._2 - lastTs > gapMicros) {
+                  closeSession()
+                  nSessions += 1L
+                  sessEvents = 0L
+                  sessScaled = 0L
+                }
+                sessEvents += 1L
+                sessScaled = Math.addExact(sessScaled, DecimalOps.scaled1e10(r._4))
+                lastTs = r._2
+              }
+            }
+            closeSession()
+            (user, nSessions, maxEvents, round2(totalScaled))
+          }
+        }
+      }
+      .toDF("user_id", "n_sessions", "max_session_events", "total_value")
+      .orderBy("user_id")
+  }
+}

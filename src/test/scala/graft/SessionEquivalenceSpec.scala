@@ -41,17 +41,19 @@ class SessionEquivalenceSpec extends AnyFunSuite {
       .orderBy(col("user_id"))
   }
 
-  test("LAG rollup == native session_window on the events table") {
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("LAG rollup and one-pass Sessionize == native session_window on the " +
+    "events table, bit-for-bit (fixed-point rounding included)") {
     val events = Tables.t(spark, dir, "events")
-    val lagForm = SparkEntry
-      .sessionRollup(events)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    val native = nativeRollup(events)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(lagForm.length == native.length && lagForm.nonEmpty)
-    lagForm.zip(native).foreach { case (a, b) => assert(a == b) }
+    val native = rows(nativeRollup(events))
+    val lagForm = rows(SparkEntry.sessionRollup(events))
+    val onePass =
+      rows(operators.Sessionize.userSessionStats(events, 1800000000L))
+    assert(native.nonEmpty && lagForm == native)
+    assert(onePass == native)
   }
 
   test("exact-gap boundary: native session_window merges inclusively and " +
@@ -74,9 +76,12 @@ class SessionEquivalenceSpec extends AnyFunSuite {
 
     val native = sessions(nativeRollup(events))
     val rollup = sessions(SparkEntry.sessionRollup(events))
+    val onePass =
+      sessions(operators.Sessionize.userSessionStats(events, 1800000000L))
 
     // the native contract, measured: exact-gap CONTINUES (inclusive merge)
     assert(native == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
     assert(rollup == native, "LAG rollup must BE session_window semantics")
+    assert(onePass == native, "Sessionize must BE session_window semantics")
   }
 }
