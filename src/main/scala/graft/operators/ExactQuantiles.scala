@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *      cumulative window over bucket ids (partition = one group's
   *      occupied buckets, ≤ 2^20 rows hard cap, thousands in practice)
   *      locates which bucket holds each target rank `floor(h)`/`ceil(h)`,
-  *      `h = p·(n−1)`, with per-group `n` summed from the histogram itself;
+  *      `h = p·(n−1)`; per-group `n` rides the histogram as an unbounded
+  *      window on the same partitioning (round 12 — replaced a separate
+  *      stats aggregate + rank-build + join, three aggregate-scale stages);
   *   2. selection pass: only rows in located buckets (one broadcast
   *      semi-structure join against the scan) are re-read; ties collapse
   *      via a (group, bucket, value) partial agg BEFORE the in-bucket
