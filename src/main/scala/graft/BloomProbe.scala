@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -16,13 +16,7 @@ object BloomProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val fpp = if (args.length > 1) args(1).toDouble else 0.01
     val runs = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession
-      .builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchSession.builder().getOrCreate() // one session definition
     spark.sparkContext.setLogLevel("ERROR")
 
     val refFp = Tables
