@@ -421,8 +421,8 @@ object DeltaRead {
             requireSupported(node)
             val add = node.get("add")
             if (add != null) {
-              if (!add.hasNonNull("path"))
-                bad(idx + 1, "add action without a path")
+              if (!add.hasNonNull("path") || !add.get("path").isTextual)
+                bad(idx + 1, "add action without a textual path")
               val p = add.get("path").asText()
               val pv = Option(add.get("partitionValues"))
                 .filter(_.isObject)
@@ -443,8 +443,11 @@ object DeltaRead {
             }
             val remove = node.get("remove")
             if (remove != null) {
-              if (!remove.hasNonNull("path"))
-                bad(idx + 1, "remove action without a path")
+              // textuality matters for remove in particular: asText() on an
+              // object node returns "", which would silently no-op the
+              // removal and leave a deleted file live in the snapshot
+              if (!remove.hasNonNull("path") || !remove.get("path").isTextual)
+                bad(idx + 1, "remove action without a textual path")
               active -= remove.get("path").asText()
             }
             val meta = node.get("metaData")

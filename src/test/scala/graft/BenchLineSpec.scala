@@ -95,6 +95,36 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.regressedVsPrior(-1.0, Some(1.0))) // failed run
   }
 
+  test("merged re-measure keeps the all-pass floor and re-derives contamination") {
+    import Bench.QueryMeasure
+    // first pass saw a 0.9s floor but a 10s median (contaminated); the
+    // sweep-end re-measure lands 3.5s clean-within-itself — the merge must
+    // NOT let it self-report clean against the 0.9s floor already observed
+    val m = Bench.merged(
+      QueryMeasure(10.0, 0.9, 3, contaminated = true),
+      QueryMeasure(3.5, 3.2, 0, contaminated = false)
+    )
+    assert(m.median == 3.5 && m.min == 0.9 && m.retries == 3)
+    assert(m.contaminated, "3.5 median over a 0.9 observed floor is contaminated")
+    // clean re-measure against a matching floor clears the flag
+    val ok = Bench.merged(
+      QueryMeasure(10.0, 0.9, 1, contaminated = true),
+      QueryMeasure(1.0, 0.9, 0, contaminated = false)
+    )
+    assert(ok.median == 1.0 && ok.min == 0.9 && !ok.contaminated && ok.retries == 1)
+    // failed passes contribute nothing
+    val failedAgain = Bench.merged(
+      QueryMeasure(2.0, 1.9, 0, contaminated = false),
+      QueryMeasure(-1.0, -1.0, 0, contaminated = false)
+    )
+    assert(failedAgain.median == 2.0 && failedAgain.min == 1.9)
+    val failedFirst = Bench.merged(
+      QueryMeasure(-1.0, -1.0, 0, contaminated = false),
+      QueryMeasure(2.0, 1.9, 0, contaminated = false)
+    )
+    assert(failedFirst.median == 2.0)
+  }
+
   test("regressed_vs_prior count rides the wire line") {
     val line =
       Bench.summaryLine(Seq("a" -> 0.5), 0.5, "sf", regressedVsPrior = 3)

@@ -84,4 +84,49 @@ class SessionEquivalenceSpec extends AnyFunSuite {
     assert(rollup == native, "LAG rollup must BE session_window semantics")
     assert(onePass == native, "Sessionize must BE session_window semantics")
   }
+
+  test("null ts/value parity: one-pass Sessionize == LAG rollup on the " +
+    "full null truth table") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2025-06-01 12:00:00")
+    def plusMin(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    // u1: two null-ts rows (each its own session — lag(ts) over a null IS
+    // null, so the follower splits), then a real row (prev null → new
+    // session), then a >gap row; null values count toward n_events but not
+    // sums. u2: all values null → total_value NULL. u3: plain control.
+    val rows: Seq[(Long, Timestamp, Long, java.lang.Double)] = Seq(
+      (1L, null, 10L, java.lang.Double.valueOf(1.0)),
+      (1L, null, 11L, null),
+      (1L, t0, 12L, java.lang.Double.valueOf(2.0)),
+      (1L, plusMin(31), 13L, null),
+      (2L, t0, 20L, null),
+      (2L, plusMin(1), 21L, null),
+      (3L, t0, 30L, java.lang.Double.valueOf(1.5)),
+      (3L, plusMin(10), 31L, java.lang.Double.valueOf(2.5))
+    )
+    val events = rows.toDF("user_id", "ts", "event_id", "value")
+
+    def canon(df: DataFrame): Seq[(Long, Long, Long, Option[Double])] =
+      df.collect().toSeq.map { r =>
+        (
+          r.getLong(0),
+          r.getLong(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        )
+      }
+
+    val lagForm = canon(SparkEntry.sessionRollup(events))
+    val onePass =
+      canon(operators.Sessionize.userSessionStats(events, 1800000000L))
+    assert(
+      lagForm == Seq(
+        (1L, 4L, 1L, Some(3.0)),
+        (2L, 1L, 2L, None),
+        (3L, 1L, 2L, Some(4.0))
+      ),
+      s"LAG rollup null semantics moved: $lagForm"
+    )
+    assert(onePass == lagForm)
+  }
 }

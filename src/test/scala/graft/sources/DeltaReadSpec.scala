@@ -59,8 +59,12 @@ class DeltaReadSpec extends AnyFunSuite {
       ("""{"add":{"path":"x.parquet","size":1""", "unparseable JSON"), // truncated
       ("""not json at all""", "unparseable JSON"),
       ("""42""", "not a JSON action object"), // valid JSON, wrong shape
-      ("""{"add":{"size":10}}""", "add action without a path"),
-      ("""{"remove":{"dataChange":true}}""", "remove action without a path"),
+      ("""{"add":{"size":10}}""", "add action without a textual path"),
+      ("""{"remove":{"dataChange":true}}""", "remove action without a textual path"),
+      // non-textual paths: asText() on an object returns "", which would
+      // corrupt (add) or silently no-op (remove) the snapshot
+      ("""{"add":{"path":{"nested":true},"size":1}}""", "add action without a textual path"),
+      ("""{"remove":{"path":123,"dataChange":true}}""", "remove action without a textual path"),
       ("""{"metaData":{"id":"m","schemaString":"{broken"}}""",
         "invalid metaData.schemaString")
     )
