@@ -20,12 +20,21 @@ object PlanProbe {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.provider(spark, dir)
-    val df = SparkEntry.queries(q)(spark, dir)
-    df.write.mode("overwrite").format("noop").save()  // warm
+    // Build a FRESH DataFrame per timed run, exactly like Bench: re-running
+    // an action on one cached Dataset lets Spark skip map stages whose
+    // shuffle outputs already exist, silently understating shuffle-heavy
+    // queries (measured: q11 at sf10 read 0.48 s reused vs 4.35 s true —
+    // a 9x lie in a tool that exists to explain Bench numbers).
+    def run(): org.apache.spark.sql.DataFrame = {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.write.mode("overwrite").format("noop").save()
+      df
+    }
+    var df = run() // warm
     val times = (1 to 5).map { _ =>
       System.gc(); Thread.sleep(80)
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
+      df = run()
       (System.nanoTime() - t0) / 1e9
     }.sorted
     println(f"TIMES median=${times(2)}%.3f min=${times.head}%.3f")
