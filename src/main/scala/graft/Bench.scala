@@ -134,9 +134,13 @@ object Bench {
         name -> merged(m, again)
       }
     }
+    // same Locale.ROOT fixed-precision wire format as summaryLine — never
+    // Double.toString (scientific notation / long reprs on the artifact)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val regressedRows = results.collect {
       case (k, m) if regressedVsPrior(m.median, prior.get(k)) =>
-        s"""{"query":"$k","prior":${prior(k)},"median":${m.median}}"""
+        s"""{"query":"$k","prior":${f3(prior(k))},"median":${f3(m.median)}}"""
     }
     // Full detail (all queries, full-precision median + min) goes to a FILE:
     // the driver's stdout capture keeps only the final ~2000 characters, so a

@@ -30,14 +30,15 @@ object PlanProbe {
       df.write.mode("overwrite").format("noop").save()
       df
     }
-    var df = run() // warm
+    run() // warm run, result discarded — only the timed runs' last plan prints
+    var lastRun: org.apache.spark.sql.DataFrame = null
     val times = (1 to 5).map { _ =>
       System.gc(); Thread.sleep(80)
       val t0 = System.nanoTime()
-      df = run()
+      lastRun = run()
       (System.nanoTime() - t0) / 1e9
     }.sorted
     println(f"TIMES median=${times(2)}%.3f min=${times.head}%.3f")
-    println(df.queryExecution.executedPlan.toString.take(6000))
+    println(lastRun.queryExecution.executedPlan.toString.take(6000))
   }
 }

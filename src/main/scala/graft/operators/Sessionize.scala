@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.math.RoundingMode
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -19,12 +19,22 @@ import graft.functions.DecimalOps
   * sums OF those rounded session values, rounded to 2 dp
   * ([[DecimalOps.scaled1e10]], the same kernel `graft_fixed_sum10` uses,
   * so this operator hash-matches the declarative rollup bit-for-bit).
-  * Null handling mirrors the declarative LAG formulation exactly
-  * (SessionizeNullSpec pins every case): a null `ts` sorts first within
-  * its user and — because `lag(ts)` over it is null — the FOLLOWING event
-  * starts a new session; a null `value` counts toward n_events but
-  * contributes nothing to sums (SUM's null-skip), and a session or user
-  * whose every value is null carries a null session/total value.
+  * Sums accumulate in a two-long 128-bit buffer — the SAME +/-1.7e28
+  * value-unit headroom as the kernel's DECIMAL(38,10) buffer, so the only
+  * magnitude limits are the kernel's own per-VALUE caps (|value| and each
+  * rounded session value <= ~9.2e8), exactly where the declarative form
+  * throws too. Null handling mirrors the declarative LAG formulation
+  * exactly (SessionEquivalenceSpec pins every case): a null `ts` sorts
+  * first within its user and — because `lag(ts)` over it is null — the
+  * FOLLOWING event starts a new session; a null `value` counts toward
+  * n_events but contributes nothing to sums (SUM's null-skip); a session
+  * or user whose every value is null carries a null session/total value;
+  * null user_ids group into ONE output row with a null user_id (the LAG
+  * rollup's GROUP BY semantics), and a non-integral user_id truncates via
+  * the same long cast the rollup's grouping column would get.
+  * Output row order is UNSPECIFIED — ordering is the sink's concern (the
+  * gate canonicalizes rows; a presentation sort would cost one gate-only
+  * exchange at 100 TB user cardinality).
   *
   * Why imperative: the declarative formulations were measured, not
   * guessed, before reaching for mapPartitions (the documented last
@@ -43,18 +53,22 @@ import graft.functions.DecimalOps
   * Scale posture: identical to the window formulation — ONE hash exchange
   * on user_id (AQE-splittable; a pathological hot user lands one task in
   * either shape), the sort Spark would do anyway, then linear streaming.
-  * Accumulators use Math.addExact: overflow of the +/-9.2e8-value-unit
-  * fixed-point capacity fails loudly (the kernel's documented contract)
-  * instead of wrapping.
   */
 object Sessionize {
 
-  /** round(scaled / 1e10, 2) HALF_UP, as double — exactly Spark's
-    * `round(decimal(38,10), 2).cast(double)` on the fixed-sum result. */
-  private def round2(scaled: Long): Double =
-    new JBigDecimal(java.math.BigInteger.valueOf(scaled), 10)
+  /** round((hi:lo) / 1e10, 2) HALF_UP, as double — exactly Spark's
+    * `round(decimal(38,10), 2).cast(double)` on the fixed-sum result.
+    * Runs once per session/user close, so the BigDecimal cost is off the
+    * per-row path. */
+  private def round2(hi: Long, lo: Long): Double =
+    DecimalOps.dec128(hi, lo).toJavaBigDecimal
       .setScale(2, RoundingMode.HALF_UP)
       .doubleValue()
+
+  /** Carry-out of the wrap-around add `s = a + b` — the same limb formula
+    * the kernel's acc128 codegen uses. */
+  @inline private def carryOut(a: Long, b: Long, s: Long): Long =
+    ((a & b) | ((a | b) & ~s)) >>> 63
 
   def userSessionStats(events: DataFrame, gapMicros: Long): DataFrame = {
     val spark = events.sparkSession
@@ -63,81 +77,97 @@ object Sessionize {
     // the all-primitive tuple keeps the codegen'd deserializer on the fast
     // path (the Row-based variant measured 35% slower at sf10 from per-row
     // object conversion alone). Long.MinValue sorts before every real
-    // epoch-micros, reproducing the window formulation's nulls-first order.
+    // epoch-micros, reproducing the window formulation's nulls-first order;
+    // the uid null flag rides in the sort key so a (real MinValue user,
+    // null user) collision still yields two contiguous groups.
     val sorted = events
       .select(
-        col("user_id").cast("long").as("user_id"),
+        coalesce(col("user_id").cast("long"), lit(Long.MinValue)).as("uid"),
+        col("user_id").isNull.as("uid_null"),
         coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("ts_us"),
         col("ts").isNull.as("ts_null"),
         col("event_id").cast("long").as("event_id"),
         coalesce(col("value").cast("double"), lit(0.0)).as("value"),
         col("value").isNull.as("val_null")
       )
-      .repartition(col("user_id"))
-      .sortWithinPartitions("user_id", "ts_us", "event_id")
-      .as[(Long, Long, Boolean, Long, Double, Boolean)]
+      .repartition(col("uid"), col("uid_null"))
+      .sortWithinPartitions("uid", "uid_null", "ts_us", "event_id")
+      .as[(Long, Boolean, Long, Boolean, Long, Double, Boolean)]
     sorted
       .mapPartitions { it =>
-        new Iterator[(Long, Long, Long, Option[Double])] {
-          private var cur: (Long, Long, Boolean, Long, Double, Boolean) = _
+        new Iterator[(Option[Long], Long, Long, Option[Double])] {
+          private var cur: (Long, Boolean, Long, Boolean, Long, Double, Boolean) = _
           private var hasCur = it.hasNext
           if (hasCur) cur = it.next()
 
           override def hasNext: Boolean = hasCur
 
-          override def next(): (Long, Long, Long, Option[Double]) = {
+          override def next(): (Option[Long], Long, Long, Option[Double]) = {
             val user = cur._1
-            var prevTsNull = cur._3
-            var prevTs = cur._2
+            val userNull = cur._2
+            var prevTsNull = cur._4
+            var prevTs = cur._3
             var nSessions = 1L
             var sessEvents = 1L
             var maxEvents = 0L
-            var sessScaled = if (cur._6) 0L else DecimalOps.scaled1e10(cur._5)
-            var sessHasVal = !cur._6
-            var totalScaled = 0L
+            var sessHi = 0L
+            var sessLo = 0L
+            var sessHasVal = !cur._7
+            if (sessHasVal) { sessLo = DecimalOps.scaled1e10(cur._6); sessHi = sessLo >> 63 }
+            var totalHi = 0L
+            var totalLo = 0L
             var totalHasVal = false
+            def accSess(v: Double): Unit = {
+              val x = DecimalOps.scaled1e10(v)
+              val nLo = sessLo + x
+              sessHi = sessHi + (x >> 63) + carryOut(sessLo, x, nLo)
+              sessLo = nLo
+            }
             def closeSession(): Unit = {
               if (sessEvents > maxEvents) maxEvents = sessEvents
               // an all-null session's value is NULL (SUM semantics), and a
-              // null session value is skipped by the outer sum in turn
+              // null session value is skipped by the outer sum in turn. The
+              // rounded session value re-enters through scaled1e10, the
+              // kernel's own per-value gate — same cap as the LAG rollup's
+              // outer graft_fixed_sum10.
               if (sessHasVal) {
-                totalScaled = Math
-                  .addExact(totalScaled, DecimalOps.scaled1e10(round2(sessScaled)))
+                val x = DecimalOps.scaled1e10(round2(sessHi, sessLo))
+                val nLo = totalLo + x
+                totalHi = totalHi + (x >> 63) + carryOut(totalLo, x, nLo)
+                totalLo = nLo
                 totalHasVal = true
               }
             }
             hasCur = false
             while (!hasCur && it.hasNext) {
               val r = it.next()
-              if (r._1 != user) { cur = r; hasCur = true }
+              if (r._1 != user || r._2 != userNull) { cur = r; hasCur = true }
               else {
                 // the LAG form's split: lag(ts) IS NULL (prev row's ts was
                 // null) OR delta > gap; a null delta (cur ts null against a
                 // real prev ts) compares as false and continues the session
                 val isNew =
-                  prevTsNull || (!r._3 && r._2 - prevTs > gapMicros)
+                  prevTsNull || (!r._4 && r._3 - prevTs > gapMicros)
                 if (isNew) {
                   closeSession()
                   nSessions += 1L
                   sessEvents = 0L
-                  sessScaled = 0L
+                  sessHi = 0L
+                  sessLo = 0L
                   sessHasVal = false
                 }
                 sessEvents += 1L
-                if (!r._6)
-                  sessScaled = Math.addExact(sessScaled, DecimalOps.scaled1e10(r._5))
-                sessHasVal = sessHasVal || !r._6
-                prevTsNull = r._3
-                prevTs = r._2
+                if (!r._7) { accSess(r._6); sessHasVal = true }
+                prevTsNull = r._4
+                prevTs = r._3
               }
             }
             closeSession()
-            val total = if (totalHasVal) Some(round2(totalScaled)) else None
-            (user, nSessions, maxEvents, total)
+            val total = if (totalHasVal) Some(round2(totalHi, totalLo)) else None
+            (if (userNull) None else Some(user), nSessions, maxEvents, total)
           }
         }
       }
       .toDF("user_id", "n_sessions", "max_session_events", "total_value")
-      .orderBy("user_id")
   }
 }

@@ -41,9 +41,13 @@ class SessionEquivalenceSpec extends AnyFunSuite {
       .orderBy(col("user_id"))
   }
 
+  // Sessionize's output order is unspecified (the gate canonicalizes rows;
+  // the round-13 change dropped its gate-only trailing sort), so every
+  // comparison canonicalizes by user_id here.
   private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
     df.collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
 
   test("LAG rollup and one-pass Sessionize == native session_window on the " +
     "events table, bit-for-bit (fixed-point rounding included)") {
@@ -94,36 +98,42 @@ class SessionEquivalenceSpec extends AnyFunSuite {
     // null, so the follower splits), then a real row (prev null → new
     // session), then a >gap row; null values count toward n_events but not
     // sums. u2: all values null → total_value NULL. u3: plain control.
-    val rows: Seq[(Long, Timestamp, Long, java.lang.Double)] = Seq(
-      (1L, null, 10L, java.lang.Double.valueOf(1.0)),
-      (1L, null, 11L, null),
-      (1L, t0, 12L, java.lang.Double.valueOf(2.0)),
-      (1L, plusMin(31), 13L, null),
-      (2L, t0, 20L, null),
-      (2L, plusMin(1), 21L, null),
-      (3L, t0, 30L, java.lang.Double.valueOf(1.5)),
-      (3L, plusMin(10), 31L, java.lang.Double.valueOf(2.5))
+    // u4 (user_id NULL): the LAG rollup's GROUP BY collapses all null
+    // user_ids into ONE row; Sessionize must mirror that, not throw on the
+    // primitive deserialization (the round-12 shape did).
+    val rows: Seq[(java.lang.Long, Timestamp, Long, java.lang.Double)] = Seq(
+      (java.lang.Long.valueOf(1L), null, 10L, java.lang.Double.valueOf(1.0)),
+      (java.lang.Long.valueOf(1L), null, 11L, null),
+      (java.lang.Long.valueOf(1L), t0, 12L, java.lang.Double.valueOf(2.0)),
+      (java.lang.Long.valueOf(1L), plusMin(31), 13L, null),
+      (java.lang.Long.valueOf(2L), t0, 20L, null),
+      (java.lang.Long.valueOf(2L), plusMin(1), 21L, null),
+      (java.lang.Long.valueOf(3L), t0, 30L, java.lang.Double.valueOf(1.5)),
+      (java.lang.Long.valueOf(3L), plusMin(10), 31L, java.lang.Double.valueOf(2.5)),
+      (null, t0, 40L, java.lang.Double.valueOf(0.5)),
+      (null, plusMin(40), 41L, java.lang.Double.valueOf(0.25))
     )
     val events = rows.toDF("user_id", "ts", "event_id", "value")
 
-    def canon(df: DataFrame): Seq[(Long, Long, Long, Option[Double])] =
+    def canon(df: DataFrame): Seq[(Option[Long], Long, Long, Option[Double])] =
       df.collect().toSeq.map { r =>
         (
-          r.getLong(0),
+          if (r.isNullAt(0)) None else Some(r.getLong(0)),
           r.getLong(1),
           r.getLong(2),
           if (r.isNullAt(3)) None else Some(r.getDouble(3))
         )
-      }
+      }.sortBy(_._1)
 
     val lagForm = canon(SparkEntry.sessionRollup(events))
     val onePass =
       canon(operators.Sessionize.userSessionStats(events, 1800000000L))
     assert(
       lagForm == Seq(
-        (1L, 4L, 1L, Some(3.0)),
-        (2L, 1L, 2L, None),
-        (3L, 1L, 2L, Some(4.0))
+        (None, 2L, 1L, Some(0.75)),
+        (Some(1L), 4L, 1L, Some(3.0)),
+        (Some(2L), 1L, 2L, None),
+        (Some(3L), 1L, 2L, Some(4.0))
       ),
       s"LAG rollup null semantics moved: $lagForm"
     )

@@ -71,18 +71,48 @@ class SessionizePropertySpec extends AnyFunSuite {
         // scatter input order and input partitioning: the operator must
         // impose its own shuffle+sort, never inherit luck from the fixture
         .repartition(5, col("event_id"))
+      // Sessionize's output order is unspecified (no gate-only sort), so
+      // both sides canonicalize by user_id before comparing.
       val expected = graft.SparkEntry
         .sessionRollup(df)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSeq
+        .sortBy(_._1)
       val got = Sessionize
         .userSessionStats(df, GapUs)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSeq
+        .sortBy(_._1)
       assert(got == expected, s"sample $i: ${rows.take(8)}…")
     }
+  }
+
+  test("executed plan has no global Sort: ordering is the sink's concern " +
+    "(round-11 rule), so the rollup must pay exactly one exchange and one " +
+    "partition-local sort, never a gate-only orderBy") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Seq((1L, 1700000000000000L, 1L, 2.5), (2L, 1700000100000000L, 2L, 1.0))
+      .toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("user_id", "ts", "event_id", "value")
+    val out = Sessionize.userSessionStats(df, GapUs)
+    out.collect() // materialize so AQE finalizes the plan
+    // collect() doesn't cross AQE stage boundaries — flatten them by hand
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val plan = out.queryExecution.executedPlan
+    val nodes = flatten(plan)
+    val globalSorts = nodes.collect { case s: SortExec if s.global => s }
+    assert(globalSorts.isEmpty, s"gate-only global sort crept back in:\n$plan")
+    val exchanges = nodes.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size == 1, s"expected exactly one exchange:\n$plan")
   }
 
   test("degenerate shapes: empty input, one event, all-duplicate timestamps") {
