@@ -2213,6 +2213,105 @@ object SparkEntry {
         .orderBy("n_nationkey")
     },
 
+    // ---- A4 activated for CSV: a text-format Glue table with BOTH serde
+    // options the reference honours — `field.delim` (a pipe, so the option
+    // is provably load-bearing: the default comma would misparse every
+    // row) and `skip.header.line.count=1` — read end-to-end through the
+    // LazySimpleSerDe dispatch branch (GlueFormats -> Spark csv source;
+    // reference: glue.rs:375-406 CsvFormat::with_delimiter/with_has_header).
+    // The oracle reads the SAME rows from the parquet twin, so a hash
+    // match proves the text round-trip (delimiter, header skip, quoting,
+    // bigint/int/double/string parsing) returns byte-identical data.
+    "q_csv_scan" -> { (s, dir) =>
+      // deterministic fixture: build once, reuse on repeat invocations so
+      // bench medians time the csv READ path, not fixture I/O (same keying
+      // discipline as q_avro_scan: source size invalidates, sentinel last)
+      val srcLen = new java.io.File(dir, "customer.parquet").length()
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_csv_scan_${math.abs(dir.hashCode)}_$srcLen"
+      ).getPath
+      val done = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s".graft_csv_scan_${math.abs(dir.hashCode)}_${srcLen}_complete"
+      )
+      if (!done.isFile) {
+        T(s, dir, "customer")
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .option("header", "true")
+          .option("sep", "|")
+          .csv(tmp)
+        done.createNewFile()
+      }
+      val table = catalog.GlueTable(
+        "csvdb",
+        "customer_csv",
+        catalog.GlueStorageDescriptor(
+          location = tmp,
+          inputFormat = "org.apache.hadoop.mapred.TextInputFormat",
+          outputFormat = "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+          serdeInfo = catalog.GlueSerDeInfo(
+            "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+            parameters = Map("field.delim" -> "|")
+          ),
+          // CSV is positional: declared order must match the written order
+          columns = Seq(
+            catalog.GlueColumn("c_custkey", "bigint"),
+            catalog.GlueColumn("c_name", "string"),
+            catalog.GlueColumn("c_nationkey", "int"),
+            catalog.GlueColumn("c_acctbal", "double"),
+            catalog.GlueColumn("c_mktsegment", "string")
+          ),
+          parameters = Map("skip.header.line.count" -> "1")
+        )
+      )
+      new catalog.GlueCatalogProvider(new catalog.InMemoryGlueClient(Seq(table)), s)
+        .load(table)
+    },
+
+    // ---- A4 activated for JSON: a text-format Glue table through the
+    // hcatalog JsonSerDe dispatch branch (GlueFormats -> Spark json source;
+    // reference: glue.rs:407-426 maps all three JSON serdes to JsonFormat).
+    // Schema comes from the Glue columns (name-based binding, unlike CSV's
+    // positional), and the parquet-twin oracle makes the hash match prove
+    // bigint/int/double/string survive the JSON text round-trip exactly.
+    "q_json_scan" -> { (s, dir) =>
+      val srcLen = new java.io.File(dir, "supplier.parquet").length()
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_json_scan_${math.abs(dir.hashCode)}_$srcLen"
+      ).getPath
+      val done = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s".graft_json_scan_${math.abs(dir.hashCode)}_${srcLen}_complete"
+      )
+      if (!done.isFile) {
+        T(s, dir, "supplier").coalesce(1).write.mode("overwrite").json(tmp)
+        done.createNewFile()
+      }
+      val table = catalog.GlueTable(
+        "jsondb",
+        "supplier_json",
+        catalog.GlueStorageDescriptor(
+          location = tmp,
+          inputFormat = "org.apache.hadoop.mapred.TextInputFormat",
+          outputFormat = "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+          serdeInfo =
+            catalog.GlueSerDeInfo("org.apache.hive.hcatalog.data.JsonSerDe"),
+          columns = Seq(
+            catalog.GlueColumn("s_suppkey", "bigint"),
+            catalog.GlueColumn("s_name", "string"),
+            catalog.GlueColumn("s_nationkey", "int"),
+            catalog.GlueColumn("s_acctbal", "double")
+          )
+        )
+      )
+      new catalog.GlueCatalogProvider(new catalog.InMemoryGlueClient(Seq(table)), s)
+        .load(table)
+    },
+
     // ---- D5 batch twin: the streaming interval join's OWN code path
     // (EventStreams.clickAttribution — watermarks are analyzer-eliminated on
     // batch inputs) under the DuckDB gate, mirroring the B27/B29/B58
@@ -3943,6 +4042,12 @@ object SparkEntry {
 
     "q_avro_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // parquet twins of the csv/json-backed Glue tables: a hash match proves
+    // the text read paths return byte-identical data (see the query docs)
+    "q_csv_scan" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "q_json_scan" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 
     "q_delta_scan" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
