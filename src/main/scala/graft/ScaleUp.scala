@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * dedup workloads keep their duplicate-rate character instead of
   * degenerating to everything-matches-everything.
   *
-  * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [copies]
-  * (defaults: /root/testdata/sf0.1 target/sf1 10)
+  * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [copies] [tables]
+  * (defaults: /root/testdata/sf0.1 target/sf1 10 all; `tables` is a
+  * comma-separated subset for disk-bounded probes — e.g. `documents` for
+  * the Spark-only fourth-decade pipeline sweep, where full sf300 of every
+  * table would not fit the box)
   */
 object ScaleUp {
 
@@ -26,6 +29,8 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val tableFilter = args.lift(3).map(_.split(",").toSet)
+    def wanted(name: String): Boolean = tableFilter.forall(_.contains(name))
     val spark = SparkSession
       .builder()
       .master("local[32]")
@@ -44,8 +49,9 @@ object ScaleUp {
     // parallelism — a fixture artifact, not an engine property. Real data
     // at these sizes arrives as many files/splits; make the fixture match.
     def write(df: DataFrame, name: String, parts: Int = 1): Unit =
-      (if (parts > 1) df.repartition(parts) else df.coalesce(1))
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      if (wanted(name))
+        (if (parts > 1) df.repartition(parts) else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     // one offset base per key domain, shared across tables
     def base(df: DataFrame, key: String): Long =

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""One same-day paired window: DuckDB oracle medians for a named query
+subset at a scaled dir, printed as a markdown-ready table against the
+Spark medians from a BENCH_FULL.json produced in the same window.
+
+Usage: tools/pair_window.py <sfDir> <oracle_sql.json> <BENCH_FULL.json> q1,q2,...
+
+The Spark side must be run FIRST (Bench subset sweep via
+SPARK_GRAFT_BENCH_ONLY), then this script back-to-back — same box, same
+window, nothing else running; that is the weak-set protocol BASELINE.md
+quotes (driver-side python env: duckdb 1.0.0)."""
+import glob
+import json
+import os
+import statistics
+import sys
+import time
+
+import duckdb
+
+REPS = 5
+
+
+def main():
+    sf_dir, oracle_path, bench_path, names = sys.argv[1:5]
+    names = names.split(",")
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f)[: -len(".parquet")]
+        src = f"{f}/*.parquet" if os.path.isdir(f) else f
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    oracles = json.load(open(oracle_path))
+    spark = json.load(open(bench_path)).get("queries", {})
+    print("| query | duckdb_sec | spark_sec | ratio |")
+    print("|---|---|---|---|")
+    for n in names:
+        sql = oracles[n]
+        con.execute(sql).fetchall()  # warm
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            ts.append(time.perf_counter() - t0)
+        d = statistics.median(ts)
+        s = spark.get(n)
+        ratio = f"{s / d:.2f}x" if s else "n/a"
+        print(f"| {n} | {d:.3f} | {s if s is not None else 'n/a'} | {ratio} |")
+
+
+if __name__ == "__main__":
+    main()
