@@ -1,0 +1,60 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Dev tool: per-JOB timing of one gate query under the Bench session —
+  * the sf0.1 rows are dominated by job/stage orchestration, not data, so
+  * "how many jobs and which one is slow" is the first profiling question
+  * (guide §1: decide whether time goes to compute or scheduling).
+  *
+  * Usage: runMain graft.JobProbe <queryName> [sfDir]
+  * Prints each job of ONE timed execution (after a warmup run): job id,
+  * wall ms, #stages, #tasks, and the job group/description if set.
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val q = args(0)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = BenchSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.provider(spark, dir)
+    def run(): Unit =
+      SparkEntry
+        .queries(q)(spark, dir)
+        .write
+        .mode("overwrite")
+        .format("noop")
+        .save()
+    run() // warmup: codegen + JIT + fixture builds
+    final case class Job(id: Int, start: Long, var end: Long = -1L, var stages: Int = 0, var tasks: Int = 0)
+    val jobs = ArrayBuffer.empty[Job]
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.synchronized { jobs += Job(e.jobId, e.time) }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobs.synchronized { jobs.find(_.id == e.jobId).foreach(_.end = e.time) }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        jobs.synchronized {
+          jobs.lastOption.foreach { j =>
+            j.stages += 1
+            j.tasks += e.stageInfo.numTasks
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    System.gc(); Thread.sleep(100)
+    val t0 = System.nanoTime()
+    run()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(200)
+    println(f"== $q: one timed run ${wall}%.3f s, ${jobs.size} jobs ==")
+    jobs.foreach { j =>
+      val ms = if (j.end > 0) j.end - j.start else -1L
+      println(f"job ${j.id}%4d  ${ms}%6d ms  stages=${j.stages}%3d tasks=${j.tasks}%5d")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: snapshot `.explain("formatted")` plus the AQE-final executed
+  * plan for a list of gate queries into one file each — the before/after
+  * plan evidence the optimization rounds commit under `plans/rNN/`.
+  *
+  * Usage: runMain graft.PlanSnap <sfDir> <outDir> <suffix> <query> [query...]
+  * Writes <outDir>/<query><suffix>.txt under the exact Bench session config.
+  */
+object PlanSnap {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args.drop(3)
+    val spark = BenchSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.provider(spark, dir)
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      val formatted =
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+      // run it so the executed plan below is the AQE-final one
+      df.write.mode("overwrite").format("noop").save()
+      val executed = df.queryExecution.executedPlan.toString
+      Files.writeString(
+        Paths.get(outDir, s"$n$suffix.txt"),
+        s"== $n @ $dir — explain(formatted) ==\n$formatted\n" +
+          s"== AQE-final executedPlan ==\n$executed"
+      )
+      println(s"[plansnap] wrote $n$suffix.txt")
+    }
+    spark.stop()
+  }
+}

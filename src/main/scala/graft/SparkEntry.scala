@@ -1548,6 +1548,17 @@ object SparkEntry {
     "q_approx_stats_check" -> { (s, dir) =>
       val ev = T(s, dir, "events")
       val tol = 0.02
+      // Two-consumer `agg` deliberately left UNPINNED (round 13, measured
+      // out): the broadcast rank pass recomputes a column-pruned copy of
+      // this aggregation (percentile sketches only — the optimizer drops
+      // the countDistinct expand on that side), which looks like the
+      // q11/q15 double-evaluation pathology, but both pin mechanisms lose
+      // badly here because they materialize OUTSIDE the AQE-coalesced
+      // path: localCheckpoint ran the sketch chain as one 12.5 s
+      // single-task job, persist built the InMemoryRelation with 512
+      // uncoalesced 256-partition tasks (6.9 s) — vs 2.4 s for the plain
+      // double evaluation (JobProbe, sf0.1). The pruned second evaluation
+      // costs less than any materialization of it.
       val agg = ev
         .groupBy("event_type")
         .agg(

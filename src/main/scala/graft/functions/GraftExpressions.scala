@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   BinaryExpression,
   Expression,
   ImplicitCastInputTypes,
+  TernaryExpression,
   UnaryExpression
 }
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -199,6 +200,99 @@ case class SqDistD(left: Expression, right: Expression)
       newLeft: Expression,
       newRight: Expression
   ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Merge-scan Jaccard over sorted-distinct long arrays (see
+  * TextOps.jaccardSorted) — the per-pair kernel of the quadratic
+  * ground-truth loops; replaces two array_intersect hash-set builds per
+  * candidate pair. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextOps.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-centroid argmax by cosine over a broadcast single-row centroid
+  * table (see VectorOps.argmaxCos): per-row assignment with NO exchange,
+  * replacing the crossJoin → groupBy(id) → max(struct) shape. */
+case class ArgmaxCos(vec: Expression, ids: Expression, cvs: Expression)
+    extends TernaryExpression
+    with ImplicitCastInputTypes {
+  override def first: Expression = vec
+  override def second: Expression = ids
+  override def third: Expression = cvs
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(LongType), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_argmax_cos"
+
+  override protected def nullSafeEval(v: Any, i: Any, c: Any): Any =
+    VectorOps.argmaxCos(
+      v.asInstanceOf[ArrayData],
+      i.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (v, i, c) => s"graft.functions.VectorOps.argmaxCos($v, $i, $c)"
+    )
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression
+  ): Expression = copy(vec = f, ids = s, cvs = t)
+}
+
+/** Nearest-centroid argmin by rounded squared distance (see
+  * VectorOps.argminSqDist4), the double-precision KMeans flavor. */
+case class ArgminSqDist4(vec: Expression, ids: Expression, cvs: Expression)
+    extends TernaryExpression
+    with ImplicitCastInputTypes {
+  override def first: Expression = vec
+  override def second: Expression = ids
+  override def third: Expression = cvs
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(LongType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_argmin_sqdist4"
+
+  override protected def nullSafeEval(v: Any, i: Any, c: Any): Any =
+    VectorOps.argminSqDist4(
+      v.asInstanceOf[ArrayData],
+      i.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (v, i, c) => s"graft.functions.VectorOps.argminSqDist4($v, $i, $c)"
+    )
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression
+  ): Expression = copy(vec = f, ids = s, cvs = t)
 }
 
 /** One-pass lexical-diversity counts (see TextOps.diversityStats): the three
@@ -535,7 +629,7 @@ object GraftFunctions {
     // code path pick up additions (createOrReplace is idempotent)
     if (
       reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lm_score")
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_argmin_sqdist4")
       )
     ) return
     reg.createOrReplaceTempFunction(
@@ -646,6 +740,21 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_double_bucket",
       es => DoubleOrderBucket(es(0), lit(es(1))),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_jaccard_sorted",
+      es => JaccardSorted(es(0), es(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_argmax_cos",
+      es => ArgmaxCos(es(0), es(1), es(2)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_argmin_sqdist4",
+      es => ArgminSqDist4(es(0), es(1), es(2)),
       "built-in"
     )
   }
@@ -775,6 +884,30 @@ object GraftFunctions {
   def diversityStats(text: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("graft_diversity_stats", text)
+  }
+
+  /** Merge-scan Jaccard of two sorted-distinct long-array columns. */
+  def jaccardSorted(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_jaccard_sorted", a, b)
+  }
+
+  /** Per-row nearest-centroid id by cosine (ties high) over parallel
+    * centroid arrays — see [[ArgmaxCos]]. */
+  def argmaxCos(v: Column, ids: Column, cvs: Column)(implicit
+      spark: SparkSession
+  ): Column = {
+    register(spark)
+    call_function("graft_argmax_cos", v, ids, cvs)
+  }
+
+  /** Per-row nearest-centroid id by rounded sq-distance (ties low) —
+    * see [[ArgminSqDist4]]. */
+  def argminSqDist4(v: Column, ids: Column, cvs: Column)(implicit
+      spark: SparkSession
+  ): Column = {
+    register(spark)
+    call_function("graft_argmin_sqdist4", v, ids, cvs)
   }
 
   def dotd(a: Column, b: Column)(implicit spark: SparkSession): Column = {

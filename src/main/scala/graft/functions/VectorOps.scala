@@ -116,6 +116,56 @@ object VectorOps {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  /** Nearest-centroid by cosine over parallel (ids, cvs) centroid arrays —
+    * the codegen replacement for `crossJoin(cents) → groupBy(id) →
+    * max(struct(csim, cid))` (round 13): one broadcast row of all centroids
+    * and a per-row argmax remove the n-row exchange the aggregate paid per
+    * assignment pass. Bit-identical selection: csim = [[cosine]] exactly as
+    * the join formulation computed per candidate row, compared with
+    * java.lang.Double.compare (Spark's double ordering — same -0.0/NaN
+    * rules as max(struct)), ties to the HIGHER centroid id (max-struct's
+    * second member). Empty centroid array → -1 (the join formulation emits
+    * no row; callers treat the corpus as unassigned — gate data never hits
+    * it). */
+  def argmaxCos(v: ArrayData, ids: ArrayData, cvs: ArrayData): Long = {
+    val k = ids.numElements()
+    var bestId = -1L
+    var bestSim = 0.0
+    var first = true
+    var i = 0
+    while (i < k) {
+      val sim = cosine(v, cvs.getArray(i))
+      val id = ids.getLong(i)
+      val c = if (first) 1 else java.lang.Double.compare(sim, bestSim)
+      if (c > 0 || (c == 0 && id > bestId)) { bestSim = sim; bestId = id }
+      first = false
+      i += 1
+    }
+    bestId
+  }
+
+  /** Nearest-centroid by rounded squared-euclidean distance, ties to the
+    * LOWEST centroid id — the codegen twin of `crossJoin(cents) →
+    * groupBy(id) → min(struct(round(sqdistd, 4), cid))` (KMeans.assign's
+    * oracle-mirrored contract: distances rounded to 4 decimals BEFORE the
+    * argmin). Same exchange-removal rationale as [[argmaxCos]]. */
+  def argminSqDist4(v: ArrayData, ids: ArrayData, cvs: ArrayData): Long = {
+    val k = ids.numElements()
+    var bestId = -1L
+    var bestD = 0.0
+    var first = true
+    var i = 0
+    while (i < k) {
+      val d = TextOps.roundHalfUp4(sqdistd(v, cvs.getArray(i)))
+      val id = ids.getLong(i)
+      val c = if (first) -1 else java.lang.Double.compare(d, bestD)
+      if (c < 0 || (c == 0 && id < bestId)) { bestD = d; bestId = id }
+      first = false
+      i += 1
+    }
+    bestId
+  }
 }
 
 /** Long-hash kernels for text sketching, same static-forwarder pattern. */
@@ -147,6 +197,35 @@ object TextOps {
       j += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Jaccard similarity of two SORTED-DISTINCT long arrays by linear merge
+    * scan — the codegen replacement (round 13) for
+    * `size(array_intersect(a, b)) / (na + nb - inter)` in the quadratic
+    * ground-truth pair loops, where array_intersect builds a hash set AND
+    * materializes the intersection array once per candidate PAIR (and the
+    * expression tree evaluates it twice: once inside the union term, once
+    * in the ratio). Zero allocation, two pointer walks. Value is
+    * bit-identical: inter/union counts are exact small integers, the
+    * division is the same double op, and the empty-union case returns 0.0
+    * exactly as `when(uni === 0, 0.0)` did. Callers must pass
+    * sort_array(array_distinct(...)) arrays — per-ROW work, hoisted out of
+    * the pair loop. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val uni = (na + nb - inter).toDouble
+    if (uni == 0.0) 0.0 else inter.toDouble / uni
   }
 
   /** Tokenize on single spaces and hash every k-gram shingle in one pass —

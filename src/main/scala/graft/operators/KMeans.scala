@@ -37,7 +37,16 @@ object KMeans {
     )
 
   /** Nearest-centroid id per point under rounded squared-euclidean distance.
-    * `cents`: (cid, cv array<double>). Output: (idCol, cluster). */
+    * `cents`: (cid, cv array<double>). Output: (idCol, cluster).
+    *
+    * Round 13 (guide §2.4): the centroids collapse into ONE broadcast row of
+    * parallel (ids, vectors) arrays and the argmin is a per-row codegen
+    * kernel ([[graft.functions.VectorOps.argminSqDist4]] — distances rounded
+    * to 4 decimals BEFORE the argmin, ties to the lowest cid, exactly the
+    * min(struct(d, cid)) contract the oracle mirrors; spec-pinned equal).
+    * The previous crossJoin → groupBy(id) shape shuffled one skinny row per
+    * POINT per assignment pass — a corpus-cardinality exchange per Lloyd
+    * iteration that the argmin never needed. */
   def assign(
       points: DataFrame,
       cents: DataFrame,
@@ -45,19 +54,27 @@ object KMeans {
       idCol: String
   ): DataFrame = {
     implicit val spark: SparkSession = points.sparkSession
+    val centsRow = broadcast(
+      cents
+        .select(struct(col("cid"), col("cv")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .select(
+          expr("transform(cs, x -> x.cid)").as("__cent_ids"),
+          expr("transform(cs, x -> x.cv)").as("__cent_vs")
+        )
+    )
     points
-      .crossJoin(broadcast(cents))
+      .crossJoin(centsRow)
       .select(
         col(idCol),
-        col("cid"),
-        round(
-          GraftFunctions.sqDistD(col(vecCol).cast("array<double>"), col("cv")),
-          4
-        ).as("d")
+        GraftFunctions
+          .argminSqDist4(
+            col(vecCol).cast("array<double>"),
+            col("__cent_ids"),
+            col("__cent_vs")
+          )
+          .as("cluster")
       )
-      .groupBy(col(idCol))
-      .agg(min(struct(col("d"), col("cid"))).as("best"))
-      .select(col(idCol), col("best.cid").as("cluster"))
   }
 
   /** Deterministic seeds: the k lowest-id vectors as (cid = id, cv).

@@ -41,8 +41,19 @@ object SimilaritySearch {
     topKPerGroup(scored, k)
   }
 
-  /** Nearest-centroid assignment: one broadcast of the centroids over one
-    * corpus scan; ties broken toward the higher centroid id (deterministic). */
+  /** Nearest-centroid assignment: ties broken toward the higher centroid id
+    * (deterministic). Round 13 (guide §2.4 — remove shuffles outright): the
+    * centroids collapse into ONE broadcast row of parallel (ids, vectors)
+    * arrays and the argmax is a per-row codegen kernel
+    * ([[graft.functions.VectorOps.argmaxCos]] — same cosine, same
+    * double-compare, same tie rule as the max(struct(csim, centroid_id))
+    * aggregate it replaces, spec-pinned equal), so an assignment pass is a
+    * pure map: the previous crossJoin → groupBy(id) shape exchanged one
+    * skinny row PER CORPUS VECTOR per pass — at 100 TB that is a full
+    * corpus-cardinality shuffle per Lloyd iteration for an operation that
+    * needs none. Output keeps EVERY corpus column + centroid_id, which also
+    * deletes the `.join(corpus, idCol)` (another corpus-scale exchange) the
+    * index builders paid to re-attach vectors. */
   private def assign(
       corpus: DataFrame,
       cents: DataFrame,
@@ -50,16 +61,22 @@ object SimilaritySearch {
       idCol: String
   ): DataFrame = {
     implicit val spark: SparkSession = corpus.sparkSession
+    val centsRow = broadcast(
+      cents
+        .select(struct(col("centroid_id"), col("cv")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .select(
+          expr("transform(cs, x -> x.centroid_id)").as("__cent_ids"),
+          expr("transform(cs, x -> x.cv)").as("__cent_vs")
+        )
+    )
     corpus
-      .crossJoin(broadcast(cents))
-      .select(
-        col(idCol),
-        col("centroid_id"),
-        GraftFunctions.cosineSim(col(vecCol), col("cv")).as("csim")
+      .crossJoin(centsRow)
+      .withColumn(
+        "centroid_id",
+        GraftFunctions.argmaxCos(col(vecCol), col("__cent_ids"), col("__cent_vs"))
       )
-      .groupBy(col(idCol))
-      .agg(max(struct(col("csim"), col("centroid_id"))).as("best"))
-      .select(col(idCol), col("best.centroid_id").as("centroid_id"))
+      .drop("__cent_ids", "__cent_vs")
   }
 
   /** Deterministic k-means seeding (`numCentroids` lowest-id vectors),
@@ -78,8 +95,9 @@ object SimilaritySearch {
       .limit(numCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
     for (_ <- 1 to refineIterations) {
+      // assign keeps the vector column, so the former
+      // `.join(corpus.select(id, vec), idCol)` re-attach is gone (round 13)
       val members = assign(corpus, cents, vecCol, idCol)
-        .join(corpus.select(col(idCol), col(vecCol)), idCol)
       // Deterministic mean: sum in 2^20 fixed point — scaled-long sums are
       // exactly associative, so the centroid is bit-identical under ANY
       // partition layout / AQE re-plan, where a float `avg` depends on
@@ -121,7 +139,7 @@ object SimilaritySearch {
   ): DataFrame = {
     val cents =
       ivfCentroids(corpus, vecCol, idCol, numCentroids, refineIterations)
-    assign(corpus, cents, vecCol, idCol).join(corpus, idCol)
+    assign(corpus, cents, vecCol, idCol)
   }
 
   /** ANN via IVF: queries probe their `nProbe` nearest centroids and score
@@ -139,7 +157,7 @@ object SimilaritySearch {
       refineIterations: Int = 0
   ): DataFrame = {
     val centroids = ivfCentroids(corpus, vecCol, idCol, numCentroids, refineIterations)
-    val index = assign(corpus, centroids, vecCol, idCol).join(corpus, idCol)
+    val index = assign(corpus, centroids, vecCol, idCol)
     ivfTopKIndexed(index, centroids, queries, vecCol, idCol, k, nProbe)
   }
 
@@ -160,7 +178,6 @@ object SimilaritySearch {
       ivfCentroids(corpus, vecCol, idCol, numCentroids, refineIterations)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     assign(corpus, centroids, vecCol, idCol)
-      .join(corpus, idCol)
       .write
       .mode("overwrite")
       .partitionBy("centroid_id")

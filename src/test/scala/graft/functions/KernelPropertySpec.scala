@@ -172,4 +172,95 @@ class KernelPropertySpec extends AnyFunSuite {
       .filter(col("k") =!= col("r") || col("nk") =!= col("nr"))
     assert(mismatch.count() == 0, mismatch.collect().take(5).mkString("; "))
   }
+
+  test("graft_jaccard_sorted is bit-identical to the array_intersect Column form") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // long sets with forced overlap (draws from a small value space) plus
+    // empty/disjoint/identical corners
+    val setGen: Gen[Seq[Long]] = Gen.frequency(
+      6 -> Gen.listOf(Gen.choose(0L, 50L)),
+      2 -> Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+      1 -> Gen.const(Seq.empty[Long])
+    )
+    val rows = sample(Gen.zip(setGen, setGen), 400).zipWithIndex.map {
+      case ((a, b), i) => (i.toLong, a, b)
+    } ++ Seq((9001L, Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), (9002L, Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("id", "a", "b")
+    // the kernel contract: inputs sorted-distinct; reference = the exact
+    // expression exactJaccardPairs used before round 13
+    val inter = size(array_intersect(array_distinct(col("a")), array_distinct(col("b")))).cast("double")
+    val na = size(array_distinct(col("a"))).cast("double")
+    val nb = size(array_distinct(col("b"))).cast("double")
+    val uni = na + nb - inter
+    val mismatch = df
+      .select(
+        col("id"),
+        GraftFunctions
+          .jaccardSorted(sort_array(array_distinct(col("a"))), sort_array(array_distinct(col("b"))))
+          .as("k"),
+        when(uni === 0d, 0d).otherwise(inter / uni).as("r")
+      )
+      .filter(col("k") =!= col("r"))
+    assert(mismatch.count() == 0, mismatch.collect().take(5).mkString("; "))
+  }
+
+  test("graft_argmax_cos / graft_argmin_sqdist4 match the aggregate argmin/argmax, ties included") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dim = 8
+    val vecGen: Gen[Seq[Double]] = Gen.listOfN(dim, doubleGen)
+    // centroids include an exact DUPLICATE vector under two ids so the tie
+    // rules (cos: higher id wins; sqdist: lower id wins) are exercised on
+    // every point, plus a zero vector (cosine-0 convention)
+    val cents: Seq[(Long, Seq[Double])] = {
+      val base = sample(vecGen, 6).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      base ++ Seq((100L, base.head._2), (101L, Seq.fill(dim)(0.0)))
+    }
+    val pts = sample(vecGen, 200).zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((9001L, cents.head._2), (9002L, Seq.fill(dim)(0.0)))
+    val ptsDf = pts.toDF("id", "v")
+    val centsDf = cents.toDF("cid", "cv")
+
+    // cosine flavor (float vectors, as the IVF path uses)
+    val fPts = ptsDf.select(col("id"), col("v").cast("array<float>").as("v"))
+    val fCents = centsDf.select(col("cid").as("centroid_id"), col("cv").cast("array<float>").as("cv"))
+    val aggCos = fPts
+      .crossJoin(broadcast(fCents))
+      .select(col("id"), col("centroid_id"), GraftFunctions.cosineSim(col("v"), col("cv")).as("csim"))
+      .groupBy("id")
+      .agg(max(struct(col("csim"), col("centroid_id"))).as("best"))
+      .select(col("id"), col("best.centroid_id").as("agg_c"))
+    val kernelCos = fPts
+      .crossJoin(
+        broadcast(
+          fCents
+            .select(struct(col("centroid_id"), col("cv")).as("c"))
+            .agg(sort_array(collect_list(col("c"))).as("cs"))
+            .select(
+              expr("transform(cs, x -> x.centroid_id)").as("ids"),
+              expr("transform(cs, x -> x.cv)").as("cvs")
+            )
+        )
+      )
+      .select(col("id"), GraftFunctions.argmaxCos(col("v"), col("ids"), col("cvs")).as("kern_c"))
+    val badCos = aggCos.join(kernelCos, "id").filter(col("agg_c") =!= col("kern_c"))
+    assert(badCos.count() == 0, badCos.collect().take(5).mkString("; "))
+
+    // sqdist flavor (double vectors, as KMeans uses)
+    val dCents = centsDf.select(col("cid"), col("cv").cast("array<double>").as("cv"))
+    val aggSq = ptsDf
+      .crossJoin(broadcast(dCents))
+      .select(
+        col("id"),
+        col("cid"),
+        round(GraftFunctions.sqDistD(col("v").cast("array<double>"), col("cv")), 4).as("d")
+      )
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("agg_c"))
+    val kernelSq = graft.operators.KMeans
+      .assign(ptsDf, dCents, "v", "id")
+      .withColumnRenamed("cluster", "kern_c")
+    val badSq = aggSq.join(kernelSq, "id").filter(col("agg_c") =!= col("kern_c"))
+    assert(badSq.count() == 0, badSq.collect().take(5).mkString("; "))
+  }
 }
