@@ -87,12 +87,24 @@ object Dedup {
           .as(Seq("pos", "para"))
       )
       .withColumn("ph", TF.fingerprint(col("para")))
-    val firsts = paras
-      .groupBy("ph")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    // The min-struct CARRIES the winning paragraph text (round 13):
+    // (doc_id, pos) is unique, so `para` as the struct's last member can
+    // never influence the ordering — the aggregate emits exactly the
+    // keep-first rows directly, deleting the join-back and the second
+    // derivation of the paras subtree (scan + split + fingerprint ran
+    // twice before: once under the stats aggregate, once on the join's
+    // probe side). Shuffle volume is unchanged — paragraph strings crossed
+    // one exchange either way (previously on the join's probe side, now as
+    // the map-side-combined min partials, where a hot paragraph still
+    // collapses to one row per input partition before the exchange).
     val kept = paras
-      .join(firsts, "ph")
-      .filter(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("first"))
+      .select(
+        col("first.doc_id").as("doc_id"),
+        col("first.pos").as("pos"),
+        col("first.para").as("para")
+      )
     val reassembled = kept
       .groupBy("doc_id")
       .agg(

@@ -47,9 +47,17 @@ object GlobalIds {
       numPartitions: Int = 0
   ): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    // Default width = cluster parallelism, NOT conf.numShufflePartitions:
+    // under AQE that getter resolves to coalescePartitions.initialPartitionNum
+    // (256 in the bench session), and because the count below is EXPLICIT the
+    // coalescer never shrinks it — worse, the localCheckpoint freezes the RDD
+    // at that width, so every downstream stage (offset agg, rank window)
+    // scheduled 256 near-empty tasks (measured round 13: three 256-task jobs
+    // = 2.0 s of q_global_ids' 3.6 s at sf0.1). defaultParallelism is the
+    // scale-adaptive intent: one range partition per available slot.
     val parts =
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else df.sparkSession.sparkContext.defaultParallelism
     val cols = orderCols.map(col)
     // localCheckpoint is CORRECTNESS here, not (only) the usual
     // multi-consumer economy: the stamped partition number must mean the
