@@ -1966,6 +1966,16 @@ object SparkEntry {
       // the fact rows through the hash aggregate). Pre-aggregating per
       // (order, supplier) needs no Expand, and the second aggregate runs on
       // the already-tiny per-order-supplier rows.
+      //
+      // Shared-exchange variant MEASURED OUT (round 13): an explicit
+      // repartition(o_orderkey) satisfies both aggregates' clustering and
+      // collapses the two exchanges to one, and the (order, supplier) grain
+      // (~1.0 rows/group) makes the forgone map-side partials look free —
+      // but the sf10 paired window regressed 7.1 → 9.6 s (mins): one
+      // full-width aggregate over raw fact rows builds a far larger
+      // per-task hash state than partial-then-final, and the second
+      // exchange it saves is the already-tiny per-order frame. Keep the
+      // two-phase shape.
       flagged
         .groupBy(col("o_orderkey"), col("l_suppkey"))
         .agg(
@@ -2123,15 +2133,35 @@ object SparkEntry {
     "text_tfidf_terms" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val tfn = functions.TextFunctions
-      val toks = T(s, dir, "documents")
+      val docsT = T(s, dir, "documents")
+      val toks = docsT
         .select(col("doc_id"), explode(tfn.wsTokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks
-        .select("doc_id", "term")
-        .distinct()
+      // df per term WITHOUT the (doc_id, term) distinct exchange (round 13,
+      // guide §2.3 — aggregate before you shuffle): a term's distinct-doc
+      // count is one row per (doc, distinct term), and "distinct within the
+      // doc" is a per-ROW array_distinct — map-side, no exchange — so the
+      // groupBy(term) is the only shuffle (was: distinct exchange on
+      // (doc_id, term) + groupBy(term) exchange, fed by a SECOND full
+      // tokenize+explode pass).
+      val dfreq = docsT
+        .select(
+          col("doc_id"),
+          explode(array_distinct(tfn.wsTokens(col("text")))).as("term")
+        )
         .groupBy("term")
         .agg(count(lit(1)).as("df"))
-      val nDocs = toks.agg(countDistinct(col("doc_id")).as("nd"))
+      // nd = number of documents with >= 1 token. countDistinct(doc_id) over
+      // the exploded tokens computed exactly this (doc_ids are unique per
+      // document) through a THIRD full tokenize + explode + two-phase
+      // distinct aggregate; a scan-level conditional count is the same value
+      // with no explode and no distinct machinery.
+      val nDocs = docsT
+        .agg(
+          sum(
+            when(size(tfn.wsTokens(col("text"))) > 0, 1L).otherwise(0L)
+          ).as("nd")
+        )
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(dfreq, "term")
         .crossJoin(broadcast(nDocs))
