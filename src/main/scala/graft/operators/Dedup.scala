@@ -87,12 +87,24 @@ object Dedup {
           .as(Seq("pos", "para"))
       )
       .withColumn("ph", TF.fingerprint(col("para")))
-    val firsts = paras
-      .groupBy("ph")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    // The min-struct CARRIES the winning paragraph text (round 13):
+    // (doc_id, pos) is unique, so `para` as the struct's last member can
+    // never influence the ordering — the aggregate emits exactly the
+    // keep-first rows directly, deleting the join-back and the second
+    // derivation of the paras subtree (scan + split + fingerprint ran
+    // twice before: once under the stats aggregate, once on the join's
+    // probe side). Shuffle volume is unchanged — paragraph strings crossed
+    // one exchange either way (previously on the join's probe side, now as
+    // the map-side-combined min partials, where a hot paragraph still
+    // collapses to one row per input partition before the exchange).
     val kept = paras
-      .join(firsts, "ph")
-      .filter(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("pos"), col("para"))).as("first"))
+      .select(
+        col("first.doc_id").as("doc_id"),
+        col("first.pos").as("pos"),
+        col("first.para").as("para")
+      )
     val reassembled = kept
       .groupBy("doc_id")
       .agg(
@@ -219,33 +231,63 @@ object Dedup {
     implicit val spark: SparkSession = docs.sparkSession
     // Jaccard over 64-bit shingle hashes == Jaccard over the shingle strings
     // (collisions ~n²/2⁶⁴) — and set ops on longs are far cheaper.
-    // Shingles are recomputed by the candidate branch and this verification
-    // branch. Measured (sf0.1): materializing them once via localCheckpoint
-    // costs MORE than the recompute — the kernel is cheap, block write/read
-    // is not. On a cluster where the text scan dominates (remote storage),
-    // flip that trade by persisting `shingles` MEMORY_AND_DISK.
-    val shingles = docs.select(
-      col(idCol),
-      array_distinct(
-        GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
-      ).as("sh")
-    )
-    // The candidate set is usually tiny relative to the corpus: broadcast it
-    // so the shingle table streams through both joins without a shuffle.
-    // If a corpus is duplicate-heavy enough that the pair set itself is
-    // huge, pass broadcastCandidates=false and let AQE pick the strategy.
     val rawCands =
       minhashCandidatePairs(docs, textCol, idCol, shingleK, numHashes, bands)
-    val cands = if (broadcastCandidates) broadcast(rawCands) else rawCands
-    cands
-      .join(shingles.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(shingles.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
-      .select(
-        col("a_id"),
-        col("b_id"),
-        round(TF.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard")
+    if (broadcastCandidates) {
+      // Round 13 (guide §2.3/§4 — don't compute what you throw away): the
+      // verification shingle kernel runs per PAIR SIDE after the candidate
+      // joins, not once per corpus document before them. The previous shape
+      // computed array_distinct(shingleHashes(normText(text))) for EVERY doc
+      // in two full streamed passes and then let the broadcast probe discard
+      // all but the candidate rows — at any scale that is 2·|corpus| kernel
+      // evaluations for |pairs|·2 needed sets (pairs ≪ corpus by
+      // construction: banding + bucket caps). Text streams through the two
+      // broadcast joins (never shuffles); the per-pair sets are sorted once
+      // so the Jaccard itself is the merge-scan kernel. Values bit-identical:
+      // size(intersect)/size(union) over distinct arrays ==
+      // inter/(na+nb−inter), same double division, same round(…, 4).
+      val sh = (c: Column) =>
+        sort_array(
+          array_distinct(GraftFunctions.shingleHashes(TF.normText(c), shingleK))
+        )
+      broadcast(rawCands)
+        .join(
+          docs.select(col(idCol).as("a_id"), col(textCol).as("__ta")),
+          "a_id"
+        )
+        .join(
+          docs.select(col(idCol).as("b_id"), col(textCol).as("__tb")),
+          "b_id"
+        )
+        .select(
+          col("a_id"),
+          col("b_id"),
+          round(
+            GraftFunctions.jaccardSorted(sh(col("__ta")), sh(col("__tb"))),
+            4
+          ).as("jaccard")
+        )
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // Duplicate-heavy corpora (pair set too big to broadcast): keep the
+      // per-document shingle tables so the big pair set equi-joins against
+      // doc-grain sets instead of recomputing a kernel per pair occurrence.
+      val shingles = docs.select(
+        col(idCol),
+        array_distinct(
+          GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
+        ).as("sh")
       )
-      .filter(col("jaccard") >= threshold)
+      rawCands
+        .join(shingles.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
+        .join(shingles.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
+        .select(
+          col("a_id"),
+          col("b_id"),
+          round(TF.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard")
+        )
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Full near-dup clustering: verified pairs → connected components →
@@ -292,12 +334,6 @@ object Dedup {
       numHashes,
       bands
     )
-    def shingleTable(df: DataFrame) = df.select(
-      col(idCol),
-      array_distinct(
-        GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
-      ).as("sh")
-    )
     // candidate (incoming, reference) pairs sharing a band bucket; bucket-size
     // cap on the reference side bounds degenerate boilerplate buckets
     val refBands = bandTable(reference)
@@ -309,19 +345,28 @@ object Dedup {
       .join(refBands, Seq("band", "bh"))
       .select(col("in_id"), explode(col("ref_ids")).as("ref_id"))
       .distinct()
-    // candidate pairs are tiny relative to both corpora: broadcast them so
-    // the two shingle verification joins stream without a shuffle (same
-    // trade as nearDupPairs)
+    // candidate pairs are tiny relative to both corpora: broadcast them and
+    // compute the verification shingles per PAIR SIDE after the joins
+    // (round 13 — same rationale and same bit-identical value path as
+    // nearDupPairs: the previous per-corpus shingle tables paid
+    // |incoming| + |reference| kernel evaluations in two full streamed
+    // passes to verify |cands| pairs)
+    val sh = (c: Column) =>
+      sort_array(
+        array_distinct(GraftFunctions.shingleHashes(TF.normText(c), shingleK))
+      )
     val matched = broadcast(cands)
       .join(
-        shingleTable(incoming).select(col(idCol).as("in_id"), col("sh").as("sh_in")),
+        incoming.select(col(idCol).as("in_id"), col(textCol).as("__ti")),
         "in_id"
       )
       .join(
-        shingleTable(reference).select(col(idCol).as("ref_id"), col("sh").as("sh_ref")),
+        reference.select(col(idCol).as("ref_id"), col(textCol).as("__tr")),
         "ref_id"
       )
-      .filter(TF.jaccard(col("sh_in"), col("sh_ref")) >= threshold)
+      .filter(
+        GraftFunctions.jaccardSorted(sh(col("__ti")), sh(col("__tr"))) >= threshold
+      )
       .select(col("in_id").as(idCol))
       .distinct()
     incoming.join(matched, Seq(idCol), "left_anti")
@@ -758,20 +803,28 @@ object Dedup {
     // small enough to sit in one parquet split would otherwise run the
     // whole n²/2 loop in a single task. Measured at sf0.1 (2 500-doc
     // sample, 3.1M pairs): 183 s naive → 2.3 s.
+    // Shingle sets are SORTED once per row (after distinct) so the per-pair
+    // Jaccard is a zero-allocation merge scan (graft_jaccard_sorted, round
+    // 13). The Column formulation this replaces —
+    // size(array_intersect)/(na+nb-inter) — built an array_intersect hash
+    // set + result array TWICE per candidate pair (the union term and the
+    // ratio are separate subtrees; no CSE inside a join condition), which
+    // profiled as the dominant term of the n²/2 loop. Values bit-identical:
+    // same integer counts, same double division, same round(…, 4).
     val sh = docs.select(
       col(idCol).as("id"),
-      array_distinct(
-        GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
+      sort_array(
+        array_distinct(
+          GraftFunctions.shingleHashes(TF.normText(col(textCol)), shingleK)
+        )
       ).as("s")
     )
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val uni = col("na") + col("nb") - inter
-    val jac = round(when(uni === 0d, 0d).otherwise(inter / uni), 4)
+    val jac = round(GraftFunctions.jaccardSorted(col("sa"), col("sb")), 4)
     sh
-      .select(col("id").as("a_id"), col("s").as("sa"), size(col("s")).cast("double").as("na"))
+      .select(col("id").as("a_id"), col("s").as("sa"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(
-        broadcast(sh.select(col("id").as("b_id"), col("s").as("sb"), size(col("s")).cast("double").as("nb"))),
+        broadcast(sh.select(col("id").as("b_id"), col("s").as("sb"))),
         col("a_id") < col("b_id") && jac >= threshold
       )
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
