@@ -133,6 +133,23 @@ object Dedup {
       )
   }
 
+  /** Widen a kernel-heavy subtree whose input arrives in fewer splits than
+    * the cluster has slots (guide §2.5 — a single unsplittable input file
+    * leaves every per-row kernel single-threaded until the first exchange;
+    * JobProbe at sf0.1: the one-row-group documents scan ran the 128-hash
+    * signature kernel as ONE task, 0.5–0.75 s of each dedup row's wall).
+    * Hash-partitioning on the id keeps the exchange deterministic under
+    * retries (guide §2.5: never round-robin on data that feeds keyed work).
+    * At scale the guard is false — the scan already carries >= slots splits
+    * — and the plan is untouched: NO exchange is added, so this can never
+    * become a full-corpus text shuffle at 100 TB. Same shape as
+    * [[Multimodal.withSyntheticMedia]]'s spread guard. */
+  private def widenIfNarrow(df: DataFrame, byCol: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(byCol))
+    else df
+  }
+
   /** MinHash signatures: (id, sig array<bigint>). */
   def minhashSignatures(
       docs: DataFrame,
@@ -142,7 +159,7 @@ object Dedup {
       numHashes: Int = 128
   ): DataFrame = {
     implicit val spark: SparkSession = docs.sparkSession
-    docs.select(
+    widenIfNarrow(docs, idCol).select(
       col(idCol),
       GraftFunctions
         .minhashSignature(
@@ -798,11 +815,11 @@ object Dedup {
     // on) and the per-pair set op compares longs. (2) Per-row work is
     // hoisted: distinct and set SIZE are computed once per row, so each
     // pair does ONE array_intersect and |A∪B| = |A|+|B|-|A∩B| arithmetic
-    // — not a second union scan, and never a per-pair distinct. (3) The
-    // stream side is repartitioned to the cluster's parallelism: a sample
-    // small enough to sit in one parquet split would otherwise run the
-    // whole n²/2 loop in a single task. Measured at sf0.1 (2 500-doc
-    // sample, 3.1M pairs): 183 s naive → 2.3 s.
+    // — not a second union scan, and never a per-pair distinct. (3) A
+    // sample small enough to sit in one parquet split is widened to the
+    // cluster's parallelism before anything else, so neither the shingle
+    // kernel nor the n²/2 loop runs in a single task. Measured at sf0.1
+    // (2 500-doc sample, 3.1M pairs): 183 s naive → 2.3 s.
     // Shingle sets are SORTED once per row (after distinct) so the per-pair
     // Jaccard is a zero-allocation merge scan (graft_jaccard_sorted, round
     // 13). The Column formulation this replaces —
@@ -811,7 +828,13 @@ object Dedup {
     // ratio are separate subtrees; no CSE inside a join condition), which
     // profiled as the dominant term of the n²/2 loop. Values bit-identical:
     // same integer counts, same double division, same round(…, 4).
-    val sh = docs.select(
+    // widenIfNarrow BEFORE the kernel (round 13): the former keyless
+    // repartition sat ABOVE the shingle projection, so a one-split sample
+    // still computed every shingle set in one task (JobProbe: 0.69 s of the
+    // row's wall in a single-task stage) and only the pair loop ran wide;
+    // widening the raw (id, text) rows first runs the kernel at cluster
+    // width on BOTH the stream and the broadcast build sides.
+    val sh = widenIfNarrow(docs, idCol).select(
       col(idCol).as("id"),
       sort_array(
         array_distinct(
@@ -822,7 +845,6 @@ object Dedup {
     val jac = round(GraftFunctions.jaccardSorted(col("sa"), col("sb")), 4)
     sh
       .select(col("id").as("a_id"), col("s").as("sa"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(
         broadcast(sh.select(col("id").as("b_id"), col("s").as("sb"))),
         col("a_id") < col("b_id") && jac >= threshold
