@@ -1205,7 +1205,11 @@ object SparkEntry {
 
     // ---- C8: language-id heuristic, aggregated confusion counts (oracle).
     "text_langid" -> { (s, dir) =>
-      T(s, dir, "documents")
+      // widenIfNarrow (round 13): the langid kernel sits below the groupBy
+      // exchange, so a one-split scan ran it as one task (JobProbe: 307 ms
+      // of a 0.63 s run at sf0.1); no-op at scale.
+      operators.Spread
+        .widenIfNarrow(T(s, dir, "documents"), "doc_id")
         .select(col("lang"), functions.TextFunctions.langId(col("text")).as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
@@ -1310,8 +1314,13 @@ object SparkEntry {
         val docs = T(s, dir, "documents")
         // each span hash remembers one exemplar (doc, position); qualifying
         // hashes then recover their span STRING from just those ~50
-        // exemplar documents — no string ever enters the big shuffle
-        val stats = docs
+        // exemplar documents — no string ever enters the big shuffle.
+        // widenIfNarrow (round 13): the 8-gram hash kernel + posexplode ran
+        // as one task on the one-split scan (JobProbe: 329 ms of a 1.3 s
+        // run at sf0.1); the exemplar-resolve side is NOT widened — its
+        // kernel evaluates only for broadcast-probe matches (~50 rows).
+        val stats = operators.Spread
+          .widenIfNarrow(docs, "doc_id")
           .select(
             col("doc_id"),
             posexplode(

@@ -133,22 +133,11 @@ object Dedup {
       )
   }
 
-  /** Widen a kernel-heavy subtree whose input arrives in fewer splits than
-    * the cluster has slots (guide §2.5 — a single unsplittable input file
-    * leaves every per-row kernel single-threaded until the first exchange;
-    * JobProbe at sf0.1: the one-row-group documents scan ran the 128-hash
-    * signature kernel as ONE task, 0.5–0.75 s of each dedup row's wall).
-    * Hash-partitioning on the id keeps the exchange deterministic under
-    * retries (guide §2.5: never round-robin on data that feeds keyed work).
-    * At scale the guard is false — the scan already carries >= slots splits
-    * — and the plan is untouched: NO exchange is added, so this can never
-    * become a full-corpus text shuffle at 100 TB. Same shape as
-    * [[Multimodal.withSyntheticMedia]]'s spread guard. */
-  private def widenIfNarrow(df: DataFrame, byCol: String): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(byCol))
-    else df
-  }
+  /** See [[Spread.widenIfNarrow]] — the one-row-group bench scans ran the
+    * 128-hash signature kernel as ONE task (JobProbe: 0.5–0.75 s of each
+    * dedup row's wall) until the widening. */
+  private def widenIfNarrow(df: DataFrame, byCol: String): DataFrame =
+    Spread.widenIfNarrow(df, byCol)
 
   /** MinHash signatures: (id, sig array<bigint>). */
   def minhashSignatures(
@@ -546,7 +535,11 @@ object Dedup {
     // (one pass, no token/gram strings materialized); the span output only
     // carries positions, so the hash family is internal — 64-bit collision
     // odds are the same as the previous xxhash64-of-joined-string form
-    val gramsOf = docs
+    // widenIfNarrow (round 13): BOTH derivations of the gram table run the
+    // fused tokenize+hash kernel below the first exchange — single-task on
+    // a one-split scan (JobProbe: 250 ms + 130 ms single-task stages per
+    // dedup_substring row at sf0.1).
+    val gramsOf = widenIfNarrow(docs, idCol)
       .select(
         col(idCol),
         posexplode(
@@ -603,7 +596,10 @@ object Dedup {
     * sketch space spread while preserving near-dup locality. */
   def simhashes(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     implicit val spark: SparkSession = docs.sparkSession
-    docs.select(
+    // widenIfNarrow (round 13): the simhash-over-shingles kernel was the
+    // single biggest single-task stage of dedup_simhash (JobProbe: 368 ms
+    // of a 1.05 s run on the one-split sf0.1 scan).
+    widenIfNarrow(docs, idCol).select(
       col(idCol),
       GraftFunctions
         .simhash64(GraftFunctions.shingleHashes(TF.normText(col(textCol)), 2))

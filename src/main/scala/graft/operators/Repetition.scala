@@ -120,6 +120,10 @@ object Repetition {
       ),
       1
     )
-    docs.select(col(idCol), inline(array(sig)))
+    // widenIfNarrow (round 13): the fused repetition kernel is zero-shuffle,
+    // so on a one-split scan the WHOLE operator ran as one task while 31
+    // slots idled (JobProbe at sf0.1: 224 ms of docs_repetition_gate's
+    // wall). At scale the guard is false and no exchange is added.
+    Spread.widenIfNarrow(docs, idCol).select(col(idCol), inline(array(sig)))
   }
 }

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Input-width guard for kernel-heavy subtrees (guide §2.5 input skew:
+  * "one huge unsplittable file … repartition immediately after the read").
+  *
+  * Every bench-scale table is ONE parquet row group, so a scan can never
+  * parallelize past one task regardless of `maxPartitionBytes` — and every
+  * per-row kernel below the first exchange (MinHash signatures, shingle
+  * hashing, simhash, langid, repetition stats) runs single-threaded while
+  * 31 slots idle (JobProbe at sf0.1: 250–370 ms single-task kernel stages
+  * on the heaviest text rows).
+  */
+object Spread {
+
+  /** Hash-repartition `df` to the cluster's parallelism ONLY when its scan
+    * arrives in fewer splits than the cluster has slots. Hash-partitioning
+    * on `byCol` keeps the exchange deterministic under retries (guide §2.5 /
+    * SPARK-38388: never round-robin data that feeds keyed work) and skips
+    * the sort-before-repartition a keyless exchange pays. At scale the
+    * guard is false — the scan already carries >= slots splits — and the
+    * plan is untouched: NO exchange is added, so this can never become a
+    * full-corpus text shuffle at 100 TB. Same spread guard shape as
+    * [[Multimodal]]'s synthetic-media widening.
+    */
+  def widenIfNarrow(df: DataFrame, byCol: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(byCol))
+    else df
+  }
+}
