@@ -1004,7 +1004,10 @@ object Dedup {
         val n = emb.count().toDouble
         (8 to 22).find(p => n * (p + 1) / math.pow(2, p) <= 64.0).getOrElse(22)
       }
-    val base = emb
+    // widenIfNarrow (round 13): hyperplane hashing + the (planes+1)-way
+    // multi-probe explode sit below the bucket groupBy's exchange —
+    // single-task on a one-split scan; no-op at scale.
+    val base = widenIfNarrow(emb, idCol)
       .select(
         col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"),

@@ -31,7 +31,12 @@ object SimilaritySearch {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     )
-    val scored = corpus
+    // widenIfNarrow (round 13): the |queries|-per-row cosine fan-out runs
+    // below the top-k window's exchange — single-task on a one-split scan
+    // (JobProbe: the 191 ms single-task stage left in ann_lsh_recall after
+    // the LSH side was widened); no-op at scale.
+    val scored = Spread
+      .widenIfNarrow(corpus, idCol)
       .join(q, col("query_id") =!= col(idCol))
       .select(
         col("query_id"),
@@ -365,7 +370,12 @@ object SimilaritySearch {
           ).as("bucket")
         )
     )
-    val c = corpus
+    // widenIfNarrow (round 13): the corpus-side hyperplane hashing, the
+    // broadcast bucket probe and the per-candidate cosine all run below the
+    // distinct's exchange — single-task on a one-split scan (JobProbe:
+    // 214 ms of ann_lsh_recall's wall at sf0.1); no-op at scale.
+    val c = Spread
+      .widenIfNarrow(corpus, idCol)
       .select(
         col(idCol).as("vec_id"),
         col(vecCol),
