@@ -356,7 +356,19 @@ object Dedup {
     // (round 13 — same rationale and same bit-identical value path as
     // nearDupPairs: the previous per-corpus shingle tables paid
     // |incoming| + |reference| kernel evaluations in two full streamed
-    // passes to verify |cands| pairs)
+    // passes to verify |cands| pairs).
+    // Shape matrix measured at sf10 on docs_ingest_batch — a HALF/HALF
+    // split with a high cross-duplicate rate, the worst case for this
+    // shape because |pairs| ≈ O(corpus) there: r12 per-doc tables 7.1–7.6
+    // s, THIS shape 8.9–9.5 s, semi-filtered per-candidate-doc tables
+    // 10.3–11.0 s (the candidate pipeline rebuilds under each
+    // differently-keyed broadcast; ± localCheckpoint of the pair frame).
+    // Kept anyway: the operator's production contract is INCREMENTAL
+    // ingest — |pairs| ∝ |incoming batch|, not corpus — where per-pair
+    // recompute is strictly cheaper than a reference-wide kernel pass,
+    // and dedup_incremental (the contract-shaped row) is faster with
+    // this shape at sf0.1 (−26…−30%, two windows) and neutral at sf10.
+    // A |pairs|-adaptive verification gate is the round-14 candidate.
     val sh = (c: Column) =>
       sort_array(
         array_distinct(GraftFunctions.shingleHashes(TF.normText(c), shingleK))
