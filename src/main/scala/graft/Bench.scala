@@ -63,19 +63,31 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // previous round's per-query medians, for the cross-round axis (empty
-    // if the file is absent, unparseable, or measured a different sf dir)
-    val prior: Map[String, Double] = {
-      val path = java.nio.file.Paths
-        .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_FULL.json"))
-      try
-        if (!java.nio.file.Files.exists(path)) Map.empty
-        else {
-          val (psf, qs) = parsePrior(java.nio.file.Files.readString(path))
-          if (psf == sfDir) qs else Map.empty
-        }
-      catch { case _: Throwable => Map.empty }
-    }
+    // actual session width, echoed on every artifact (round 14): the r13
+    // driver had to GUESS whether SPARK_GRAFT_CPUS took effect because no
+    // artifact recorded it — and the working-dir BENCH_FULL.json it might
+    // have used as a prior was an 8-core run indistinguishable from a
+    // 32-core one
+    val cpus = spark.sparkContext.defaultParallelism
+    // Previous round's per-query medians, for the cross-round axis. Round
+    // 14: BENCH_FULL.json is gitignored (a per-run OUTPUT), so a fresh
+    // driver checkout has no working-dir prior and the round-11-style
+    // contamination detector never arms (VERDICT r13 "what's wrong" #1 —
+    // 8.4 s of phantom q16–q19 inflation entered the official artifact
+    // with regressed_vs_prior: 0). The TRACKED fallback BENCH_PRIOR.json
+    // (committed once per round from the freshest clean full record)
+    // guarantees a prior exists in driver context; a candidate is skipped
+    // when it measured a different sf dir or — new — records a different
+    // core count (the 8-core BENCH_FULL.json the r13 driver left behind
+    // must not gate a 32-core sweep).
+    val prior: Map[String, Double] = loadPrior(
+      sys.env
+        .get("SPARK_GRAFT_BENCH_PRIOR")
+        .map(Seq(_))
+        .getOrElse(Seq("BENCH_FULL.json", "BENCH_PRIOR.json")),
+      sfDir,
+      cpus
+    )
     def measure(name: String): QueryMeasure = {
       val fn = SparkEntry.queries(name)
       def force(): Unit =
@@ -155,7 +167,7 @@ object Bench {
     val retried = results.collect { case (k, m) if m.retries > 0 => s""""$k":${m.retries}""" }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jsonMap(_.median)},"queries_min":${jsonMap(_.min)},"contaminated":${contaminatedNames
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":$cpus,"n_queries":${results.size},"queries":${jsonMap(_.median)},"queries_min":${jsonMap(_.min)},"contaminated":${contaminatedNames
           .map("\"" + _ + "\"")
           .mkString("[", ",", "]")},"retries":${retried.mkString("{", ",", "}")},"regressed_vs_prior":${regressedRows
           .mkString("[", ",", "]")},"sf":"$sfDir"}"""
@@ -172,7 +184,9 @@ object Bench {
         total,
         sfDir,
         contaminated = contaminatedNames.size,
-        regressedVsPrior = regressedRows.size
+        regressedVsPrior = regressedRows.size,
+        cpus = cpus,
+        nQueries = results.size
       )
     )
     System.out.flush()
@@ -249,17 +263,55 @@ object Bench {
   ): Boolean =
     median >= 0 && prior.exists(p => p >= 0.05 && median > 3.0 * p)
 
-  /** Extract (sf, per-query medians) from a previous BENCH_FULL.json via a
-    * real JSON parse (Jackson rides Spark's classpath) — a malformed or
-    * foreign file degrades to "no prior" instead of failing the sweep, and
-    * the extraction doesn't couple to field order or brace placement the
-    * way a regex would. */
-  private[graft] def parsePrior(json: String): (String, Map[String, Double]) =
+  /** A parsed prior-medians candidate: where it was measured, at what core
+    * count (absent in pre-round-14 files — accepted, can't tell), and the
+    * per-query medians. */
+  private[graft] final case class Prior(
+      sf: String,
+      cpus: Option[Int],
+      queries: Map[String, Double]
+  )
+
+  /** First candidate file that exists, parses, measured the SAME sf dir,
+    * and — when it records a core count — the same core count as this
+    * sweep. The candidate order is (env override) or (working-dir
+    * BENCH_FULL.json, then tracked BENCH_PRIOR.json): the fresh artifact
+    * wins when present and comparable; the committed snapshot guarantees a
+    * driver-context run is never blind (round 14 / VERDICT r13 item 2). */
+  private[graft] def loadPrior(
+      paths: Seq[String],
+      sfDir: String,
+      cpus: Int
+  ): Map[String, Double] =
+    paths.iterator
+      .map { p =>
+        try {
+          val path = java.nio.file.Paths.get(p)
+          if (!java.nio.file.Files.exists(path)) Map.empty[String, Double]
+          else {
+            val prior = parsePrior(java.nio.file.Files.readString(path))
+            if (prior.sf == sfDir && prior.cpus.forall(_ == cpus))
+              prior.queries
+            else Map.empty[String, Double]
+          }
+        } catch { case _: Throwable => Map.empty[String, Double] }
+      }
+      .find(_.nonEmpty)
+      .getOrElse(Map.empty)
+
+  /** Extract (sf, cpus, per-query medians) from a previous BENCH_FULL.json
+    * via a real JSON parse (Jackson rides Spark's classpath) — a malformed
+    * or foreign file degrades to "no prior" instead of failing the sweep,
+    * and the extraction doesn't couple to field order or brace placement
+    * the way a regex would. */
+  private[graft] def parsePrior(json: String): Prior =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      if (root == null || !root.isObject) ("", Map.empty)
+      if (root == null || !root.isObject) Prior("", None, Map.empty)
       else {
         val sf = Option(root.get("sf")).filter(_.isTextual).map(_.asText()).getOrElse("")
+        val cpus =
+          Option(root.get("cpus")).filter(_.isNumber).map(_.asInt())
         val qs = Option(root.get("queries")).filter(_.isObject) match {
           case None => Map.empty[String, Double]
           case Some(q) =>
@@ -268,9 +320,9 @@ object Bench {
               case e if e.getValue.isNumber => e.getKey -> e.getValue.asDouble()
             }.toMap
         }
-        (sf, qs)
+        Prior(sf, cpus, qs)
       }
-    } catch { case _: Exception => ("", Map.empty) }
+    } catch { case _: Exception => Prior("", None, Map.empty) }
 
   /** GC until the heap stops shrinking — the settle cost scales with the
     * preceding query's allocation instead of a fixed sleep (round 8's flat
@@ -306,7 +358,9 @@ object Bench {
       sfDir: String,
       budget: Int = 1500,
       contaminated: Int = 0,
-      regressedVsPrior: Int = 0
+      regressedVsPrior: Int = 0,
+      cpus: Int = 0,
+      nQueries: Int = -1
   ): String = {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -320,7 +374,14 @@ object Bench {
       .takeWhile(_._1 <= budget)
       .map(_._2)
     val omitted = entries.size - kept.size
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept
+    // `n_queries` + `cpus` (round 14): the budgeted queries map is a
+    // SUBSET, and the r13 driver's dropped/new bookkeeping misread exactly
+    // that — three faster queries "dropped_from_bench", two noise-block
+    // rows "new_in_bench" — while its scaling run had to guess whether
+    // SPARK_GRAFT_CPUS took effect. A 60-of-119 listing is now
+    // self-describing and every line names its core count.
+    val n = if (nQueries >= 0) nQueries else medians.size
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":$n,"cpus":$cpus,"queries":${kept
         .mkString("{", ",", "}")},"queries_omitted":$omitted,"contaminated":$contaminated,"regressed_vs_prior":$regressedVsPrior,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
   }
 }

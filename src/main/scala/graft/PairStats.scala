@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool (round 14): measure the candidate-pair : corpus-doc ratio that
+  * the |pairs|-adaptive dedup verification gate keys on, for the two
+  * dedupAgainstCorpus gate rows, at any sf dir.
+  *
+  * Usage: runMain graft.PairStats [sfDir]
+  *
+  * Prints, for the raw odd/even split (dedup_incremental's inputs) and the
+  * ingest-prepared split (docs_ingest_batch's inputs after quality gate +
+  * exact self-dedup), the candidate pair count, both corpus sizes, and the
+  * ratio — the quantity VERDICT r13 item 1's gate must separate the two
+  * regimes by.
+  */
+object PairStats {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = BenchSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.t(spark, dir, "documents")
+
+    def stats(label: String, incoming: org.apache.spark.sql.DataFrame, reference: org.apache.spark.sql.DataFrame): Unit = {
+      import graft.functions.{GraftFunctions, TextFunctions => TF}
+      def bandTable(df: org.apache.spark.sql.DataFrame) =
+        operators.Dedup.minhashBands(
+          operators.Dedup.minhashSignatures(df, "text", "doc_id", 3, 128),
+          "doc_id", 128, 32
+        )
+      val refBands = bandTable(reference)
+        .groupBy("band", "bh")
+        .agg(collect_list(col("doc_id")).as("ref_ids"))
+        .filter(size(col("ref_ids")) <= 1000)
+      val cands = bandTable(incoming)
+        .withColumnRenamed("doc_id", "in_id")
+        .join(refBands, Seq("band", "bh"))
+        .select(col("in_id"), explode(col("ref_ids")).as("ref_id"))
+        .distinct()
+      val nPairs = cands.count()
+      val nIn = incoming.count()
+      val nRef = reference.count()
+      println(f"== $label: pairs=$nPairs in=$nIn ref=$nRef pairs/(in+ref)=${nPairs.toDouble / (nIn + nRef)}%.3f")
+      val _ = (GraftFunctions, TF) // keep imports tidy
+    }
+
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val reference = docs.filter(col("doc_id") % 2 === 0)
+    stats("dedup_incremental (raw odd/even)", incoming, reference)
+
+    // docs_ingest_batch's incoming side: repetition gate + exact self-dedup
+    val sig = operators.Repetition.signals(incoming, "text", "doc_id")
+    val passing = sig
+      .filter(col("max_run") <= 5 && col("top_bigram_frac") <= 0.2)
+      .select(col("doc_id"))
+    val gated = incoming.join(passing, "doc_id")
+    val selfDeduped = operators.Dedup.exactDedup(gated, "text", "doc_id")
+    stats("docs_ingest_batch (gated+self-deduped vs corpus)", selfDeduped, reference)
+
+    spark.stop()
+  }
+}

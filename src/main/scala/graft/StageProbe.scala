@@ -1,0 +1,80 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Dev tool (round 14): per-STAGE timing of one gate query under the Bench
+  * session — JobProbe attributes stages to "the last started job", which
+  * lies whenever AQE materializes independent query stages concurrently
+  * (exactly the overlap this round's pin work must not destroy). This
+  * probe keys each stage to its owning job via the job-start event's stage
+  * list and prints wall, task count, and the stage's callsite name, plus
+  * each job's span, so serialized barriers and lost overlap are visible.
+  *
+  * Usage: runMain graft.StageProbe <queryName> [sfDir]
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val q = args(0)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = BenchSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.provider(spark, dir)
+    def run(): Unit =
+      SparkEntry
+        .queries(q)(spark, dir)
+        .write
+        .mode("overwrite")
+        .format("noop")
+        .save()
+    run() // warmup
+    val stageToJob = mutable.Map.empty[Int, Int]
+    final case class JobSpan(id: Int, start: Long, var end: Long)
+    final case class StageRow(job: Int, id: Int, ms: Long, tasks: Int, name: String)
+    val jobs = mutable.ArrayBuffer.empty[JobSpan]
+    val stages = mutable.ArrayBuffer.empty[StageRow]
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.synchronized {
+          jobs += JobSpan(e.jobId, e.time, -1L)
+          e.stageIds.foreach(s => stageToJob(s) = e.jobId)
+        }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.synchronized { jobs.find(_.id == e.jobId).foreach(_.end = e.time) }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        jobs.synchronized {
+          val si = e.stageInfo
+          val ms = (for {
+            a <- si.completionTime
+            b <- si.submissionTime
+          } yield a - b).getOrElse(-1L)
+          stages += StageRow(
+            stageToJob.getOrElse(si.stageId, -1),
+            si.stageId,
+            ms,
+            si.numTasks,
+            si.name.take(90)
+          )
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    System.gc(); Thread.sleep(100)
+    val t0 = System.nanoTime()
+    run()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(300)
+    println(f"== $q: one timed run $wall%.3f s, ${jobs.size} jobs, ${stages.size} stages ==")
+    val origin = jobs.map(_.start).min
+    jobs.sortBy(_.start).foreach { j =>
+      val dur = if (j.end > 0) j.end - j.start else -1L
+      println(f"job ${j.id}%4d  t+${j.start - origin}%6d ms  dur ${dur}%6d ms")
+    }
+    println("-- stages by wall (desc) --")
+    stages.sortBy(-_.ms).take(25).foreach { s =>
+      println(f"job ${s.job}%4d stage ${s.id}%4d  ${s.ms}%6d ms tasks=${s.tasks}%5d  ${s.name}")
+    }
+    spark.stop()
+  }
+}

@@ -331,7 +331,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      largeInputBytes: Long = Spread.DefaultLargeInputBytes
   ): DataFrame = {
     implicit val spark: SparkSession = incoming.sparkSession
     def bandTable(df: DataFrame) = minhashBands(
@@ -351,43 +352,77 @@ object Dedup {
       .join(refBands, Seq("band", "bh"))
       .select(col("in_id"), explode(col("ref_ids")).as("ref_id"))
       .distinct()
-    // candidate pairs are tiny relative to both corpora: broadcast them and
-    // compute the verification shingles per PAIR SIDE after the joins
-    // (round 13 — same rationale and same bit-identical value path as
-    // nearDupPairs: the previous per-corpus shingle tables paid
-    // |incoming| + |reference| kernel evaluations in two full streamed
-    // passes to verify |cands| pairs).
-    // Shape matrix measured at sf10 on docs_ingest_batch — a HALF/HALF
-    // split with a high cross-duplicate rate, the worst case for this
-    // shape because |pairs| ≈ O(corpus) there: r12 per-doc tables 7.1–7.6
-    // s, THIS shape 8.9–9.5 s, semi-filtered per-candidate-doc tables
-    // 10.3–11.0 s (the candidate pipeline rebuilds under each
-    // differently-keyed broadcast; ± localCheckpoint of the pair frame).
-    // Kept anyway: the operator's production contract is INCREMENTAL
-    // ingest — |pairs| ∝ |incoming batch|, not corpus — where per-pair
-    // recompute is strictly cheaper than a reference-wide kernel pass,
-    // and dedup_incremental (the contract-shaped row) is faster with
-    // this shape at sf0.1 (−26…−30%, two windows) and neutral at sf10.
-    // A |pairs|-adaptive verification gate is the round-14 candidate.
+    // Candidate pairs are tiny relative to both corpora (banding + bucket
+    // caps; |pairs| ∝ incoming batch by the incremental contract — measured
+    // 2.4% of corpus rows at BOTH sf0.1 and sf10 on the two gate rows):
+    // broadcast them and compute the verification shingle sets per pair
+    // side after the joins (round 13 — bit-identical value path:
+    // size(intersect)/size(union) over distinct sorted sets ≡
+    // inter/(na+nb−inter), same double division, same round(…, 4)).
     val sh = (c: Column) =>
       sort_array(
         array_distinct(GraftFunctions.shingleHashes(TF.normText(c), shingleK))
       )
-    val matched = broadcast(cands)
-      .join(
-        incoming.select(col(idCol).as("in_id"), col(textCol).as("__ti")),
-        "in_id"
-      )
-      .join(
-        reference.select(col(idCol).as("ref_id"), col(textCol).as("__tr")),
-        "ref_id"
-      )
-      .filter(
-        GraftFunctions.jaccardSorted(sh(col("__ti")), sh(col("__tr"))) >= threshold
-      )
-      .select(col("in_id").as(idCol))
-      .distinct()
-    incoming.join(matched, Seq(idCol), "left_anti")
+    if (!Spread.isLarge(reference, largeInputBytes)) {
+      // Small corpora (the gate-scale regime): the flat overhead of the
+      // pinned shape below — an eager checkpoint plus broadcast-build
+      // jobs — costs more than the corpus-text shuffle it avoids. Plan
+      // identical to round 13's here.
+      val matched = broadcast(cands)
+        .join(
+          incoming.select(col(idCol).as("in_id"), col(textCol).as("__ti")),
+          "in_id"
+        )
+        .join(
+          reference.select(col(idCol).as("ref_id"), col(textCol).as("__tr")),
+          "ref_id"
+        )
+        .filter(
+          GraftFunctions.jaccardSorted(sh(col("__ti")), sh(col("__tr"))) >= threshold
+        )
+        .select(col("in_id").as(idCol))
+        .distinct()
+      incoming.join(matched, Seq(idCol), "left_anti")
+    } else {
+      // Round 14 (guide §3.2 semi-join reduction, §2.3 shuffle fewer
+      // bytes). The round-13 shape's verify join shuffled the FULL
+      // reference text to probe a candidate set 40× smaller (the sf10
+      // executed plan planned ShuffledHashJoin over all 250k reference
+      // texts for 12k pairs), and the round-12 per-doc shape paid two
+      // full-corpus kernel passes for the same 12k verifications.
+      // Instead: pin the candidate pair frame ONCE (eager
+      // localCheckpoint — an id-pair frame, ~16 bytes/row, the same
+      // frame the ungated branch already assumes broadcastable;
+      // coalesced first so the checkpoint job cannot schedule
+      // initialPartitionNum near-empty tasks), semi-filter BOTH text
+      // sides to candidate docs with broadcast id-joins off the pinned
+      // frame (no corpus text ever crosses an exchange, and the
+      // candidate pipeline cannot rebuild under the differently-keyed
+      // broadcasts — the un-pinned version of this shape measured 10.3 s
+      // vs 8.9 s at sf10 in round 13 for exactly that reason), and
+      // compute each candidate DOC's sorted shingle set once before the
+      // pair-grain attach. Kernel evaluations: ≤ |candidate docs| ≤
+      // 2·|pairs|, never per pair occurrence and never per corpus row.
+      // The checkpoint runs inside the timed query (every bench run
+      // re-executes it; nothing persists across runs).
+      val width = spark.sparkContext.defaultParallelism
+      val pinned = cands.coalesce(width).localCheckpoint()
+      val inSel = incoming
+        .join(broadcast(pinned.select(col("in_id").as(idCol)).distinct()), idCol)
+        .select(col(idCol).as("in_id"), sh(col(textCol)).as("__shi"))
+      val refSel = reference
+        .join(broadcast(pinned.select(col("ref_id").as(idCol)).distinct()), idCol)
+        .select(col(idCol).as("ref_id"), sh(col(textCol)).as("__shr"))
+      val matched = broadcast(pinned)
+        .join(inSel, "in_id")
+        .join(refSel, "ref_id")
+        .filter(
+          GraftFunctions.jaccardSorted(col("__shi"), col("__shr")) >= threshold
+        )
+        .select(col("in_id").as(idCol))
+        .distinct()
+      incoming.join(matched, Seq(idCol), "left_anti")
+    }
   }
 
   /** Incoming docs whose exact content is NOT already in the reference

@@ -30,4 +30,30 @@ object Spread {
     if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(byCol))
     else df
   }
+
+  /** Scale gate for pin/semi-filter shapes (round 14): true when the
+    * frame's optimizer size estimate reaches `minBytes`. Reads plan-time
+    * statistics only — file sizes for scans, no job, no data touched — the
+    * same no-job discipline as [[widenIfNarrow]]'s split-count check.
+    *
+    * Used to keep fixed-overhead constructs (an eager localCheckpoint of a
+    * small multi-consumer frame, broadcast semi-filters ahead of a verify
+    * join) OUT of small-input plans, where a handful of extra driver
+    * round-trips costs more than the kernel re-derivations and text
+    * shuffles they remove, and IN at scale, where those re-derivations and
+    * shuffles grow linearly with the corpus while the overhead stays flat.
+    * The default threshold (16 MB of estimated — compressed — input) is
+    * the break-even's order of magnitude, not a tuned constant: ~4 extra
+    * driver round-trips cost ~0.1 s locally, while ≥16 MB of snappy
+    * parquet text is ~100+ MB decompressed, so ONE avoided per-row text
+    * kernel pass already costs more than the overhead on any plausible
+    * kernel throughput — and the avoided term keeps growing with the
+    * corpus while the overhead does not; both sides of the comparison
+    * move together on a bigger cluster. Callers expose it as a parameter.
+    */
+  def isLarge(df: DataFrame, minBytes: Long): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+
+  /** The shared default for [[isLarge]] gates. */
+  val DefaultLargeInputBytes: Long = 16L << 20
 }

@@ -48,7 +48,8 @@ object CorpusIngest {
       textCol: String,
       idCol: String,
       jaccardThreshold: Double,
-      gate: Gate
+      gate: Gate,
+      largeInputBytes: Long = graft.operators.Spread.DefaultLargeInputBytes
   ): DataFrame = {
     val sig = Repetition.signals(batch, textCol, idCol)
     val passing = sig
@@ -58,17 +59,52 @@ object CorpusIngest {
       )
       .select(col(idCol))
     val gated = batch.join(passing, idCol)
-    val selfDeduped = Dedup.exactDedup(gated, textCol, idCol)
+    val selfDeduped0 = Dedup.exactDedup(gated, textCol, idCol)
     corpus match {
       case Some(ref) =>
+        // Round 14 (guide §3.3: materialize a multiply-consumed
+        // intermediate to truncate the plan): dedupAgainstCorpus references
+        // its incoming side THREE times (candidate band table, verify text
+        // join, final anti-join), and each re-derivation of the gated +
+        // self-deduped frame re-runs the repetition-signals text kernel and
+        // the exact-dedup fingerprint aggregate — the sf10 executed plan
+        // carried SIX graft_repetition_stats kernel passes over the batch
+        // for one query, the dominant term of docs_ingest_batch's +23%
+        // decade regression (r13 verdict item 1; candidate pairs measured
+        // only 2.4% of corpus, so the verification shape was not it).
+        // Pin the SURVIVOR IDS once — an id-only frame, ~8 bytes/row at any
+        // scale, eagerly checkpointed inside the timed query — and rebuild
+        // the batch side as batch ⋈ ids: every downstream re-derivation is
+        // then a scan + id semi-join with zero kernel work. Gated on batch
+        // size (Spread.isLarge): below the gate the pin's flat driver
+        // round-trips cost more than the duplicated kernels, and the plan
+        // stays byte-identical to round 13's.
+        val selfDeduped =
+          if (!graft.operators.Spread.isLarge(batch, largeInputBytes))
+            selfDeduped0
+          else {
+            val width = batch.sparkSession.sparkContext.defaultParallelism
+            val survivorIds =
+              selfDeduped0.select(col(idCol)).coalesce(width).localCheckpoint()
+            // explicit broadcast: a checkpointed frame is a LogicalRDD with
+            // no size statistics, and without the hint the planner paired
+            // it with the batch TEXT in a ShuffledHashJoin — re-shuffling
+            // the whole batch payload to attach an id list (and running
+            // the downstream minhash kernel on the join's narrow coalesced
+            // output: a single-task 2.6 s stage at sf10). The ids are
+            // ∝ the bounded micro-batch, the same size contract the
+            // candidate-pair broadcast downstream already relies on.
+            batch.join(broadcast(survivorIds), idCol)
+          }
         Dedup.dedupAgainstCorpus(
           selfDeduped,
           ref.select(col(idCol), col(textCol)),
           textCol,
           idCol,
-          jaccardThreshold
+          jaccardThreshold,
+          largeInputBytes = largeInputBytes
         )
-      case None => selfDeduped
+      case None => selfDeduped0
     }
   }
 

@@ -73,17 +73,83 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("parsePrior round-trips our own BENCH_FULL.json shape") {
     val json =
-      """{"metric":"total","value":12.5,"unit":"sec","runs":5,""" +
+      """{"metric":"total","value":12.5,"unit":"sec","runs":5,"cpus":32,""" +
         """"queries":{"q1":0.42,"dedup_incremental":14.39,"neg":-1.0},""" +
         """"queries_min":{"q1":0.40},"contaminated":[],"retries":{},"sf":"/root/testdata/sf0.1"}"""
-    val (sf, qs) = Bench.parsePrior(json)
-    assert(sf == "/root/testdata/sf0.1")
-    assert(qs == Map("q1" -> 0.42, "dedup_incremental" -> 14.39, "neg" -> -1.0))
+    val p = Bench.parsePrior(json)
+    assert(p.sf == "/root/testdata/sf0.1")
+    assert(p.cpus.contains(32))
+    assert(p.queries == Map("q1" -> 0.42, "dedup_incremental" -> 14.39, "neg" -> -1.0))
+  }
+
+  test("parsePrior accepts pre-round-14 files that never recorded cpus") {
+    val p = Bench.parsePrior("""{"queries":{"q1":0.5},"sf":"/d/sf0.1"}""")
+    assert(p.cpus.isEmpty && p.queries == Map("q1" -> 0.5))
   }
 
   test("parsePrior degrades to empty on garbage instead of throwing") {
-    assert(Bench.parsePrior("not json at all") == ("", Map.empty))
-    assert(Bench.parsePrior("") == ("", Map.empty))
+    assert(Bench.parsePrior("not json at all") == Bench.Prior("", None, Map.empty))
+    assert(Bench.parsePrior("") == Bench.Prior("", None, Map.empty))
+  }
+
+  test("driver context: tracked BENCH_PRIOR.json arms the detector when the working-dir artifact is absent") {
+    // the r13 failure mode: fresh driver checkout, BENCH_FULL.json
+    // gitignored so absent, parsePrior -> empty, and a planted 4x-slow row
+    // sails through with regressed_vs_prior: 0. The tracked fallback must
+    // produce a prior that names it.
+    val dir = java.nio.file.Files.createTempDirectory("benchprior")
+    val tracked = dir.resolve("BENCH_PRIOR.json")
+    java.nio.file.Files.writeString(
+      tracked,
+      """{"queries":{"q16_supplier_counts":0.29},"cpus":32,"sf":"/data/sf0.1"}"""
+    )
+    val prior = Bench.loadPrior(
+      Seq(dir.resolve("BENCH_FULL.json").toString, tracked.toString),
+      "/data/sf0.1",
+      32
+    )
+    assert(prior == Map("q16_supplier_counts" -> 0.29))
+    // the planted 4x row (the r13 q16 shape: 0.29 -> 1.2s) now triggers
+    assert(Bench.regressedVsPrior(1.2, prior.get("q16_supplier_counts")))
+  }
+
+  test("loadPrior: working-dir artifact wins over the tracked snapshot when comparable") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprior2")
+    val full = dir.resolve("BENCH_FULL.json")
+    val tracked = dir.resolve("BENCH_PRIOR.json")
+    java.nio.file.Files.writeString(
+      full,
+      """{"queries":{"q1":0.10},"cpus":32,"sf":"/data/sf0.1"}"""
+    )
+    java.nio.file.Files.writeString(
+      tracked,
+      """{"queries":{"q1":0.99},"cpus":32,"sf":"/data/sf0.1"}"""
+    )
+    val prior =
+      Bench.loadPrior(Seq(full.toString, tracked.toString), "/data/sf0.1", 32)
+    assert(prior == Map("q1" -> 0.10))
+  }
+
+  test("loadPrior skips core-count and sf mismatches (an 8-core file cannot gate a 32-core sweep)") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprior3")
+    val full = dir.resolve("BENCH_FULL.json") // the r13 leftover: an 8-core run
+    val tracked = dir.resolve("BENCH_PRIOR.json")
+    java.nio.file.Files.writeString(
+      full,
+      """{"queries":{"q1":2.0},"cpus":8,"sf":"/data/sf0.1"}"""
+    )
+    java.nio.file.Files.writeString(
+      tracked,
+      """{"queries":{"q1":0.3},"cpus":32,"sf":"/data/sf0.1"}"""
+    )
+    assert(
+      Bench.loadPrior(Seq(full.toString, tracked.toString), "/data/sf0.1", 32)
+        == Map("q1" -> 0.3)
+    )
+    // sf mismatch on every candidate -> no prior at all
+    assert(
+      Bench.loadPrior(Seq(full.toString, tracked.toString), "/data/sf1", 32).isEmpty
+    )
   }
 
   test("cross-round trigger: >3x a >=50ms prior, never on failed runs") {
@@ -131,6 +197,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"regressed_vs_prior\":3"))
     assert(Bench.summaryLine(Seq("a" -> 0.5), 0.5, "sf")
       .contains("\"regressed_vs_prior\":0"))
+  }
+
+  test("cpus and n_queries make a budget-truncated line self-describing") {
+    val line = Bench.summaryLine(
+      many,
+      1.0,
+      "sf",
+      cpus = 32,
+      nQueries = many.size
+    )
+    assert(line.contains("\"cpus\":32"))
+    assert(line.contains(s""""n_queries":${many.size}"""))
+    // truncation still happened — n_queries reports the full suite anyway
+    val keptCount = "\"query_with_a_long_name_\\d+\":".r.findAllIn(line).size
+    assert(keptCount < many.size)
+    // default: n_queries falls back to the medians list length
+    assert(Bench.summaryLine(Seq("a" -> 0.5), 0.5, "sf").contains("\"n_queries\":1"))
   }
 
   test("wire formatting is pinned to Locale.ROOT (comma-decimal immunity)") {

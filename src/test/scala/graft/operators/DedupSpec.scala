@@ -260,6 +260,40 @@ class DedupSpec extends AnyFunSuite {
     assert(keptAll == 1L)
   }
 
+  test("dedupAgainstCorpus: the large-corpus pinned/semi-filtered verification is row-identical") {
+    // Round 14: above the Spread.isLarge gate the verification pins the
+    // candidate pair frame and semi-filters both text sides before the
+    // per-doc shingle kernel. Forcing the gate ON (largeInputBytes = 0)
+    // must produce exactly the rows of the small-corpus branch — same
+    // columns, same values — on a corpus with exact dups, near dups above
+    // and below threshold, and novel docs.
+    val reference = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine ten"),
+      (102L, "red orange yellow green blue indigo violet colors here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near dup
+      (3L, "totally new content that matches nothing at all"),
+      (4L, "one two three four five six seven eight nine ten"), // exact dup
+      (5L, "one two three four completely different tail words here now")
+    ).toDF("doc_id", "text")
+    def run(gate: Long) = Dedup
+      .dedupAgainstCorpus(
+        incoming, reference, "text", "doc_id",
+        threshold = 0.5, largeInputBytes = gate
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+      .toSeq
+    val small = run(Long.MaxValue) // gate forced OFF: the r13 broadcast shape
+    val large = run(0L) // gate forced ON: pinned + semi-filtered shape
+    assert(small == large, s"shapes diverged:\nsmall=$small\nlarge=$large")
+    assert(small.map(_._1) == Seq(3L, 5L))
+  }
+
   test("embedding near-dups: recall vs exhaustive truth at the threshold") {
     // Planted structure: 30 seeded base directions, each with two noisy
     // copies -> a known population of high-cosine pairs; truth computed by

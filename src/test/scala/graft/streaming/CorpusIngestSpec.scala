@@ -55,4 +55,34 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir).count() == 4)
     assert(DeltaRead.lastTxnVersion(dir, "corpus-ingest").contains(1L))
   }
+
+  test("prepareBatch: the large-batch survivor-id pin is row-identical") {
+    // Round 14: above the Spread.isLarge gate the gated + self-deduped
+    // batch is rebuilt as batch ⋈ pinned survivor ids so downstream
+    // re-derivations carry no kernel work. Forcing the gate ON must give
+    // exactly the un-pinned rows — schema and values — across gate drops,
+    // in-batch exact dups, and corpus near-dups.
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam"), // gated out
+      (4L, "one two three four five six seven eight nine ten"), // in-batch dup
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota lambda") // near-dup of ref
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    def run(gate: Long) = CorpusIngest
+      .prepareBatch(batch, Some(corpus), "text", "doc_id", 0.5,
+        CorpusIngest.Gate(), largeInputBytes = gate)
+    val unpinned = run(Long.MaxValue)
+    val pinned = run(0L)
+    assert(unpinned.schema == pinned.schema,
+      s"schemas diverged: ${unpinned.schema} vs ${pinned.schema}")
+    val a = unpinned.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val b = pinned.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(a == b, s"rows diverged:\nunpinned=$a\npinned=$b")
+    assert(a.map(_._1) == Seq(2L))
+  }
 }

@@ -38,12 +38,21 @@ def main() -> int:
         print(f"FAIL: last line does not json-parse ({e}): {last[:200]!r}",
               file=sys.stderr)
         return 1
-    for key in ("metric", "value", "unit", "queries"):
+    for key in ("metric", "value", "unit", "queries", "cpus", "n_queries"):
         if key not in obj:
             print(f"FAIL: parsed JSON missing key {key!r}: {obj}", file=sys.stderr)
             return 1
     if obj["metric"] != "total" or not isinstance(obj["queries"], dict):
         print(f"FAIL: not the summary contract line: {obj}", file=sys.stderr)
+        return 1
+    # round 14: the queries map is budget-truncated, so the line itself must
+    # say how many rows actually ran and at what width (VERDICT r13 item 2)
+    if obj["n_queries"] < len(obj["queries"]):
+        print(f"FAIL: n_queries {obj['n_queries']} < listed queries "
+              f"{len(obj['queries'])}", file=sys.stderr)
+        return 1
+    if not isinstance(obj["cpus"], int) or obj["cpus"] <= 0:
+        print(f"FAIL: cpus not a positive int: {obj['cpus']!r}", file=sys.stderr)
         return 1
     tail = data[-TAIL_WINDOW:]
     if last not in tail:
@@ -51,7 +60,8 @@ def main() -> int:
               f"inside the final {TAIL_WINDOW}-char tail window", file=sys.stderr)
         return 1
     print(f"OK: last line is bare JSON, {len(last)} chars, "
-          f"{len(obj['queries'])} queries, total={obj['value']} {obj['unit']}")
+          f"{len(obj['queries'])} of {obj['n_queries']} queries listed, "
+          f"cpus={obj['cpus']}, total={obj['value']} {obj['unit']}")
     return 0
 
 
