@@ -738,6 +738,16 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_vector_fixed_mean",
+      es => VectorFixedMean(es(0)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_vector_fixed_mean10",
+      es => VectorFixedMean10(es(0)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_double_bucket",
       es => DoubleOrderBucket(es(0), lit(es(1))),
       "built-in"
@@ -773,6 +783,20 @@ object GraftFunctions {
   ): Column = {
     register(spark)
     call_function("graft_topk", id, score, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Per-group element-wise 2^20 fixed-point vector mean as array<float>
+    * (one-exchange Lloyd centroid update) — see [[VectorFixedMean]]. */
+  def vectorFixedMean(vec: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_vector_fixed_mean", vec)
+  }
+
+  /** Per-group element-wise exact-decimal vector mean (scale-10 128-bit
+    * sums, round 6) as array<double> — see [[VectorFixedMean10]]. */
+  def vectorFixedMean10(vec: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_vector_fixed_mean10", vec)
   }
 
   def shingleHashes(text: Column, k: Int)(implicit spark: SparkSession): Column = {

@@ -1,0 +1,359 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-group element-wise fixed-point vector mean:
+  * `graft_vector_fixed_mean(vec)` over array<float|double> rows returns the
+  * per-dimension mean as array<float>, summed in 2^20 fixed point — the
+  * one-aggregation replacement for [[graft.operators.SimilaritySearch]]'s
+  * Lloyd centroid update chain
+  *
+  *   posexplode(vec) → groupBy(cid, pos){ sum((x*1048576.0) as long),
+  *   count } → groupBy(cid){ sort_array(collect_list) } → transform(cast
+  *   float)
+  *
+  * which exploded n vectors into n×dim rows and paid TWO keyed exchanges
+  * per Lloyd iteration (guide §2.3 aggregate before you shuffle, §2.4
+  * remove shuffles outright). This aggregate consumes whole vector rows
+  * with map-side partials — the shuffle carries k×dim longs per input
+  * partition, no per-element rows exist, and one exchange replaces two.
+  *
+  * Value contract, BIT-identical to the chain above (spec-pinned in
+  * SimilaritySearchSpec): each element converts once as
+  * `(elemAsDouble * 1048576.0).toLong` (the chain's legacy double→long
+  * cast on in-range values); scaled-long sums are exactly associative, so
+  * any partition layout / merge topology yields the same per-dimension sum;
+  * the mean is `sum.toDouble / count / 1048576.0` cast to float — the same
+  * IEEE division sequence. A null vector row contributes neither sums nor
+  * count (posexplode of null emitted no rows); a null ELEMENT skips its
+  * dimension's sum while the row still counts (sum-over-nullable ∥
+  * count(1) semantics) — embedding vectors carry no null elements by
+  * contract, recorded here for completeness. Ragged input (vectors of
+  * differing lengths in one group) fails fast with the kernel's name
+  * rather than silently averaging a prefix.
+  */
+case class VectorFixedMean(
+    vecExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[VectorFixedMean.Buf] {
+
+  private lazy val elemIsFloat: Boolean = vecExpr.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_vector_fixed_mean expects array<float|double>, got $other"
+      )
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vecExpr.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_vector_fixed_mean expects array<float|double>, got $other"
+        )
+    }
+
+  override def children: Seq[Expression] = Seq(vecExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_vector_fixed_mean"
+
+  override def createAggregationBuffer(): VectorFixedMean.Buf =
+    new VectorFixedMean.Buf(null, 0L)
+
+  override def update(
+      buf: VectorFixedMean.Buf,
+      input: InternalRow
+  ): VectorFixedMean.Buf = {
+    val v = vecExpr.eval(input).asInstanceOf[ArrayData]
+    if (v != null) {
+      val n = v.numElements()
+      if (buf.sums == null) buf.sums = new Array[Long](n)
+      if (n != buf.sums.length)
+        throw new IllegalArgumentException(
+          s"graft_vector_fixed_mean: ragged vectors in one group " +
+            s"(${buf.sums.length} vs $n elements)"
+        )
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val d = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          buf.sums(i) += (d * 1048576.0).toLong
+        }
+        i += 1
+      }
+      buf.count += 1L
+    }
+    buf
+  }
+
+  override def merge(
+      buf: VectorFixedMean.Buf,
+      other: VectorFixedMean.Buf
+  ): VectorFixedMean.Buf = {
+    if (other.sums != null) {
+      if (buf.sums == null) {
+        buf.sums = other.sums
+      } else {
+        if (buf.sums.length != other.sums.length)
+          throw new IllegalArgumentException(
+            s"graft_vector_fixed_mean: ragged vectors across partitions " +
+              s"(${buf.sums.length} vs ${other.sums.length} elements)"
+          )
+        var i = 0
+        while (i < buf.sums.length) {
+          buf.sums(i) += other.sums(i)
+          i += 1
+        }
+      }
+    }
+    buf.count += other.count
+    buf
+  }
+
+  override def eval(buf: VectorFixedMean.Buf): Any =
+    if (buf.count == 0L || buf.sums == null) null
+    else {
+      val out = new Array[Float](buf.sums.length)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (buf.sums(i).toDouble / buf.count / 1048576.0).toFloat
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buf: VectorFixedMean.Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.count)
+    val n = if (buf.sums == null) -1 else buf.sums.length
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeLong(buf.sums(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorFixedMean.Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val count = in.readLong()
+    val n = in.readInt()
+    val sums =
+      if (n < 0) null
+      else {
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = in.readLong(); i += 1 }
+        a
+      }
+    new VectorFixedMean.Buf(sums, count)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorFixedMean =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorFixedMean =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]
+  ): Expression = copy(vecExpr = newChildren(0))
+}
+
+object VectorFixedMean {
+
+  /** Mutable per-group state: per-dimension scaled-long sums (sized on the
+    * first vector) and the member count. */
+  final class Buf(var sums: Array[Long], var count: Long)
+}
+
+/** Per-group element-wise exact-decimal vector mean:
+  * `graft_vector_fixed_mean10(vec)` over array<double> rows returns
+  * `round(fixedSum10(x_i) as double / count, 6)` per dimension as
+  * array<double> — the one-aggregation replacement for
+  * [[graft.operators.KMeans.updateCentroids]]'s chain
+  *
+  *   posexplode(vec) → groupBy(cid, pos){ graft_fixed_sum10(x), count } →
+  *   groupBy(cid){ sort_array(collect_list(struct(pos, m))) } → transform
+  *
+  * with the same shuffle/explode savings as [[VectorFixedMean]]. Per
+  * dimension it keeps the exact 128-bit scale-10 fixed-point sum
+  * ([[DecimalOps.scaled1e10]] conversion, limb adds with the same
+  * carry-out formula as [[FixedPointSum]] — exactly associative), and
+  * evaluates `Decimal(38,10).toDouble / rowCount` rounded to 6 with
+  * Spark's Round-on-double semantics (BigDecimal.valueOf, HALF_UP) — the
+  * chain's exact value path, spec-pinned in KMeansSpec. Null handling
+  * mirrors the chain: a null vector row contributes nothing; a null
+  * element skips its dimension's sum while the row still counts; a
+  * dimension whose every value was null evaluates to a null element
+  * (fixed_sum10's all-null group). */
+case class VectorFixedMean10(
+    vecExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[VectorFixedMean10.Buf] {
+
+  override def children: Seq[Expression] = Seq(vecExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_vector_fixed_mean10"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vecExpr.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_vector_fixed_mean10 expects array<double>, got $other"
+        )
+    }
+
+  override def createAggregationBuffer(): VectorFixedMean10.Buf =
+    new VectorFixedMean10.Buf(null, null, null, 0L)
+
+  override def update(
+      buf: VectorFixedMean10.Buf,
+      input: InternalRow
+  ): VectorFixedMean10.Buf = {
+    val v = vecExpr.eval(input).asInstanceOf[ArrayData]
+    if (v != null) {
+      val n = v.numElements()
+      if (buf.hi == null) {
+        buf.hi = new Array[Long](n)
+        buf.lo = new Array[Long](n)
+        buf.nonNull = new Array[Long](n)
+      }
+      if (n != buf.hi.length)
+        throw new IllegalArgumentException(
+          s"graft_vector_fixed_mean10: ragged vectors in one group " +
+            s"(${buf.hi.length} vs $n elements)"
+        )
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val x = DecimalOps.scaled1e10(v.getDouble(i))
+          VectorFixedMean10.acc(buf, i, x >> 63, x)
+          buf.nonNull(i) += 1L
+        }
+        i += 1
+      }
+      buf.count += 1L
+    }
+    buf
+  }
+
+  override def merge(
+      buf: VectorFixedMean10.Buf,
+      other: VectorFixedMean10.Buf
+  ): VectorFixedMean10.Buf = {
+    if (other.hi != null) {
+      if (buf.hi == null) {
+        buf.hi = other.hi; buf.lo = other.lo; buf.nonNull = other.nonNull
+      } else {
+        if (buf.hi.length != other.hi.length)
+          throw new IllegalArgumentException(
+            s"graft_vector_fixed_mean10: ragged vectors across partitions " +
+              s"(${buf.hi.length} vs ${other.hi.length} elements)"
+          )
+        var i = 0
+        while (i < buf.hi.length) {
+          VectorFixedMean10.acc(buf, i, other.hi(i), other.lo(i))
+          buf.nonNull(i) += other.nonNull(i)
+          i += 1
+        }
+      }
+    }
+    buf.count += other.count
+    buf
+  }
+
+  override def eval(buf: VectorFixedMean10.Buf): Any =
+    if (buf.count == 0L || buf.hi == null) null
+    else {
+      val out = new Array[Any](buf.hi.length)
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (buf.nonNull(i) == 0L) null
+          else {
+            val d = DecimalOps.dec128(buf.hi(i), buf.lo(i)).toDouble / buf.count
+            // Spark's Round(double, 6): BigDecimal.valueOf + HALF_UP
+            java.math.BigDecimal
+              .valueOf(d)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue()
+          }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buf: VectorFixedMean10.Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.count)
+    val n = if (buf.hi == null) -1 else buf.hi.length
+    out.writeInt(n)
+    var i = 0
+    while (i < n) {
+      out.writeLong(buf.hi(i)); out.writeLong(buf.lo(i)); out.writeLong(buf.nonNull(i))
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorFixedMean10.Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val count = in.readLong()
+    val n = in.readInt()
+    if (n < 0) new VectorFixedMean10.Buf(null, null, null, count)
+    else {
+      val hi = new Array[Long](n); val lo = new Array[Long](n); val nn = new Array[Long](n)
+      var i = 0
+      while (i < n) { hi(i) = in.readLong(); lo(i) = in.readLong(); nn(i) = in.readLong(); i += 1 }
+      new VectorFixedMean10.Buf(hi, lo, nn, count)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorFixedMean10 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorFixedMean10 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]
+  ): Expression = copy(vecExpr = newChildren(0))
+}
+
+object VectorFixedMean10 {
+
+  /** Mutable per-group state: per-dimension 128-bit (hi, lo) scaled sums,
+    * per-dimension non-null counts (all-null ⇒ null mean element, the
+    * fixed_sum10 contract), and the row count (the mean's denominator). */
+  final class Buf(
+      var hi: Array[Long],
+      var lo: Array[Long],
+      var nonNull: Array[Long],
+      var count: Long
+  )
+
+  /** 128-bit accumulate of (xHi, xLo) into buffer slot i — the same
+    * wrap-around limb add + carry-out formula as [[FixedPointSum]]'s
+    * acc128 expressions, in plain longs. */
+  private[functions] def acc(buf: Buf, i: Int, xHi: Long, xLo: Long): Unit = {
+    val curLo = buf.lo(i)
+    val newLo = curLo + xLo
+    val carry = ((curLo & xLo) | ((curLo | xLo) & ~newLo)) >>> 63
+    buf.hi(i) = buf.hi(i) + xHi + carry
+    buf.lo(i) = newLo
+  }
+}

@@ -194,22 +194,22 @@ object KMeans {
       idCol: String
   ): DataFrame = {
     GraftFunctions.register(points.sparkSession)
+    // Round 14 (guide §2.3/§2.4): one vector-grain aggregation
+    // (graft_vector_fixed_mean10 — map-side partial 128-bit array sums)
+    // instead of posexplode → groupBy(cid, pos) → groupBy(cid), which
+    // exploded n vectors into n×dim rows and paid two keyed exchanges per
+    // Lloyd update. Values bit-identical: same scaled1e10 conversion, the
+    // same exactly-associative limb sums, Decimal→double cast, /count,
+    // Spark Round-on-double HALF_UP at 6 — spec-pinned against the old
+    // chain in KMeansSpec, oracle hashes unchanged (emb_kmeans,
+    // dedup_semantic).
     points
       .join(assigned, idCol)
       .select(
         col("cluster").as("cid"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x"))
-      )
-      .groupBy(col("cid"), col("pos"))
-      .agg(
-        round(
-          call_function("graft_fixed_sum10", col("x")).cast("double") /
-            count(lit(1)),
-          6
-        ).as("m")
+        col(vecCol).cast("array<double>").as("__v")
       )
       .groupBy(col("cid"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
+      .agg(call_function("graft_vector_fixed_mean10", col("__v")).as("cv"))
   }
 }

@@ -99,6 +99,7 @@ object SimilaritySearch {
       .orderBy(col(idCol))
       .limit(numCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    implicit val spark: SparkSession = corpus.sparkSession
     for (_ <- 1 to refineIterations) {
       // assign keeps the vector column, so the former
       // `.join(corpus.select(id, vec), idCol)` re-attach is gone (round 13)
@@ -110,24 +111,17 @@ object SimilaritySearch {
       // must not hinge on summation order). Quantization is ~1e-6 per
       // coordinate on unit-scale embeddings; headroom: |x|≤1 scaled to 2^20
       // keeps the long sum exact past 2^40 cluster members.
+      // Round 14 (guide §2.3/§2.4): the update is ONE vector-grain
+      // aggregation (graft_vector_fixed_mean — map-side partial array
+      // sums, k×dim longs per partition on the wire) instead of
+      // posexplode → groupBy(cid, pos) → groupBy(cid), which exploded n
+      // vectors into n×dim rows and paid two keyed exchanges per Lloyd
+      // iteration. Values bit-identical (same scaled-long casts, exactly
+      // associative sums, same division sequence — spec-pinned in
+      // SimilaritySearchSpec).
       cents = members
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(
-          sum((col("x") * lit(1048576.0)).cast("long")).as("sx"),
-          count(lit(1)).as("cn")
-        )
-        .select(
-          col("centroid_id"),
-          col("pos"),
-          (col("sx").cast("double") / col("cn") / 1048576.0).as("m")
-        )
         .groupBy(col("centroid_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(
-          col("centroid_id"),
-          expr("transform(pm, p -> cast(p.m AS float))").as("cv")
-        )
+        .agg(GraftFunctions.vectorFixedMean(col(vecCol)).as("cv"))
         .localCheckpoint()
     }
     cents

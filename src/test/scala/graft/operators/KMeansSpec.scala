@@ -48,6 +48,50 @@ class KMeansSpec extends AnyFunSuite {
     assert(updated(1L) == Seq(9.966667, 10.0))
   }
 
+  test("vector fixed-mean10 aggregate = the posexplode/fixed_sum10 chain, bit for bit") {
+    // Round 14: updateCentroids collapsed to ONE aggregation
+    // (graft_vector_fixed_mean10). The centroid doubles feed oracle-hash-
+    // matched rows (emb_kmeans, dedup_semantic), so the aggregate must
+    // reproduce the old chain BIT-identically on randomized groups under a
+    // shuffle — same scaled1e10 casts, exact limb sums, Decimal→double,
+    // /count, Spark Round(…, 6).
+    import org.apache.spark.sql.functions.{call_function, posexplode, sort_array, collect_list, struct, sum => _, _}
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 400).map { i =>
+      (i.toLong % 5, Array.fill(12)(rnd.nextGaussian() * 3))
+    }
+    val df = rows.toDF("cid", "v").repartition(8, $"cid" % 2)
+    graft.functions.GraftFunctions.register(spark)
+    val fused = df
+      .groupBy($"cid")
+      .agg(call_function("graft_vector_fixed_mean10", $"v").as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    val chain = df
+      .select($"cid", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"cid", $"pos")
+      .agg(
+        round(
+          call_function("graft_fixed_sum10", $"x").cast("double") / count(lit(1)),
+          6
+        ).as("m")
+      )
+      .groupBy($"cid")
+      .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cid", expr("transform(pm, p -> p.m)").as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    assert(fused.keySet == chain.keySet)
+    for (k <- chain.keySet)
+      assert(
+        fused(k).map(java.lang.Double.doubleToRawLongBits) ==
+          chain(k).map(java.lang.Double.doubleToRawLongBits),
+        s"cid $k diverged: ${fused(k)} vs ${chain(k)}"
+      )
+  }
+
   test("one Lloyd step is a fixed point on well-separated blobs") {
     val c0 = KMeans.seeds(points, "v", "id", 2)
     val a1 = KMeans.assign(points, c0, "v", "id")

@@ -140,6 +140,63 @@ class SimilaritySearchSpec extends AnyFunSuite {
     )
   }
 
+  test("vector fixed-point mean aggregate = the posexplode/two-groupBy chain, bit for bit") {
+    // Round 14: ivfCentroids' Lloyd update collapsed to ONE aggregation
+    // (graft_vector_fixed_mean). The centroid values feed assignment
+    // argmaxes whose exact floats the contract rows pin, so the aggregate
+    // must reproduce the old chain BIT-identically — same scaled-long
+    // casts, exactly associative sums, same division sequence — on
+    // randomized groups, under a shuffle (map-side partials + merge).
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 500).map { i =>
+      (i.toLong % 7, Array.fill(16)((rnd.nextGaussian() * 2).toFloat))
+    }
+    val df = rows.toDF("centroid_id", "v").repartition(8, $"centroid_id" % 3)
+    val fused = df
+      .groupBy($"centroid_id")
+      .agg(graft.functions.GraftFunctions.vectorFixedMean($"v")(spark).as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toMap
+    val chain = df
+      .select($"centroid_id", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"centroid_id", $"pos")
+      .agg(
+        sum(($"x" * lit(1048576.0)).cast("long")).as("sx"),
+        count(lit(1)).as("cn")
+      )
+      .select(
+        $"centroid_id",
+        $"pos",
+        ($"sx".cast("double") / $"cn" / 1048576.0).as("m")
+      )
+      .groupBy($"centroid_id")
+      .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"centroid_id", expr("transform(pm, p -> cast(p.m AS float))").as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toMap
+    assert(fused.keySet == chain.keySet)
+    for (k <- chain.keySet)
+      assert(
+        fused(k).map(java.lang.Float.floatToRawIntBits) ==
+          chain(k).map(java.lang.Float.floatToRawIntBits),
+        s"centroid $k diverged: ${fused(k)} vs ${chain(k)}"
+      )
+    // null vector rows contribute neither sums nor count (posexplode parity)
+    val withNull = (rows.take(20).map { case (g, v) => (g, Option(v)) } :+ (0L, Option.empty[Array[Float]]))
+      .toDF("centroid_id", "v")
+    val a = withNull
+      .groupBy($"centroid_id")
+      .agg(graft.functions.GraftFunctions.vectorFixedMean($"v")(spark).as("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = withNull.filter($"v".isNotNull)
+      .groupBy($"centroid_id")
+      .agg(graft.functions.GraftFunctions.vectorFixedMean($"v")(spark).as("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+  }
+
   test("plan shape: queries broadcast, corpus not shuffled before scoring") {
     val emb = Tables.t(spark, SparkFixture.sfDir, "embeddings")
     val plan = SimilaritySearch
