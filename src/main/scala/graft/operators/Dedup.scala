@@ -573,7 +573,9 @@ object Dedup {
       idCol: String,
       k: Int = 10,
       minOccurrences: Long = 2L,
-      keepFirst: Boolean = false
+      keepFirst: Boolean = false,
+      pinMinInputBytes: Long = Spread.PinMinInputBytes,
+      largeInputBytes: Long = Spread.DefaultLargeInputBytes
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && k <= 16, "k must be in [1,16] (shingle-kernel bound)")
@@ -582,17 +584,37 @@ object Dedup {
     // (one pass, no token/gram strings materialized); the span output only
     // carries positions, so the hash family is internal — 64-bit collision
     // odds are the same as the previous xxhash64-of-joined-string form
-    // widenIfNarrow (round 13): BOTH derivations of the gram table run the
-    // fused tokenize+hash kernel below the first exchange — single-task on
-    // a one-split scan (JobProbe: 250 ms + 130 ms single-task stages per
+    // widenIfNarrow (round 13): the gram-table derivation runs the fused
+    // tokenize+hash kernel below the first exchange — single-task on a
+    // one-split scan (JobProbe: 250 ms + 130 ms single-task stages per
     // dedup_substring row at sf0.1).
-    val gramsOf = widenIfNarrow(docs, idCol)
+    val gramsRaw = widenIfNarrow(docs, idCol)
       .select(
         col(idCol),
         posexplode(
           GraftFunctions.shingleHashes(TF.normText(col(textCol)), k)
         ).as(Seq("pos", "gh"))
       )
+    // Round 14 (guide §3.3 materialize vs recompute, VERDICT r13 item 3):
+    // the gram table feeds TWO consumers (the per-gram stats aggregate and
+    // the join probe), so an unpinned plan runs the tokenize+hash kernel
+    // over every document twice. In the mid-band [pinMin, large) the
+    // (id, pos, gh) frame is tens of MB of longs — pin it once and share;
+    // the join-back then broadcasts the cnt>=2 gram dictionary explicitly
+    // (the pin is a LogicalRDD with no stats, so the plan-time broadcast
+    // the raw shape already got would otherwise be lost until AQE
+    // re-derives it). OUTSIDE the band the shape is byte-identical to
+    // round 13, for opposite measured reasons: below pinMin the pin's
+    // fixed barrier costs more than the tiny kernel pass it saves
+    // (sf0.1: +0.13 s/query), while above the cap the gram table is
+    // O(corpus tokens) — materializing it would write corpus-scale bytes
+    // to executor storage, whereas the second kernel pass is
+    // embarrassingly parallel and touches no exchange (sf1, inside the
+    // band: −45..−49%/query; sf10 plan verified unchanged).
+    val pinSmall =
+      Spread.isLarge(docs, pinMinInputBytes) &&
+        !Spread.isLarge(docs, largeInputBytes)
+    val gramsOf = if (pinSmall) gramsRaw.localCheckpoint() else gramsRaw
     // Per-gram stats come from a partially-aggregating groupBy, NOT a
     // window over the gram hash: a window partitioned by "gh" would pull
     // every occurrence of a hot gram into one task's sort (AQE cannot
@@ -609,7 +631,9 @@ object Dedup {
         min(struct(col(idCol), col("pos"))).as("first_occ")
       )
       .filter(col("cnt") >= minOccurrences)
-    val joined = gramsOf.join(gramStats, Seq("gh"))
+    val joined =
+      if (pinSmall) gramsOf.join(broadcast(gramStats), Seq("gh"))
+      else gramsOf.join(gramStats, Seq("gh"))
     val dupPos = (if (keepFirst)
                     joined.filter(
                       struct(col(idCol), col("pos")) =!= col("first_occ")

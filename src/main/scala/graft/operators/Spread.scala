@@ -56,4 +56,15 @@ object Spread {
 
   /** The shared default for [[isLarge]] gates. */
   val DefaultLargeInputBytes: Long = 16L << 20
+
+  /** Lower bound for mid-band materialization gates (round 14,
+    * [[Dedup.duplicateSpans]]'s gram-table pin): a pin pays a fixed price —
+    * an eager barrier job plus ~2 driver round-trips, ~0.1 s locally — while
+    * the kernel re-derivation it saves grows with input bytes. Measured at
+    * the break-even's two sides: 0.58 MB compressed docs (sf0.1) the pin
+    * LOSES ~0.13 s/query (overhead > one widened kernel pass); 6.7 MB (sf1)
+    * it WINS ~1.0 s/query (−45..−49%). 2 MB is the order of magnitude where
+    * one saved pass first covers the barrier on any plausible kernel
+    * throughput — below it the unpinned shape is kept on purpose. */
+  val PinMinInputBytes: Long = 2L << 20
 }

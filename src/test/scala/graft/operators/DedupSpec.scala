@@ -419,6 +419,39 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((2L, 1, 11), (3L, 0, 10), (3L, 11, 21)))
   }
 
+  test("duplicate substring spans: mid-band gram-table pin is row-identical") {
+    // Round 14: inside the [pinMin, large) band the (id, pos, gh) gram
+    // table is pinned once (one tokenize+hash kernel pass instead of two)
+    // and the join-back broadcasts the gram dictionary explicitly. Forcing
+    // the band both ways must produce exactly the same spans — cross-doc
+    // dups, within-doc repetition, keepFirst canonicalization, and a
+    // no-dup doc.
+    val phrase = (1 to 12).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$phrase tail1 tail2 $phrase"),
+      (2L, s"lead1 lead2 $phrase"),
+      (3L, "entirely different words with no shared ten gram at all right")
+    ).toDF("doc_id", "text")
+    for (keepFirst <- Seq(false, true)) {
+      def run(pinMin: Long, large: Long) = Dedup
+        .duplicateSpans(docs, "text", "doc_id", k = 10,
+          keepFirst = keepFirst,
+          pinMinInputBytes = pinMin, largeInputBytes = large)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+      val pinned = run(0L, Long.MaxValue) // inside the band => pin ON
+      val below = run(Long.MaxValue, Long.MaxValue) // under pinMin => r13 shape
+      val above = run(0L, 0L) // over the cap => r13 shape
+      assert(pinned == below,
+        s"keepFirst=$keepFirst diverged:\npinned=$pinned\nbelow=$below")
+      assert(pinned == above,
+        s"keepFirst=$keepFirst diverged:\npinned=$pinned\nabove=$above")
+      assert(pinned.nonEmpty)
+    }
+  }
+
   test("duplicate substring spans: hot gram with 1e5 occurrences, no gram-hash window") {
     // One boilerplate 10-gram planted in 100k documents — the web-corpus
     // skew case. The scale-safe plan aggregates gram counts with map-side
